@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * One place to pin the configs that matter for correctness (UTC session
+  * time zone — oracle parity) and for scale (AQE on, shuffle partitions
+  * sized to the actual parallelism instead of the 200 default, which on
+  * a real cluster would be overridden per-job anyway).
+  */
+object Engine {
+  /** Defaults that should hold on any deployment of this engine. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // testdata events.ts is TIMESTAMP(NANOS) which Spark otherwise rejects;
+    // read as Long ns and convert in Tables.load.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32),
+            appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

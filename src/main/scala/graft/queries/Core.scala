@@ -1,0 +1,450 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+import graft.Tables
+
+/** Core relational operator surface: scan, projection, filter, aggregation,
+  * joins (inner/left/full/semi/anti), windows, sort/limit, set ops, scalar
+  * functions, subqueries.
+  *
+  * The reference (`astronomer/cs-tutorial-reporting`) delegates all of these to
+  * PostgreSQL — its entire SQL surface is six statements (see SURVEY.md §2B) —
+  * so this module realizes the full standard taxonomy Spark-first and pairs
+  * every query with an ANSI-SQL oracle the driver runs on DuckDB.
+  *
+  * Determinism contract with the oracle: every floating-point SUM goes through
+  * an exact DECIMAL cast (`sum(cast(x as decimal(18,2)))`) so the result is
+  * independent of partitioning/summation order in BOTH engines; averages are
+  * derived as `cast(decimalSum as double) / count` (one IEEE division of
+  * identical operands); thresholds compare those deterministic values only.
+  * Output types are aligned (BIGINT counts, INTEGER for year/rank, DECIMAL(28,2)
+  * money sums) so the driver's schema check passes.
+  */
+object Core {
+
+  /** Exact, order-independent sum of a money-like double column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(28, 2))
+
+  /** Like dsum but scale 4 — for products of two 2-decimal columns (e.g.
+    * price*(1-discount)), whose true values are exact at 4 decimals. Casting
+    * at scale 2 would tie-break differently across engines (~10% of rows sit
+    * on a .xx5 boundary); at scale 4 the cast is exact in both. */
+  private def dsum4(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(28, 4))
+
+  /** Deterministic average: exact decimal sum / count, one double division. */
+  private def davg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / projection / filter (reference O2, O12, O9) ---------------
+    "q_scan_project" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    }),
+    "q_filter_watermark" -> ((s, dir) => {
+      // Watermark-style strict > predicate (reference O9, airflow_to_gcs.py:162-172)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-06-30 00:00:00")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), max("l_shipdate").as("max_ship"))
+    }),
+    "q_global_max" -> ((s, dir) => {
+      // Global ungrouped MAX — the reference's watermark query (O3/O4)
+      t(s, dir, "orders").agg(
+        max("o_orderdate").as("max_orderdate"),
+        max("o_totalprice").as("max_price"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // --- aggregation -------------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+        round(davg(col("l_quantity")), 6).as("avg_qty"),
+        round(davg(col("l_extendedprice")), 6).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+    }),
+    "q_agg_having" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+             round(davg(col("p_retailprice")), 6).as("avg_price"))
+        .filter(col("n_parts") >= 5)
+    }),
+    "q_bucket_case" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000.0, "low")
+            .when(col("o_totalprice") < 150000.0, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+    "q_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    }),
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+    "q_rollup" -> ((s, dir) => {
+      // Seq-key joins: no dataset-qualified column refs, so the later rollup
+      // resolution can't trip Spark's ambiguous-self-join detector.
+      val c = t(s, dir, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+      c.join(broadcast(n), Seq("n_nationkey"))
+        .join(broadcast(r), Seq("n_regionkey"))
+        // col(...)-based rollup: the String* overload resolves via Dataset.col,
+        // which trips Spark's ambiguous-self-join detector after multi-joins.
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderpriority").agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_orders"))
+    }),
+
+    // --- joins -------------------------------------------------------------
+    "q_join_inner" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    }),
+    "q_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"), dsum(col("o_totalprice")).as("spent"))
+    }),
+    "q_join_full" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nk"), "full")
+        .select(col("nk").as("nationkey"), col("n_cust"), col("n_supp"))
+    }),
+    "q_join_multi" -> ((s, dir) => {
+      // TPC-H Q5-shaped star join: facts shuffle on keys, dims broadcast.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      // The one genuine join in the reference's semantics: PK insert-if-absent
+      // (O13, gcs_to_postgres.py:153-177) = left anti join.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    // --- windows -----------------------------------------------------------
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast(IntegerType))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(28, 2)))
+        .select("o_custkey", "o_orderkey", "running")
+    }),
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_orderdate", lag(col("o_orderdate"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "prev_orderdate")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // Gap-based sessionization over the events stream table (30-min gap).
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("is_new",
+          when(lag(col("us"), 1).over(w).isNull
+            || col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(cum).cast(IntegerType))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("us")) - min(col("us"))).as("dur_us"))
+    }),
+
+    // --- sort / limit / distinct / set ops ---------------------------------
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+    }),
+    "q_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.unionByName(sp).groupBy("nationkey").agg(count(lit(1)).as("n_entities"))
+    }),
+    "q_except" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").filter(col("s_acctbal") > 5000.0)
+          .select(col("s_nationkey").as("nationkey")))
+    }),
+    "q_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+
+    // --- scalar functions --------------------------------------------------
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat(col("p_brand"), lit("-"), col("p_size").cast("string")).as("brand_size"),
+        expr("replace(p_type, ' ', '_')").as("type_u"))
+    }),
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("o_orderdate")).as("first_date"),
+             min(date_trunc("month", col("o_orderdate"))).as("month_start"))
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      // events.props is a JSON string column (semi-structured staging records,
+      // reference O11: gcs_to_postgres.py:160-161).
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("k")).cast("bigint").as("sum_k"),
+             max(col("k")).as("max_k"))
+    }),
+    "q_time_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    }),
+
+    // --- subqueries --------------------------------------------------------
+    "q_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgPrice = o.agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1))).as("avg_tp"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_tp"))
+        .select("o_orderkey", "o_totalprice")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM orders WHERE o_totalprice > 150000.0""",
+    "q_filter_watermark" ->
+      """SELECT l_returnflag, count(*) AS n_rows, max(l_shipdate) AS max_ship
+         FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+         GROUP BY l_returnflag""",
+    "q_global_max" ->
+      """SELECT max(o_orderdate) AS max_orderdate, max(o_totalprice) AS max_price,
+                count(*) AS n_rows FROM orders""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(l_quantity), 6) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(l_extendedprice), 6) AS avg_price,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_agg_having" ->
+      """SELECT p_brand, count(*) AS n_parts,
+                round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)/count(p_retailprice), 6) AS avg_price
+         FROM part GROUP BY p_brand HAVING count(*) >= 5""",
+    "q_bucket_case" ->
+      """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+                     WHEN o_totalprice < 150000.0 THEN 'mid' ELSE 'high' END AS bucket,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+         FROM orders GROUP BY 1""",
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+                round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority""",
+    "q_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name""",
+    "q_join_full" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+           ON c.nk = s.nk""",
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0)""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running
+         FROM orders""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS prev_orderdate
+         FROM orders""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (
+           SELECT user_id, us,
+                  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                CAST(max(us) - min(us) AS BIGINT) AS dur_us
+         FROM sess GROUP BY user_id, session_id""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+    "q_union" ->
+      """SELECT nationkey, count(*) AS n_entities FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL
+           SELECT s_nationkey AS nationkey FROM supplier) t
+         GROUP BY nationkey""",
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+                CAST(length(p_name) AS INTEGER) AS name_len,
+                substr(p_name, 1, 8) AS name_prefix,
+                p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size,
+                replace(p_type, ' ', '_') AS type_u
+         FROM part""",
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(month(o_orderdate) AS INTEGER) AS mo,
+                count(*) AS n_orders,
+                min(o_orderdate) AS first_date,
+                CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start
+         FROM orders GROUP BY 1, 2""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type""",
+    "q_time_bucket" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)
+                               FROM orders)"""
+  )
+}

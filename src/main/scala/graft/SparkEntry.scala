@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Core => CoreQ}
+import graft.queries.{Core => CoreQ, TextOps => TextQ, VectorOps => VecQ, MultimodalOps => MmQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] =
     Seq(
-      (CoreQ.defs, CoreQ.oracles)
+      (CoreQ.defs, CoreQ.oracles),
+      (TextQ.defs, TextQ.oracles),
+      (VecQ.defs, VecQ.oracles),
+      (MmQ.defs, MmQ.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale document pipelines.
+  *
+  * All pure `Column` expressions built from `org.apache.spark.sql.functions`
+  * higher-order functions — codegen'd by Catalyst, no UDFs, no shuffles.
+  * Tokenization is single-space splitting (the documents corpus is
+  * pre-normalized); patterns avoid backslash escapes so the same literal
+  * regex text works in the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a pre-normalized (single-spaced) text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation count: runs of letters, runs of digits,
+    * or single non-alphanumeric glyphs. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Count of tokens belonging to a marker set (stopwords, language markers).
+    * Counts occurrences, not distinct membership. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Document fingerprint: md5 of the case-folded, trimmed text. Identical to
+    * the DuckDB expression `md5(trim(lower(text)))`. */
+  def fingerprint(text: Column): Column = md5(trim(lower(text)))
+
+  /** Word n-gram shingles (distinct), empty for docs shorter than n tokens.
+    * `sequence(1, size-n+1)` would step backwards when size < n (Spark
+    * defaults to step -1), so the short-doc case is guarded explicitly. */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns plus typed metadata, exactly like a production
+  * training-data pipeline (schema, partitioning, and batch shape are real;
+  * only the codec call is stubbed, because no media libraries exist in this
+  * environment).
+  *
+  * Layout contract: (asset_id long, modality string, payload binary,
+  * byte_len int, format string). Decoders run per-partition over batches —
+  * the same shape a Pandas-UDF / mapInPandas implementation has — so
+  * swapping the stub for a real JNI/FFI codec changes one function.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Deterministic fake "media" assets derived from the documents table:
+    * payload = utf-8 bytes of the text, modality/format from the doc id.
+    * Stands in for `spark.read.format("binaryFile")` over a media lake. */
+  def assetsFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (col(idCol) % 3 + 1).cast(IntegerType)).as("modality"),
+      col(textCol).cast(BinaryType).as("payload"),
+      length(col(textCol).cast(BinaryType)).as("byte_len"),
+      element_at(lit(Array("jpeg", "wav", "mp4")),
+        (col(idCol) % 3 + 1).cast(IntegerType)).as("format"))
+
+  /** Decoded-feature schema produced by the (stubbed) codec. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature_norm", DoubleType, nullable = false)))
+
+  /** STUB codec: a real implementation would hand `payload` to an image/audio
+    * decoder (the Spark-side plumbing — per-partition batching, typed output
+    * schema — is what this exercises). The fake is deterministic: n_frames
+    * from payload length, feature_norm from a byte checksum. */
+  private def decodeStub(assetId: Long, modality: String, payload: Array[Byte]): Row = {
+    val frames = 1 + payload.length / 1024
+    val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
+    Row(assetId, modality, frames, checksum.toDouble / 1000003.0)
+  }
+
+  /** Per-partition decode — the mapInPandas-shaped entry point. Partition by
+    * asset_id first at scale so codec work balances across executors. */
+  def decodeFeatures(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(featureSchema)
+    assets.select("asset_id", "modality", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.TextDedup
+
+/** Text analysis + document dedup surface over the `documents` table —
+  * the LLM-training-data-pipeline operators (token counting, quality
+  * scoring, language ID, fingerprinting, exact/fuzzy dedup).
+  *
+  * Shares the determinism contract of [[Core]]: integer/ratio arithmetic
+  * only (single IEEE division per ratio), md5-based hashing available
+  * identically in the DuckDB oracle, rational threshold predicates
+  * (`num*inter >= den*union`) instead of float thresholds.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("de0", "shi4", "le0", "zai4", "wo3"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_tokens" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("char_len"),
+        size(TextFunctions.tokens(col("text"))).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    }),
+    "t_quality" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_uniq", size(array_distinct(toks)))
+        .withColumn("n_stop", TextFunctions.markerCount(toks, Seq("the", "a")))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
+          round(length(regexp_replace(col("text"), lit(" "), lit("")))
+            .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+          round((col("n_uniq").cast("double") / col("n_tokens")) *
+            when(col("n_tokens").between(20, 400), 1.0).otherwise(0.5), 6)
+            .as("quality_score"))
+    }),
+    "t_langid" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val withCounts = langMarkers.foldLeft(docs(s, dir)) { case (df, (lang, markers)) =>
+        df.withColumn(s"n_$lang", TextFunctions.markerCount(toks, markers))
+      }
+      withCounts.select(
+          col("doc_id"), col("lang"),
+          col("n_en"), col("n_es"), col("n_fr"), col("n_de"), col("n_zh"),
+          when(col("n_zh") > greatest(col("n_en"), col("n_es"), col("n_fr"), col("n_de")), "zh")
+            .when(col("n_de") > greatest(col("n_en"), col("n_es"), col("n_fr")), "de")
+            .when(col("n_fr") > greatest(col("n_en"), col("n_es")), "fr")
+            .when(col("n_es") > col("n_en"), "es")
+            .otherwise("en").as("pred_lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+    }),
+    "t_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp_prefix"))
+    }),
+    "d_exact" -> ((s, dir) =>
+      TextDedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      // threshold 3/10 = Jaccard >= 0.3 over distinct word 3-grams
+      TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 3, 10)),
+    "d_minhash_lsh" -> ((s, dir) =>
+      // 15 hashes, 5 bands × 3 rows — candidates from band collisions
+      TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 15, 3)),
+    "d_simhash" -> ((s, dir) =>
+      TextDedup.simhash(docs(s, dir), "doc_id", "text")),
+    "d_simhash_pairs" -> ((s, dir) =>
+      TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 2))
+  )
+
+  private val shingleSql =
+    """sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(toks)-2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         WHERE len(toks) >= 3)"""
+
+  val oracles: Map[String, String] = Map(
+    "t_tokens" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS char_len,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
+         FROM documents""",
+    "t_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, text,
+                      CAST(len(toks) AS INTEGER) AS n_tokens,
+                      CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+                      CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS INTEGER) AS n_stop
+               FROM t)
+         SELECT doc_id, n_tokens, n_uniq, n_stop,
+                round(CAST(length(replace(text, ' ', '')) AS DOUBLE)/n_tokens, 6) AS avg_token_len,
+                round(CAST(n_stop AS DOUBLE)/n_tokens, 6) AS stop_ratio,
+                round((CAST(n_uniq AS DOUBLE)/n_tokens) *
+                      (CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+         FROM c""",
+    "t_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, lang,
+                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS n_en,
+                 CAST(len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) AS INTEGER) AS n_es,
+                 CAST(len(list_filter(toks, x -> x IN ('le','les','des','et','est'))) AS INTEGER) AS n_fr,
+                 CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS n_de,
+                 CAST(len(list_filter(toks, x -> x IN ('de0','shi4','le0','zai4','wo3'))) AS INTEGER) AS n_zh
+               FROM t)
+         SELECT doc_id, lang, n_en, n_es, n_fr, n_de, n_zh,
+                CASE WHEN n_zh > greatest(n_en, n_es, n_fr, n_de) THEN 'zh'
+                     WHEN n_de > greatest(n_en, n_es, n_fr) THEN 'de'
+                     WHEN n_fr > greatest(n_en, n_es) THEN 'fr'
+                     WHEN n_es > n_en THEN 'es'
+                     ELSE 'en' END AS pred_lang,
+                (CASE WHEN n_zh > greatest(n_en, n_es, n_fr, n_de) THEN 'zh'
+                      WHEN n_de > greatest(n_en, n_es, n_fr) THEN 'de'
+                      WHEN n_fr > greatest(n_en, n_es) THEN 'fr'
+                      WHEN n_es > n_en THEN 'es'
+                      ELSE 'en' END) = lang AS is_match
+         FROM c""",
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(trim(lower(text))) AS fp,
+                substr(md5(trim(lower(text))), 1, 8) AS fp_prefix
+         FROM documents""",
+    "d_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1""",
+    "d_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
+                round(CAST(inter_cnt AS DOUBLE)/(sa.n + sb.n - inter_cnt), 6) AS jaccard
+         FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+         WHERE inter_cnt * 10 >= (sa.n + sb.n - inter_cnt) * 3""",
+    "d_minhash_lsh" ->
+      s"""WITH $shingleSql,
+         sigs AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS sig
+                  FROM sh, (SELECT unnest(generate_series(0, 14)) AS seed) s GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          md5(string_agg(sig, ',' ORDER BY seed)) AS bkey
+                   FROM sigs GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+                round(CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE)/15, 6) AS est_sim
+         FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+                   JOIN sigs sb ON cand.doc_b = sb.doc_id AND sa.seed = sb.seed
+         GROUP BY doc_a, doc_b""",
+    "d_simhash" ->
+      """WITH tok AS (SELECT doc_id, tok, count(*) AS cnt
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                      GROUP BY 1, 2),
+         bits AS (SELECT doc_id, j,
+                         sum(CASE WHEN substr(md5(tok), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                                  THEN cnt ELSE -cnt END) AS s
+                  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY 1""",
+    "d_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, tok, count(*) AS cnt
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                      GROUP BY 1, 2),
+         bits AS (SELECT doc_id, j,
+                         sum(CASE WHEN substr(md5(tok), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                                  THEN cnt ELSE -cnt END) AS s
+                  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js GROUP BY 1, 2),
+         sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY 1)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM sh a JOIN sh b ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2"""
+  )
+}

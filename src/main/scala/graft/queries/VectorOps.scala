@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Embedding similarity surface over the `embeddings` table (vec_id,
+  * embedding array<float>, label): brute-force exact kNN (baseline),
+  * sign-block LSH kNN (the scale path), and blocked near-dup pairs.
+  * Cosines are computed with exact decimal accumulation (see Similarity)
+  * so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_knn_brute" -> ((s, dir) =>
+      Similarity.knnBrute(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10)),
+    "v_knn_lsh" -> ((s, dir) =>
+      Similarity.knnLsh(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10, nBits = 4)),
+    "v_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", nBits = 8, minCosine = 0.35))
+  )
+
+  /** Shared SQL fragment: exact decimal dot/norm accumulation per vec. */
+  private def accumSql(src: String): String =
+    s"""u AS (SELECT vec_id, unnest(embedding) AS x, unnest(q.qe) AS y FROM $src, q),
+       d AS (SELECT vec_id,
+               CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+               CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS norm2
+             FROM u GROUP BY 1),
+       qn AS (SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qnorm2
+              FROM (SELECT unnest(qe) AS x FROM q))"""
+
+  val oracles: Map[String, String] = Map(
+    "v_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ${accumSql("embeddings")}
+         SELECT vec_id, round(dot/(sqrt(norm2)*sqrt(qn.qnorm2)), 6) AS cosine
+         FROM d, qn WHERE vec_id <> 0
+         ORDER BY dot/(sqrt(norm2)*sqrt(qn.qnorm2)) DESC, vec_id ASC LIMIT 10""",
+    "v_knn_lsh" ->
+      s"""WITH blocked AS (
+           SELECT vec_id, embedding,
+                  array_to_string(list_transform(generate_series(1, 4),
+                    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS block
+           FROM embeddings),
+         q AS (SELECT embedding AS qe, block AS qb FROM blocked WHERE vec_id = 0),
+         cands AS (SELECT b.vec_id, b.embedding FROM blocked b, q WHERE b.block = q.qb),
+         ${accumSql("cands")}
+         SELECT vec_id, round(dot/(sqrt(norm2)*sqrt(qn.qnorm2)), 6) AS cosine
+         FROM d, qn WHERE vec_id <> 0
+         ORDER BY dot/(sqrt(norm2)*sqrt(qn.qnorm2)) DESC, vec_id ASC LIMIT 10""",
+    "v_neardup" ->
+      """WITH blocked AS (
+           SELECT vec_id, embedding,
+                  array_to_string(list_transform(generate_series(1, 8),
+                    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS block
+           FROM embeddings),
+         pr AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+                FROM blocked a JOIN blocked b
+                  ON a.block = b.block AND a.vec_id < b.vec_id),
+         u AS (SELECT va, vb, unnest(ea) AS x, unnest(eb) AS y FROM pr),
+         d AS (SELECT va, vb,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS na,
+                 CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS nb
+               FROM u GROUP BY 1, 2)
+         SELECT va AS vec_a, vb AS vec_b,
+                round(dot/(sqrt(na)*sqrt(nb)), 6) AS cosine
+         FROM d WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35"""
+  )
+}

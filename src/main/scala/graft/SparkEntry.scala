@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Core => CoreQ, TextOps => TextQ, VectorOps => VecQ, MultimodalOps => MmQ}
+import graft.queries.{Core => CoreQ, TextOps => TextQ, VectorOps => VecQ, MultimodalOps => MmQ, PipelineOps => PipeQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
       (CoreQ.defs, CoreQ.oracles),
       (TextQ.defs, TextQ.oracles),
       (VecQ.defs, VecQ.oracles),
-      (MmQ.defs, MmQ.oracles)
+      (MmQ.defs, MmQ.oracles),
+      (PipeQ.defs, PipeQ.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

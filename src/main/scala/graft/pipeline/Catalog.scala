@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Idempotent DDL for the `rpt` reporting schema — the Spark realization of
+  * the reference's `ddl` task (dags/reporting_dag.py:47-49 executing
+  * include/sql/rpt.sql: CREATE SCHEMA/TABLE IF NOT EXISTS). Constraints
+  * (PK/UNIQUE) have no Spark-native form; they are realized as loader
+  * semantics (Loader.dedupAppend) and asserted by tests (SURVEY.md §1.3).
+  */
+object Catalog {
+
+  val database = "rpt"
+
+  def tableName(entity: String): String = s"$database.$entity"
+
+  /** Re-runnable, like rpt.sql:1,6,21,37. Parquet-backed managed tables. */
+  def ensure(spark: SparkSession): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    Schemas.byEntity.keys.foreach { entity =>
+      val ddlSchema = Schemas.tableSchema(entity).toDDL
+      spark.sql(s"CREATE TABLE IF NOT EXISTS ${tableName(entity)} ($ddlSchema) USING parquet")
+    }
+  }
+
+  /** Test/teardown helper — not part of the reference surface. Also removes
+    * the physical warehouse location: a fresh session's in-memory catalog
+    * does not know tables a previous JVM created, so a leftover
+    * `<warehouse>/rpt.db` would make CREATE TABLE fail with
+    * LOCATION_ALREADY_EXISTS. */
+  def drop(spark: SparkSession): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS $database CASCADE")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(s"$wh/$database.db")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+}

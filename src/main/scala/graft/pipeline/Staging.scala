@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Run-partitioned object-store staging (reference O6-O8 sinks, O10-O12
+  * scans, O16 paths — SURVEY.md §2A).
+  *
+  * Staged files are whole-file JSON arrays (one array per page,
+  * airflow_to_gcs.py:153-159,253-259), hence `multiLine=true` — a JSON-lines
+  * read would silently return zero rows. Reads apply the entity's explicit
+  * schema (never inference in production paths) and project exactly the
+  * declared fields in order, which is strict like the reference's
+  * `row[field]` KeyError (gcs_to_postgres.py:169-172): a missing column is
+  * an analysis error.
+  */
+object Staging {
+
+  /** `ts_nodash`-style run timestamp (dags/reporting_dag.py:57). */
+  private val runTsFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss").withZone(ZoneOffset.UTC)
+
+  def formatRunTs(ts: Instant): String = runTsFmt.format(ts)
+
+  /** `airflow/<entity>/<ts_nodash>/` path convention (reporting_dag.py:57,91,133). */
+  def stagingPath(base: String, entity: String, runTs: String): String =
+    s"$base/airflow/$entity/$runTs"
+
+  /** Read staged JSON-array files with the entity schema + strict projection.
+    * One whole-file array = one input partition; large pages should be
+    * repartitioned downstream (SURVEY.md §7 risk note). */
+  def readStaged(spark: SparkSession, entity: String, paths: Seq[String],
+                 arrayForm: Boolean = true): DataFrame = {
+    val schema = Schemas.byEntity(entity)
+    val df = spark.read
+      .schema(schema)
+      .option("multiLine", arrayForm)
+      .json(paths: _*)
+    df.select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Stage a page set. Spark's JSON writer emits JSON-lines (not whole-file
+    * arrays), so re-reads of our own staging pass arrayForm=false; the
+    * reference-shaped fixture files use the array form (default). */
+  def writeStaged(df: DataFrame, base: String, entity: String, runTs: String): String = {
+    val path = stagingPath(base, entity, runTs)
+    df.write.mode("overwrite").json(path)
+    path
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Core => CoreQ, TextOps => TextQ, VectorOps => VecQ, MultimodalOps => MmQ, PipelineOps => PipeQ}
+import graft.queries.{Core => CoreQ, TextOps => TextQ, VectorOps => VecQ, MultimodalOps => MmQ, PipelineOps => PipeQ, StreamingOps => StreamQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
       (TextQ.defs, TextQ.oracles),
       (VecQ.defs, VecQ.oracles),
       (MmQ.defs, MmQ.oracles),
-      (PipeQ.defs, PipeQ.oracles)
+      (PipeQ.defs, PipeQ.oracles),
+      (StreamQ.defs, StreamQ.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

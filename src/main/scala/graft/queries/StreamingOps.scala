@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+/** Streaming queries, drained synchronously through a memory sink so the
+  * driver can hash-compare them against batch SQL oracles — the streaming
+  * result must equal the batch answer over the same (bounded) input, which
+  * is exactly the correctness contract of Structured Streaming.
+  *
+  * Memory-sink table names are unique per query to avoid collisions when the
+  * driver runs the whole inventory in one session.
+  */
+object StreamingOps {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_hourly" -> ((s, dir) => {
+      val out = EventsStream.runToMemory(
+        s, EventsStream.hourlyAgg(EventsStream.readEvents(s, dir)),
+        "s_hourly_sink", "complete")
+      out.select("hour_ts", "event_type", "n_events", "sum_value")
+    }),
+    "s_sessionize" -> ((s, dir) => {
+      EventsStream.runToMemory(
+        s, EventsStream.sessionAgg(EventsStream.readEvents(s, dir)),
+        "s_sessionize_sink", "complete")
+    }),
+    "s_dedup" -> ((s, dir) => {
+      // duplicate the stream (union with itself), then stateful dedup —
+      // result must equal plain per-type counts of the batch table.
+      val ev = EventsStream.readEvents(s, dir)
+      val doubled = ev.unionByName(EventsStream.readEvents(s, dir))
+      val deduped = EventsStream.runToMemory(
+        s, EventsStream.dedupByEventId(doubled), "s_dedup_sink", "append")
+      deduped.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "s_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         flagged AS (
+           SELECT user_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, make_timestamp(min(us)) AS session_start, count(*) AS n_events
+         FROM sess GROUP BY user_id, session_id""",
+    "s_dedup" ->
+      """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"""
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Structured Streaming surface over the `events` table — the streaming twin
+  * of the reference's hand-rolled batch-incremental watermark pattern
+  * (SURVEY.md §2B Streaming): `withWatermark` + windowed/session aggregation
+  * replaces MAX(start_date)-and-filter; `dropDuplicatesWithinWatermark`
+  * replaces the PK anti-join, with bounded state instead of a full target
+  * scan.
+  *
+  * File-source streaming over the driver parquet gives a deterministic
+  * one-batch replay for tests/verification; the same plans run unchanged
+  * against a real continuous source (kafka/files) at scale, where the
+  * watermark bounds state size — the property that makes these operators
+  * viable on an unbounded 100 TB/day stream.
+  */
+object EventsStream {
+
+  /** Streaming read of the events parquet. ts is parquet TIMESTAMP(NANOS)
+    * (read as ns Long, see Tables.load) → truncated to µs TimestampType. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val physical = spark.read.parquet(path).schema
+    // the file streaming source wants a directory; narrow it to the events
+    // file with a glob filter
+    val raw = spark.readStream.schema(physical)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (physical("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling 1-hour counts + exact decimal sums per event type. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(28, 2)).as("sum_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization via session_window (30-minute gap). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Stateful stream dedup on event_id, state bounded by the watermark. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Drain a (bounded) streaming DataFrame through a memory sink and return
+    * the sink contents as a batch DataFrame. Deterministic for file sources:
+    * processAllAvailable blocks until every input file is consumed. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Streaming ≡ batch over the same bounded input — the Structured Streaming
+  * correctness contract (oracle-checked at sf0.01 via StreamingOps; these
+  * specs cover the remaining stateful surface at sf0.001). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("stream dedup of a doubled stream equals the batch row count") {
+    val ev = EventsStream.readEvents(spark, dir)
+    val doubled = ev.unionByName(EventsStream.readEvents(spark, dir))
+    val deduped = EventsStream.runToMemory(
+      spark, EventsStream.dedupByEventId(doubled), "spec_dedup", "append")
+    val batch = Tables.load(spark, dir, "events").count()
+    assert(deduped.count() == batch)
+  }
+
+  test("streaming hourly agg equals batch groupBy over the same input") {
+    val out = EventsStream.runToMemory(
+      spark, EventsStream.hourlyAgg(EventsStream.readEvents(spark, dir)),
+      "spec_hourly", "complete")
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val got = out.select("hour_ts", "event_type", "n_events")
+    assert(got.count() == batch.count())
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+  }
+
+  test("flatMapGroupsWithState running totals: final state equals batch totals") {
+    val running = EventsStream.runToMemory(spark,
+      StatefulOps.runningUserTotals(spark, EventsStream.readEvents(spark, dir)).toDF(),
+      "spec_running", "update")
+    // last update per user == batch aggregate
+    val finals = running.groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(finals.except(batch).count() == 0 && batch.except(finals).count() == 0)
+  }
+}

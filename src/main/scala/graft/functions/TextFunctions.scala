@@ -32,13 +32,22 @@ object TextFunctions {
     * the DuckDB expression `md5(trim(lower(text)))`. */
   def fingerprint(text: Column): Column = md5(trim(lower(text)))
 
+  /** Let-binding for expensive subexpressions inside row-level expression
+    * trees: evaluates `c` ONCE per row and exposes it to `body` as a lambda
+    * variable. Without this, Catalyst's CollapseProject inlines a projected
+    * column into every use site — e.g. `split(text)` re-parsed inside each
+    * element_at of a shingle transform turned a 5k-doc shingle pass into
+    * ~10^8 string splits (13 s → 0.3 s at sf0.1). */
+  def bind(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   /** Word n-gram shingles (distinct), empty for docs shorter than n tokens.
     * `sequence(1, size-n+1)` would step backwards when size < n (Spark
     * defaults to step -1), so the short-doc case is guarded explicitly. */
-  def shingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(1), size(toks) - (n - 1))
+  def shingles(toks: Column, n: Int): Column = bind(toks) { tk =>
+    val idx = sequence(lit(1), size(tk) - (n - 1))
     val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    when(size(toks) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+      concat_ws(" ", (0 until n).map(k => element_at(tk, i + k)): _*))
+    when(size(tk) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 }

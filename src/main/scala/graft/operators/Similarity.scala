@@ -6,52 +6,51 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Vector similarity search over an `array<float>` embedding column.
   *
-  * Two layers:
-  *  - `cosineParts`/`knnBrute`: exact brute-force — explode to (id, i, x),
-  *    join on position, exact DECIMAL(28,16) accumulation of the per-position
-  *    products so the dot product is bit-identical regardless of partition
-  *    order (the oracle-determinism contract, see Core.scala).
-  *  - `signBlock`/`knnLsh`/`nearDupPairs`: the 100 TB scale path — a
-  *    random-hyperplane-style LSH using the coordinate hyperplanes of the
-  *    first `nBits` dimensions. Candidates must share the query's sign block,
-  *    turning corpus-wide scans into one bucket's worth of exact work. The
-  *    blocking key is a plain string column, so at scale it partitions,
-  *    bucket-joins, and prunes like any other key.
+  * Exact scoring uses per-row DECIMAL(28,16) accumulation of the per-position
+  * products: decimal addition is exact and associative, so the result is
+  * bit-identical to the DuckDB oracle's grouped decimal sum regardless of
+  * evaluation order — and it runs as one codegen'd expression per row, no
+  * explode, no join, no shuffle.
   *
-  * Fast non-oracle scoring (plain double accumulation, codegen'd, single
-  * pass, no explode) is `cosineFast` — use it in throughput paths where
+  * The 100 TB scale path is `signBlock`/`knnLsh`/`nearDupPairs`: a
+  * random-hyperplane-style LSH on the signs of the first `nBits` dimensions.
+  * Candidates must share the block key (a plain string column that
+  * partitions, bucket-joins, and prunes like any other key), turning
+  * corpus-wide scans into one bucket's worth of exact work.
+  *
+  * `cosineFast` is the plain-double variant for throughput paths where
   * cross-engine bit-equality is not required.
   */
 object Similarity {
 
-  /** Exact per-vector squared-norm + dot-with-query components. Input must
-    * have columns (id, i, x) and (i, qv). */
-  private def accum(parts: DataFrame, qparts: DataFrame): DataFrame =
-    parts.join(qparts, "i")
-      .groupBy("id")
-      .agg(
-        sum((col("x").cast("double") * col("qv").cast("double")).cast(DecimalType(28, 16)))
-          .cast("double").as("dot"),
-        sum((col("x").cast("double") * col("x").cast("double")).cast(DecimalType(28, 16)))
-          .cast("double").as("norm2"))
+  private val dec = DecimalType(28, 16)
 
-  private def explodeVec(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+  /** Exact decimal sum of products of two float arrays (dot product when
+    * a≠b, squared norm when a=b). Associative-exact: equals the oracle's
+    * unnest+group sum bit for bit. */
+  private def decDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(dec)),
+      lit(java.math.BigDecimal.ZERO).cast(dec),
+      (acc, v) => (acc + v).cast(dec))
+      .cast("double")
 
-  /** Exact top-k nearest neighbours of `queryId`'s embedding by cosine. */
+  /** Exact cosine between an embedding column and a fixed query vector. */
+  def cosineToQuery(vec: Column, query: Seq[Float]): Column = {
+    val q = typedLit(query)
+    decDot(vec, q) / (sqrt(decDot(vec, vec)) * sqrt(decDot(q, q)))
+  }
+
+  /** Exact top-k nearest neighbours of `queryId`'s embedding by cosine.
+    * Fetching the query vector is a 1-row driver scalar (like a watermark);
+    * the scan itself is a single projection + TakeOrderedAndProject. */
   def knnBrute(emb: DataFrame, idCol: String, vecCol: String,
                queryId: Long, k: Int): DataFrame = {
-    val parts = explodeVec(emb, idCol, vecCol)
-    val qparts = explodeVec(emb.filter(col(idCol) === queryId), idCol, vecCol)
-      .select(col("i"), col("x").as("qv"))
-    val qnorm = qparts
-      .agg(sum((col("qv").cast("double") * col("qv").cast("double")).cast(DecimalType(28, 16)))
-        .cast("double").as("qnorm2"))
-    accum(parts, qparts)
-      .crossJoin(broadcast(qnorm))
-      .filter(col("id") =!= queryId)
-      .select(col("id").as("vec_id"),
-        (col("dot") / (sqrt(col("norm2")) * sqrt(col("qnorm2")))).as("c_raw"))
+    val query: Seq[Float] = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol)).first().getSeq[Float](0)
+    emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("vec_id"),
+        cosineToQuery(col(vecCol), query).as("c_raw"))
       // order by the unrounded value (like the oracle) so the k-boundary
       // cannot differ between engines; round only for output.
       .orderBy(col("c_raw").desc, col("vec_id").asc)
@@ -77,32 +76,22 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs within sign blocks: cosine >= threshold.
-    * The threshold compares the deterministic double, so both engines agree. */
+    * Per-pair exact cosine is a single expression over the joined rows. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    nBits: Int, minCosine: Double): DataFrame = {
     val blocked = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBlock(col(vecCol), nBits).as("block"))
-    val pairs = blocked.as("a").join(blocked.as("b"),
+    blocked.as("a").join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("va"), col("b.id").as("vb"),
-        col("a.v").as("av"), col("b.v").as("bv"))
-      .select(col("va"), col("vb"),
-        posexplode(arrays_zip(col("av"), col("bv"))).as(Seq("i", "xy")))
-      .select(col("va"), col("vb"),
-        col("xy")("av").cast("double").as("x"), col("xy")("bv").cast("double").as("y"))
-    pairs
-      .groupBy("va", "vb")
-      .agg(
-        sum((col("x") * col("y")).cast(DecimalType(28, 16))).cast("double").as("dot"),
-        sum((col("x") * col("x")).cast(DecimalType(28, 16))).cast("double").as("na"),
-        sum((col("y") * col("y")).cast(DecimalType(28, 16))).cast("double").as("nb"))
-      .withColumn("cosine", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .filter(col("cosine") >= minCosine)
-      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        (decDot(col("a.v"), col("b.v"))
+          / (sqrt(decDot(col("a.v"), col("a.v")))
+            * sqrt(decDot(col("b.v"), col("b.v"))))).as("c_raw"))
+      .filter(col("c_raw") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("c_raw"), 6).as("cosine"))
   }
 
-  /** Plain double cosine — single-pass, codegen'd, for throughput paths. */
+  /** Plain double cosine — for throughput paths without the oracle contract. */
   def cosineFast(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -52,72 +52,80 @@ object TextDedup {
         round(col("inter_cnt").cast("double") / col("union_cnt"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures: for each (doc, seed) the lexicographic min of
-    * md5(shingle ":" seed) — a deterministic hash family expressible
-    * identically in any engine with md5. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.crossJoin(broadcast(
-        spark_seeds(numHashes)))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("sh"), lit(":"), col("seed").cast("string")))).as("sig"))
+  /** Per-doc MinHash signature array: sigs[s] = lexicographic min of
+    * md5(shingle ":" s) over the doc's distinct shingles — a deterministic
+    * hash family expressible identically in any engine with md5. Computed as
+    * one codegen'd expression per row (no explode, no shuffle); the shingle
+    * array is let-bound so it is built once per row. */
+  def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.bind(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN)) { shs =>
+        transform(sequence(lit(0), lit(numHashes - 1)), s =>
+          array_min(transform(shs, sh =>
+            md5(concat(sh, lit(":"), s.cast("string"))))))
+      }.as("sigs"))
 
-  private def spark_seeds(n: Int) = {
-    import org.apache.spark.sql.SparkSession
-    val s = SparkSession.active
-    s.range(n).select(col("id").cast(IntegerType).as("seed"))
-  }
-
-  /** LSH banding: band key = md5 of the ordered concat of the band's
-    * signatures; candidate pairs are docs sharing any band key. Estimated
-    * similarity = fraction of matching signature positions. */
+  /** LSH banding: band key = md5 of the comma-joined band slice of the
+    * signature array; candidate pairs are docs sharing any band key.
+    * Estimated similarity = fraction of matching signature positions.
+    * Shuffle cost is one small band-key join (numBands rows/doc), never
+    * corpus² and never per-(doc,seed). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
-    val sigs = minhashSignatures(sh, numHashes)
-    val bands = sigs
-      .groupBy(col("doc_id"), (col("seed") / rowsPerBand).cast(IntegerType).as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("sig")))), s => s("sig")),
-        ",")).as("bkey"))
+    val numBands = numHashes / rowsPerBand
+    // The repartition is a materialization barrier: without it the sig
+    // expression is inlined into every use site (both join sides, the band
+    // transform, the zip count) and computed 4×; the exchange computes it
+    // once and ReuseExchange shares it across the self-join. It also
+    // co-locates by doc_id, which is the partitioning a real corpus wants.
+    val sigs = minhashSigs(docs, idCol, textCol, shingleN, numHashes)
+      .filter(size(col("sigs")) > 0)
+      .repartition(col("doc_id"))
+    val bands = sigs.select(col("doc_id"), col("sigs"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          md5(array_join(slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+          .as(Seq("band", "bkey")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val eq = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("seed"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("seed"), col("sig").as("sig_b")),
-        Seq("doc_b", "seed"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)).cast(LongType).as("n_equal"))
-    eq.select(col("doc_a"), col("doc_b"), col("n_equal"),
-      round(col("n_equal").cast("double") / numHashes, 6).as("est_sim"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sigs").as("sigs_a"), col("b.sigs").as("sigs_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("n_equal",
+        size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y),
+          b => b)).cast(LongType))
+      .select(col("doc_a"), col("doc_b"), col("n_equal"),
+        round(col("n_equal").cast("double") / numHashes, 6).as("est_sim"))
   }
 
-  /** 32-bit SimHash: bit j is the sign of the count-weighted sum of
-    * (2·b−1) over tokens, where b = high bit of hex digit j of md5(token).
-    * Integer arithmetic only — bit-exact across engines. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    val js = spark_seeds(32).withColumnRenamed("seed", "j")
-    tok.crossJoin(broadcast(js))
-      .withColumn("contrib",
-        when(expr("substring(md5(tok), j + 1, 1)")
-            .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")),
-          col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "j").agg(sum(col("contrib")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
-        .cast(LongType).as("simhash"))
-  }
+  /** 32-bit SimHash: bit j is the sign of the sum of (2·b−1) over token
+    * occurrences, where b = high bit of hex digit j of md5(token). Weighting
+    * by occurrence equals iterating raw (non-distinct) tokens, so the whole
+    * hash is one expression over the let-bound md5 array — integer
+    * arithmetic only, bit-exact across engines, no shuffle. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.bind(
+        transform(TextFunctions.tokens(col(textCol)), t => md5(t))) { hexes =>
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+          acc + when(
+            aggregate(hexes, lit(0),
+              // hex digits order '0'-'9' < 'a'-'f', so "high bit set" ⇔ >= '8'
+              (s, h) => s + when(substr(h, j + 1, lit(1)) >= "8", 1).otherwise(-1))
+              > 0,
+            call_function("shiftleft", lit(1L), j)).otherwise(0L))
+      }.as("simhash"))
 
   /** SimHash near-dup pairs, blocked on the top byte of the hash (an LSH-style
     * prefix block: pairs differing in the top 8 bits are not candidates) so
     * the join is per-block, never corpus². */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+    // materialization barrier + exchange reuse across the self-join (see
+    // minhashLshPairs) — otherwise the hash is recomputed per join side
+    val sh = simhash(docs, idCol, textCol).repartition(col("doc_id"))
     sh.as("a").join(sh.as("b"),
         expr("shiftright(a.simhash, 24) = shiftright(b.simhash, 24)")
           && col("a.doc_id") < col("b.doc_id"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.FloatCosine
 import graft.operators.Similarity
 
 /** Embedding similarity surface over the `embeddings` table (vec_id,
@@ -23,7 +24,20 @@ object VectorOps {
     "v_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10, nBits = 4)),
     "v_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", nBits = 8, minCosine = 0.35))
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", nBits = 8, minCosine = 0.35)),
+    "v_knn_native" -> ((s, dir) => {
+      // throughput path: the codegen'd FloatCosine expression (plain double
+      // accumulation — no DuckDB oracle, rows-only check; exactness path is
+      // v_knn_brute). Same top-k shape, fused scoring loop.
+      FloatCosine.register(s)
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
+      e.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), FloatCosine(col("embedding"), typedLit(q)).as("c_raw"))
+        .orderBy(col("c_raw").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
+    })
   )
 
   /** Shared SQL fragment: exact decimal dot/norm accumulation per vec. */

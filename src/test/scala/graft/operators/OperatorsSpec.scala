@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.functions.TextFunctions
+
+/** Library-level invariants for the dedup/similarity operators — properties
+  * the oracle hash-check can't express (recall, symmetry, bounds). */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  def docs = Tables.load(spark, dir, "documents")
+  def emb = Tables.load(spark, dir, "embeddings")
+
+  test("shingles: n tokens yield n-2 trigrams (pre-distinct), short docs yield none") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "x y", "one two three").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val got = df.select(size(col("sh"))).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 1))
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val groups = TextDedup.exactGroups(docs, "doc_id", "text")
+    val total = groups.agg(sum("n_copies")).first().getLong(0)
+    assert(total == docs.count())
+    assert(groups.filter(col("keep_id").isNull).count() == 0)
+  }
+
+  test("minhash LSH candidates recover all true Jaccard>=0.3 pairs (banding recall)") {
+    val truePairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 3, 10)
+      .select("doc_a", "doc_b")
+    val cands = TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 15, 3)
+      .select("doc_a", "doc_b")
+    assert(truePairs.join(cands, Seq("doc_a", "doc_b"), "left_anti").count() == 0,
+      "every true near-dup pair must be an LSH candidate at this threshold")
+  }
+
+  test("jaccard pairs satisfy the threshold and are canonical (a < b)") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 3, 10)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(pairs.filter(col("jaccard") < 0.3 - 1e-9).count() == 0)
+    assert(pairs.filter(col("jaccard") > 1.0).count() == 0)
+  }
+
+  test("simhash is 32-bit and identical docs get identical hashes") {
+    val sh = TextDedup.simhash(docs, "doc_id", "text")
+    assert(sh.filter(col("simhash") < 0 || col("simhash") >= (1L << 32)).count() == 0)
+    // duplicate the corpus under shifted ids: hashes must be equal per text
+    val shifted = TextDedup.simhash(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L), "doc_id", "text")
+      .withColumn("doc_id", col("doc_id") - 1000000L)
+    assert(sh.join(shifted, "doc_id")
+      .filter(sh("simhash") =!= shifted("simhash")).count() == 0)
+  }
+
+  test("knnBrute: cosine bounds, k rows, self excluded, descending order") {
+    val k = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(k.length == 10)
+    assert(!k.map(_.getLong(0)).contains(0L))
+    val cosines = k.map(_.getDouble(1))
+    assert(cosines.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    assert(cosines.sameElements(cosines.sorted(Ordering[Double].reverse)))
+  }
+
+  test("knnLsh results are a subset of the block, scored identically to brute force") {
+    val lsh = Similarity.knnLsh(emb, "vec_id", "embedding", 0L, 10, 4)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 1000)
+    // every LSH hit appears in the exhaustive ranking with the same cosine
+    assert(lsh.join(brute, Seq("vec_id", "cosine"), "left_anti").count() == 0)
+  }
+
+  test("nearDupPairs is symmetric-free (a<b) and respects the threshold") {
+    val p = Similarity.nearDupPairs(emb, "vec_id", "embedding", 8, 0.35)
+    assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(p.filter(col("cosine") < 0.35 - 1e-6).count() == 0)
+  }
+}

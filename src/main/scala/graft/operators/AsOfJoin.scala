@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the payload of the latest right row with
+  * rightTime <= leftTime (inclusive) for the same key. Spark has no native
+  * as-of operator; per the extension ladder this composes built-ins: tag
+  * both sides, union, and take a running `last(payload, ignoreNulls)` over
+  * (key, time) — one shuffle on the key, window state is a single struct,
+  * no range cross-product. The same plan shape survives 100 TB: it
+  * partitions by key and sorts within partitions, exactly like any windowed
+  * aggregation.
+  *
+  * Determinism contract: callers must make the right side unique per
+  * (key, time) — e.g. arg-max dedupe — otherwise "which right row wins a
+  * time tie" is undefined (DuckDB's native ASOF JOIN, used as the oracle,
+  * leaves it undefined too). At equal timestamps the right row is visible
+  * to the left row (inclusive semantics, matching ASOF's `>=`).
+  */
+object AsOfJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == rightTime)
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val rightTagged = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        payloadStruct.as("__payload")): _*)
+    val payloadType = rightTagged.schema("__payload").dataType
+
+    val leftCols = left.columns.filterNot(keyCols.contains)
+    val leftTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__payload")) ++
+        Seq(struct(leftCols.map(col): _*).as("__lrow")): _*)
+    val rightAligned = rightTagged
+      .withColumn("__lrow", lit(null).cast(leftTagged.schema("__lrow").dataType))
+
+    // right rows (side 0) sort before left rows (side 1) at equal time →
+    // a right row at exactly leftTime is visible: inclusive as-of.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    leftTagged.unionByName(rightAligned)
+      .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        keyCols.map(col) ++
+          leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+          payloadCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
+}

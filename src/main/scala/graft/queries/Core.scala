@@ -274,6 +274,21 @@ object Core {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // for each error event, the most recent click of the same user at or
+      // before its timestamp (inclusive as-of; right side arg-max-deduped
+      // per (user, ts) for determinism)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin
+        .asofJoin(errors, clicks, Seq("user_id"), "ts", "ts")
+        .select("event_id", "user_id", "click_id")
+    }),
+
     // --- subqueries --------------------------------------------------------
     "q_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -442,6 +457,15 @@ object Core {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts),
+         errors AS (
+           SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, c.click_id
+         FROM errors e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ts >= c.ts""",
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour index: k-means
+  * centroids partition the corpus into cells; a query scores only the
+  * `nprobe` cells whose centroids are closest to it. The standard
+  * billion-scale ANN layout — at 100 TB the assignment column is just
+  * another partition key (write the corpus bucketed by `cell` and a probe
+  * reads nprobe/k of the data; Catalyst prunes the rest).
+  *
+  * Complements the sign-block LSH path (Similarity.knnLsh): LSH needs no
+  * training and gives fixed buckets; IVF adapts cells to the data
+  * distribution at the cost of a (seeded, deterministic) training pass.
+  */
+object IvfIndex {
+
+  /** Corpus with an assigned `cell` column + the fitted centroids.
+    * Deterministic for a fixed seed and input. */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            k: Int, seed: Long = 42L): (DataFrame, Array[Array[Float]]) = {
+    val withFeatures = emb.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .select(col(idCol), col(vecCol), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    (assigned, centroids)
+  }
+
+  /** Top-k by exact cosine among the nprobe nearest cells to the query. */
+  def knn(assigned: DataFrame, centroids: Array[Array[Float]],
+          idCol: String, vecCol: String,
+          query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    // driver-side: pick the nprobe closest centroids (k entries, trivial)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(query, c.toSeq), i) }
+      .take(nprobe).map(_._2)
+    assigned
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf(_)): _*))
+      .select(col(idCol).as("vec_id"),
+        Similarity.cosineToQuery(col(vecCol), query).as("c_raw"))
+      .orderBy(col("c_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
+  }
+}

@@ -50,4 +50,24 @@ object Staging {
     df.write.mode("overwrite").json(path)
     path
   }
+
+  /** CSV interop with the reference's NULL contract: empty field = NULL
+    * (`COPY ... NULL AS ''`, gcs_to_postgres.py:178-180 — the O14 transient
+    * format). Only needed when exchanging staged data with COPY-style
+    * loaders; the engine's own staging stays typed. */
+  def writeStagedCsv(df: DataFrame, base: String, entity: String, runTs: String): String = {
+    val path = stagingPath(base, entity, runTs) + "-csv"
+    df.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "")
+      .csv(path)
+    path
+  }
+
+  def readStagedCsv(spark: SparkSession, entity: String, path: String): DataFrame = {
+    val schema = Schemas.byEntity(entity)
+    spark.read.schema(schema)
+      .option("header", "true").option("nullValue", "")
+      .csv(path)
+      .select(schema.fieldNames.map(col): _*)
+  }
 }

@@ -99,6 +99,13 @@ object Core {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
     }),
+    "q_approx_distinct" -> ((s, dir) => {
+      // HLL sketch (engine-specific bits → rows-only check; ±5% accuracy
+      // asserted in CoreSpec against the exact count)
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
     "q_cube" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")

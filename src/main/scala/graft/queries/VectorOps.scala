@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.FloatCosine
-import graft.operators.Similarity
+import graft.operators.{IvfIndex, Similarity}
 
 /** Embedding similarity surface over the `embeddings` table (vec_id,
   * embedding array<float>, label): brute-force exact kNN (baseline),
@@ -37,6 +37,16 @@ object VectorOps {
         .orderBy(col("c_raw").desc, col("vec_id").asc)
         .limit(10)
         .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
+    }),
+    "v_knn_ivf" -> ((s, dir) => {
+      // IVF scale path: seeded k-means cells, probe the 4 nearest of 16.
+      // K-means training is not SQL-expressible → rows-only check; recall
+      // and consistency invariants live in OperatorsSpec.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
+      val (assigned, centroids) = IvfIndex.build(e, "vec_id", "embedding", k = 16)
+      IvfIndex.knn(assigned.filter(col("vec_id") =!= 0L), centroids,
+        "vec_id", "embedding", q, k = 10, nprobe = 4)
     })
   )
 

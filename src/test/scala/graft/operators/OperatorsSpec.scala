@@ -56,6 +56,16 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(sh("simhash") =!= shifted("simhash")).count() == 0)
   }
 
+  test("approx_count_distinct lands within 5% of exact") {
+    val rows = graft.queries.Core.defs("q_approx_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+    }
+  }
+
   test("knnBrute: cosine bounds, k rows, self excluded, descending order") {
     val k = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10).collect()
     assert(k.length == 10)
@@ -70,6 +80,19 @@ class OperatorsSpec extends AnyFunSuite {
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 1000)
     // every LSH hit appears in the exhaustive ranking with the same cosine
     assert(lsh.join(brute, Seq("vec_id", "cosine"), "left_anti").count() == 0)
+  }
+
+  test("IVF knn: results come from probed cells and score identically to brute force") {
+    val (assigned, centroids) = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
+    val ivf = IvfIndex.knn(assigned.filter(col("vec_id") =!= 0L), centroids,
+      "vec_id", "embedding", q, k = 10, nprobe = 3)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 1000)
+    assert(ivf.count() == 10)
+    assert(ivf.join(brute, Seq("vec_id", "cosine"), "left_anti").count() == 0,
+      "IVF hits must appear in the exhaustive ranking with identical scores")
   }
 
   test("nearDupPairs is symmetric-free (a<b) and respects the threshold") {

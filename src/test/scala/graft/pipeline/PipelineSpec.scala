@@ -3,6 +3,7 @@ package graft.pipeline
 import java.sql.Timestamp
 
 import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -90,6 +91,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // regression: using-join reorders columns; insertInto is positional —
     // dag_run_id must still hold run ids, not dag ids
     assert(spark.table("rpt.dag_run").filter("dag_run_id NOT LIKE 'run%'").count() == 0)
+  }
+
+  test("CSV interop roundtrip preserves NULLs as empty fields (O14 contract)") {
+    val staged = Staging.readStaged(spark, "dag_run",
+      Seq(TestSpark.fixture("dagRuns1.json"), TestSpark.fixture("dagRuns2.json")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val path = Staging.writeStagedCsv(staged, dir, "dag_run", "20220301T000000")
+    val back = Staging.readStagedCsv(spark, "dag_run", path)
+    assert(back.count() == staged.count())
+    assert(back.filter(col("end_date").isNull).count() ==
+      staged.filter(col("end_date").isNull).count())
+    assert(back.except(staged).count() == 0 && staged.except(back).count() == 0)
   }
 
   test("executor_config is coerced to binary at the sink (rpt.sql:57)") {

@@ -41,13 +41,34 @@ object TextFunctions {
   def bind(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), body), 1)
 
-  /** Word n-gram shingles (distinct), empty for docs shorter than n tokens.
-    * `sequence(1, size-n+1)` would step backwards when size < n (Spark
-    * defaults to step -1), so the short-doc case is guarded explicitly. */
-  def shingles(toks: Column, n: Int): Column = bind(toks) { tk =>
+  /** Positional word n-grams (duplicates kept, order preserved); empty for
+    * docs shorter than n tokens. `sequence(1, size-n+1)` would step
+    * backwards when size < n (Spark defaults to step -1), so the short-doc
+    * case is guarded explicitly. */
+  def ngrams(toks: Column, n: Int): Column = bind(toks) { tk =>
     val idx = sequence(lit(1), size(tk) - (n - 1))
     val grams = transform(idx, i =>
       concat_ws(" ", (0 until n).map(k => element_at(tk, i + k)): _*))
-    when(size(tk) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    when(size(tk) >= n, grams).otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles: distinct ngrams (set semantics, for Jaccard /
+    * MinHash). */
+  def shingles(toks: Column, n: Int): Column = array_distinct(ngrams(toks, n))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * positional n-gram (md5; lexicographic min is the hash order), take the
+    * minimum in each sliding window of `w` consecutive gram hashes, and
+    * keep the distinct minima. Guarantees a shared fingerprint for any
+    * sufficiently long common substring — the standard local fingerprint
+    * for plagiarism/near-dup detection, here as one codegen'd expression
+    * per row. */
+  def winnow(toks: Column, n: Int, w: Int): Column =
+    bind(transform(ngrams(toks, n), g => md5(g))) { hs =>
+      when(size(hs) >= w,
+        array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), i =>
+          array_min(slice(hs, i, lit(w))))))
+        .otherwise(when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<string>")))
+    }
 }

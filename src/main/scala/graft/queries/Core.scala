@@ -281,6 +281,27 @@ object Core {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // interval self-join: pairs of events by the same user within 60s —
+      // equi-join on the key carries the shuffle, the range predicate
+      // filters pairs (at scale: bucketize time into the key for a banded
+      // range join; here user cardinality bounds bucket sizes)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.event_id") < col("b.event_id")
+            && abs(col("a.us") - col("b.us")) <= 60L * 1000000L)
+        .select(col("a.user_id").as("user_id"),
+          col("a.event_id").as("ev_a"), col("b.event_id").as("ev_b"),
+          abs(col("a.us") - col("b.us")).as("gap_us"))
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // for each error event, the most recent click of the same user at or
       // before its timestamp (inclusive as-of; right side arg-max-deduped
@@ -464,6 +485,16 @@ object Core {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
+                abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "q_asof_join" ->
       """WITH clicks AS (
            SELECT user_id, ts, max(event_id) AS click_id FROM events

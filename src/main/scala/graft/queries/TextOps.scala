@@ -67,6 +67,14 @@ object TextOps {
             .otherwise("en").as("pred_lang"))
         .withColumn("is_match", col("pred_lang") === col("lang"))
     }),
+    "t_winnow" -> ((s, dir) => {
+      // winnowing fingerprints: 3-gram md5 hashes, window-4 minima.
+      // docs shorter than n+w-1 tokens excluded in both engines.
+      docs(s, dir)
+        .filter(size(TextFunctions.tokens(col("text"))) >= 6)
+        .select(col("doc_id"),
+          explode(TextFunctions.winnow(TextFunctions.tokens(col("text")), 3, 4)).as("fp"))
+    }),
     "t_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
@@ -135,6 +143,16 @@ object TextOps {
                       WHEN n_es > n_en THEN 'es'
                       ELSE 'en' END) = lang AS is_match
          FROM c""",
+    "t_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
+               FROM t WHERE len(toks) >= 6)
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                  i -> list_aggregate(hs[i:i+3], 'min')))) AS fp
+         FROM g""",
     "t_fingerprint" ->
       """SELECT doc_id, md5(trim(lower(text))) AS fp,
                 substr(md5(trim(lower(text))), 1, 8) AS fp_prefix

@@ -37,23 +37,34 @@ object ReportingPipeline {
   /** One incremental run over staged inputs. Re-running with the same inputs
     * is a no-op for PK'd entities (insert-if-absent) and duplicates
     * task_instance rows only above the watermark — matching the reference's
-    * intended invariants. */
+    * intended invariants.
+    *
+    * The three entity loads are independent (like the reference's parallel
+    * TaskGroups fanning out after ddl, reporting_dag.py:178-180) and run as
+    * concurrent jobs on the shared session — Spark's scheduler interleaves
+    * their stages across executor slots. */
   def run(spark: SparkSession, fixtureDir: String,
           runTs: Instant = Instant.now()): Unit = {
     Catalog.ensure(spark)
-    Seq("dag", "dag_run", "task_instance").foreach { entity =>
-      val files = stagedFiles(spark, fixtureDir, filePrefix(entity))
-      if (files.nonEmpty) {
-        val staged = Staging.readStaged(spark, entity, files)
-        val table = Catalog.tableName(entity)
-        val filtered = Schemas.watermarkOf(entity) match {
-          case Some(wmCol) =>
-            val wm = Watermark.maxWatermark(spark, table, wmCol)
-            Watermark.applyWatermark(staged, wmCol, wm)
-          case None => staged
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val groups = Seq("dag", "dag_run", "task_instance").map { entity =>
+      Future {
+        val files = stagedFiles(spark, fixtureDir, filePrefix(entity))
+        if (files.nonEmpty) {
+          val staged = Staging.readStaged(spark, entity, files)
+          val table = Catalog.tableName(entity)
+          val filtered = Schemas.watermarkOf(entity) match {
+            case Some(wmCol) =>
+              val wm = Watermark.maxWatermark(spark, table, wmCol)
+              Watermark.applyWatermark(staged, wmCol, wm)
+            case None => staged
+          }
+          Loader.dedupAppend(spark, filtered, table, Schemas.pkOf(entity))
         }
-        Loader.dedupAppend(spark, filtered, table, Schemas.pkOf(entity))
       }
     }
+    groups.foreach(Await.result(_, Duration.Inf))
   }
 }

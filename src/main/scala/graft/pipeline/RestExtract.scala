@@ -40,6 +40,10 @@ object RestExtract {
     s"${api.baseUrl}/$entity?limit=${api.batchSize}&offset=$offset$wmQ"
   }
 
+  /** One page's raw body — shared with the DSv2 connector (sources.RestDataSource). */
+  def getPage(api: Api, entity: String, offset: Long, wm: Option[String]): String =
+    get(pageUrl(api, entity, offset, wm))
+
   /** Driver-side probe: total row count for the (watermarked) extraction. */
   def totalEntries(api: Api, entity: String, wm: Option[String]): Long = {
     val body = get(pageUrl(api, entity, 0, wm))

@@ -77,6 +77,24 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 5)
   }
 
+  test("DSv2 connector: watermark filter pushes into the HTTP query") {
+    val df = spark.read.format("graft.sources.RestDataSource")
+      .option("baseUrl", base).option("entity", "dag_run")
+      .option("batchSize", "10")
+      .load()
+    assert(df.count() == 25)
+    val wm = java.sql.Timestamp.from(
+      java.time.Instant.parse("2022-03-01T00:00:05Z").plusSeconds(3600L * 19))
+    val filtered = df.filter(col("start_date") > lit(wm))
+    assert(filtered.count() == 5, "server must receive the pushed watermark")
+    // the pushed predicate is visible in the scan description
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("watermark=2022-03-01T19:00:05Z"), plan.take(600))
+    // residual filters still evaluate in Spark
+    assert(df.filter(col("state") === "success").count() == 25)
+    assert(df.filter(col("state") === "failed").count() == 0)
+  }
+
   test("live extract→stage→load is incremental and idempotent") {
     Catalog.drop(spark); Catalog.ensure(spark)
     val api = RestExtract.Api(base, batchSize = 7)

@@ -318,6 +318,75 @@ object Core {
     }),
 
     // --- subqueries --------------------------------------------------------
+    "q_correlated_subquery" -> ((s, dir) => {
+      // correlated scalar subquery — Catalyst decorrelates to an aggregate
+      // + join (RewriteCorrelatedScalarSubquery); deterministic via the
+      // decimal-avg formula on both sides
+      t(s, dir, "orders").createOrReplaceTempView("orders_cs")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_cs o
+               WHERE o_totalprice > 1.5 * (
+                 SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)
+                 FROM orders_cs i WHERE i.o_custkey = o.o_custkey)""")
+    }),
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        // absent (priority, status) combos: Spark pivot yields null, the
+        // oracle's count FILTER yields 0 — align on 0
+        .na.fill(0L, Seq("n_f", "n_o", "n_p"))
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "customer").groupBy("c_nationkey").agg(
+        dsum(col("c_acctbal")).as("sum_bal"),
+        count(lit(1)).cast(DecimalType(28, 2)).as("n_cust"))
+      wide.unpivot(Array(col("c_nationkey")),
+        Array(col("sum_bal"), col("n_cust")), "metric", "value")
+    }),
+    "q_window_range" -> ((s, dir) => {
+      // range-frame window: 7-day moving order revenue per day (day number
+      // as the numeric range key — identical in both engines)
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).as("day_num"))
+        .agg(dsum(col("o_totalprice")).as("day_rev"))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily.withColumn("rev_7d", sum(col("day_rev")).over(w).cast(DecimalType(28, 2)))
+    }),
+    "q_corr_stats" -> ((s, dir) => {
+      // Pearson correlation + stddev from exact decimal component sums —
+      // the engine-native corr()/stddev() accumulate doubles in partition
+      // order and cannot hash-match across engines
+      val li = t(s, dir, "lineitem")
+      val comps = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(18, 4)))
+          .cast("double").as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(18, 4)))
+          .cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+          .cast("double").as("syy"))
+      comps.select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          / (col("n") * (col("n") - 1))), 4).as("stddev_qty"))
+    }),
+    "q_null_funcs" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(dsum(col("o_totalprice")).as("big_spend"))
+        .select(col("c_custkey"),
+          coalesce(col("big_spend"), lit(0).cast(DecimalType(28, 2))).as("spend_or_zero"),
+          col("big_spend").isNull.as("no_big_orders"),
+          nullif(col("big_spend"), lit(0).cast(DecimalType(28, 2))).as("spend_or_null"))
+    }),
     "q_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val avgPrice = o.agg(
@@ -504,6 +573,57 @@ object Core {
          SELECT e.event_id, e.user_id, c.click_id
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts >= c.ts""",
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)
+           FROM orders i WHERE i.o_custkey = o.o_custkey)""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q_unpivot" ->
+      """WITH wide AS (SELECT c_nationkey,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal,
+                CAST(count(*) AS DECIMAL(28,2)) AS n_cust
+              FROM customer GROUP BY c_nationkey)
+         SELECT c_nationkey, 'sum_bal' AS metric, sum_bal AS value FROM wide
+         UNION ALL
+         SELECT c_nationkey, 'n_cust' AS metric, n_cust AS value FROM wide""",
+    "q_window_range" ->
+      """WITH daily AS (
+           SELECT CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS INTEGER) AS day_num,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS day_rev
+           FROM orders GROUP BY 1)
+         SELECT day_num, day_rev,
+                CAST(sum(day_rev) OVER (ORDER BY day_num
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS rev_7d
+         FROM daily""",
+    "q_corr_stats" ->
+      """WITH comps AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price,
+                round(sqrt((n*sxx - sx*sx) / (n*(n - 1))), 4) AS stddev_qty
+         FROM comps""",
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+                coalesce(big_spend, CAST(0 AS DECIMAL(28,2))) AS spend_or_zero,
+                big_spend IS NULL AS no_big_orders,
+                nullif(big_spend, CAST(0 AS DECIMAL(28,2))) AS spend_or_null
+         FROM (SELECT c_custkey,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS big_spend
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_totalprice > 250000.0
+               GROUP BY c_custkey) t""",
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)

@@ -37,7 +37,10 @@ object TextDedup {
     * identically). Shuffle pattern: explode → join on shingle → count. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
+    // barrier: the shingle expression feeds three consumers (both join
+    // sides + the size table); one exchange computes it once and
+    // ReuseExchange shares it (see minhashLshPairs)
+    val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -58,6 +58,20 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Continuous load into a managed table via foreachBatch → the batch
+    * dedup loader: the streaming twin of the reference's staged load path.
+    * Each micro-batch runs the same insert-if-absent anti-join the batch
+    * pipeline uses, so restarts/replays cannot duplicate PK'd rows —
+    * end-to-end idempotence from a possibly-at-least-once source. */
+  def streamIntoTable(events: DataFrame, table: String,
+                      pkCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Loader.dedupAppend(batch.sparkSession, batch, table, pkCols)
+      }
+      .start()
+
   /** Drain a (bounded) streaming DataFrame through a memory sink and return
     * the sink contents as a batch DataFrame. Deterministic for file sources:
     * processAllAvailable blocks until every input file is consumed. */

@@ -33,6 +33,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
   }
 
+  test("foreachBatch streaming load into a managed table is duplicate-free") {
+    val db = "stream_sink_probe"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"""CREATE TABLE $db.events_t
+                  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                   event_type STRING, value DOUBLE, props STRING) USING parquet""")
+    try {
+      // doubled stream: an at-least-once source; PK dedup must collapse it
+      val ev = EventsStream.readEvents(spark, dir)
+      val doubled = ev.unionByName(EventsStream.readEvents(spark, dir))
+      val q = EventsStream.streamIntoTable(doubled, s"$db.events_t", Seq("event_id"))
+      q.processAllAvailable(); q.stop()
+      val batch = Tables.load(spark, dir, "events").count()
+      assert(spark.table(s"$db.events_t").count() == batch)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("flatMapGroupsWithState running totals: final state equals batch totals") {
     val running = EventsStream.runToMemory(spark,
       StatefulOps.runningUserTotals(spark, EventsStream.readEvents(spark, dir)).toDF(),

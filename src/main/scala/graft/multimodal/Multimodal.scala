@@ -66,4 +66,53 @@ object Multimodal {
         }
       }(enc)
   }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", BinaryType, nullable = false)))
+
+  /** Frame sampling: 1 row per `strideBytes` chunk of the payload — the
+    * batch shape of video frame extraction (a real codec would seek
+    * keyframes; the chunking, fan-out row multiplication, and binary
+    * sub-slicing are the Spark-side work being exercised). */
+  def sampleFrames(assets: DataFrame, strideBytes: Int): DataFrame = {
+    val enc = ExpressionEncoder(frameSchema)
+    assets.select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val n = math.max(1, (payload.length + strideBytes - 1) / strideBytes)
+          (0 until n).iterator.map { i =>
+            val from = i * strideBytes
+            val to = math.min(payload.length, from + strideBytes)
+            Row(id, i, java.util.Arrays.copyOfRange(payload, from, to))
+          }
+        }
+      }(enc)
+  }
+
+  /** STUB feature extractor: a deterministic `dim`-float embedding from the
+    * payload bytes (byte histogram folded into dim buckets, L2-normalized) —
+    * stands in for an image/audio encoder model. Output plugs directly into
+    * operators.Similarity / IvfIndex, completing the media → embedding →
+    * ANN pipeline shape. */
+  def embedStub(assets: DataFrame, dim: Int): DataFrame = {
+    val enc = ExpressionEncoder(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false))))
+    assets.select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val buckets = new Array[Double](dim)
+          payload.foreach(b => buckets((b & 0xff) % dim) += 1.0)
+          val norm = math.sqrt(buckets.map(x => x * x).sum).max(1e-12)
+          Row(id, buckets.map(x => (x / norm).toFloat).toSeq)
+        }
+      }(enc)
+  }
 }

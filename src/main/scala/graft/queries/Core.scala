@@ -99,6 +99,14 @@ object Core {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
     }),
+    "q_kmv_distinct" -> ((s, dir) => {
+      // custom Aggregator: KMV distinct sketch (k=256), deterministic via
+      // md5 — the oracle reproduces the identical estimate with window SQL
+      val kmv = graft.functions.KmvDistinct.kmv(256)
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        kmv(col("l_partkey").cast("string")).as("kmv_estimate"),
+        countDistinct(col("l_partkey")).as("exact_distinct"))
+    }),
     "q_approx_distinct" -> ((s, dir) => {
       // HLL sketch (engine-specific bits → rows-only check; ±5% accuracy
       // asserted in CoreSpec against the exact count)
@@ -432,6 +440,21 @@ object Core {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+                    FROM lineitem),
+         r AS (SELECT l_returnflag, h,
+                      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY l_returnflag) AS nd
+               FROM h),
+         kth AS (SELECT l_returnflag, nd,
+                        ('0x' || substr(h, 1, 12))::BIGINT AS v
+                 FROM r WHERE rn = 256)
+         SELECT x.l_returnflag,
+                CASE WHEN x.nd < 256 THEN CAST(x.nd AS DOUBLE)
+                     ELSE round((255.0 / x.v) * 281474976710656.0, 4) END AS kmv_estimate,
+                CAST(x.nd AS BIGINT) AS exact_distinct
+         FROM kth x""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price

@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hot loops for the text-dedup hash families. The higher-order
+  * function formulations (TextDedup round 1) evaluate interpreted lambda
+  * frames per element — ~10^7 of them per bench run; these expressions run
+  * the same math as tight Java over the md5 *bytes* (hex digit j's high bit
+  * is a bit test on byte j/2), producing bit-identical results to the
+  * hex-string formulation and therefore to the DuckDB oracles.
+  *
+  * Codegen calls the static helpers below, so the projection stays inside
+  * whole-stage codegen.
+  */
+object NativeHashes {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 32-bit SimHash over token occurrences: bit j = sign of Σ±1 where +1
+    * iff hex digit j of md5(token) has its high bit set. */
+  def simhash32(tokens: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val md = md5Local.get()
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      md.reset()
+      val digest = md.digest(tokens.getUTF8String(t).getBytes)
+      var j = 0
+      while (j < 32) {
+        val b = digest(j >> 1)
+        val high = if ((j & 1) == 0) (b & 0x80) != 0 else (b & 0x08) != 0
+        counts(j) += (if (high) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) acc |= (1L << j)
+      j += 1
+    }
+    acc
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 15).toByte
+      out(2 * i + 1) = hexChars(bytes(i) & 15).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** MinHash signature array: sigs[s] = min over shingles of
+    * md5(shingle ":" s) — identical bytes hashed, identical hex strings
+    * out (unsigned byte order == hex lexicographic order). */
+  def minhashSigs(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = Array.ofDim[Byte](numHashes, 16)
+    val have = new Array[Boolean](numHashes)
+    val md = md5Local.get()
+    var s = 0
+    while (s < numHashes) {
+      val suffix = (":" + s).getBytes("UTF-8")
+      var i = 0
+      while (i < n) {
+        val sh = shingles.getUTF8String(i).getBytes
+        md.reset()
+        md.update(sh)
+        md.update(suffix)
+        val digest = md.digest()
+        if (!have(s) || unsignedLess(digest, mins(s))) {
+          System.arraycopy(digest, 0, mins(s), 0, 16)
+          have(s) = true
+        }
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins.map(toHex(_): AnyRef))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+}
+
+/** simhash32(tokens array<string>) → bigint. */
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    NativeHashes.simhash32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeHashes.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_sigs(shingles array<string>, k) → array<string> of hex minima. */
+case class MinHashSigsExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    NativeHashes.minhashSigs(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHashes.minhashSigs($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

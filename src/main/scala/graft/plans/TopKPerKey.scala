@@ -1,0 +1,75 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Per-key top-k as a first-class operator (the full extension ladder:
+  * logical node → Strategy → physical exec, SURVEY.md §7 ladder rung (c)).
+  *
+  * The stock formulation — `row_number() OVER (PARTITION BY key ORDER BY
+  * ord) <= k` — fully sorts every key group; at 100 TB that is a massive
+  * sort for a tiny k. This operator keeps one bounded k-heap per key per
+  * partition after clustering on the key: O(n log k) with O(keys·k) state,
+  * no sort. Same rows out (set semantics) when the ordering is total
+  * (callers include a tie-break column, as everywhere in this engine).
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                      child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** Ask the planner to cluster input by key — Spark inserts the exchange. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // max-heap by sort order: the worst retained row sits on top
+      val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      implicit val heapOrd: Ordering[UnsafeRow] =
+        (a: UnsafeRow, b: UnsafeRow) => ordering.compare(a, b)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      rows.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          mutable.PriorityQueue.empty[UnsafeRow])
+        val u = row.asInstanceOf[UnsafeRow]
+        if (heap.size < limit) heap.enqueue(u.copy())
+        else if (ordering.compare(u, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(u.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

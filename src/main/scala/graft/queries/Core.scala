@@ -231,6 +231,15 @@ object Core {
     }),
 
     // --- sort / limit / distinct / set ops ---------------------------------
+    "q_topk_perkey" -> ((s, dir) => {
+      // custom physical operator (graft.plans.TopKPerKey): bounded per-key
+      // heaps instead of the window function's full per-key sort
+      org.apache.spark.sql.GraftPlanBridge.topKPerKey(
+        t(s, dir, "orders"),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
     "q_topk" -> ((s, dir) => {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -536,6 +545,12 @@ object Core {
          SELECT user_id, session_id, count(*) AS n_events,
                 CAST(max(us) - min(us) AS BIGINT) AS dur_us
          FROM sess GROUP BY user_id, session_id""",
+    "q_topk_perkey" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 2""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

@@ -1,0 +1,38 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{DataFrame => ClassicDF, Dataset => ClassicDataset, SparkSession => ClassicSession}
+
+import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
+
+/** Bridge into Spark's private[sql] Dataset factory so graft's custom
+  * logical operators can be exposed as ordinary DataFrames — the standard
+  * pattern for pre-extension-API operator libraries (same namespace trick
+  * the Spark ecosystem connectors use). Keep every private-API touch here.
+  */
+object GraftPlanBridge {
+
+  private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  private def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDF].logicalPlan
+
+  /** Per-key top-k via the custom TopKPerKey operator (graft.plans). Order
+    * entries are (columnName, ascending); include a unique tie-break column
+    * for deterministic output. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+                 order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val sortOrders = order.map { case (name, asc) =>
+      SortOrder(UnresolvedAttribute(name), if (asc) Ascending else Descending)
+    }
+    ofRows(spark, TopKPerKey(keyCols.map(UnresolvedAttribute(_)), sortOrders, k,
+      logicalPlan(df)))
+  }
+}

@@ -67,6 +67,23 @@ object TextOps {
             .otherwise("en").as("pred_lang"))
         .withColumn("is_match", col("pred_lang") === col("lang"))
     }),
+    "t_freq_quality" -> ((s, dir) => {
+      // corpus-statistics quality signal: mean corpus-frequency ratio of a
+      // doc's tokens (rare-token-heavy docs score low) — the shape of
+      // frequency-based LLM data filters. Corpus stats join back to docs;
+      // ratios go through DECIMAL(28,18) so the mean is order-independent.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val corpus = toks.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
+      val total = toks.count() // driver scalar, like a watermark
+      toks.join(corpus, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum((col("tok_freq").cast("double") / total)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 18))).as("sum_ratio"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_ratio").cast("double") / col("n_tokens"), 9).as("mean_freq_ratio"))
+    }),
     "t_winnow" -> ((s, dir) => {
       // winnowing fingerprints: 3-gram md5 hashes, window-4 minima.
       // docs shorter than n+w-1 tokens excluded in both engines.
@@ -143,6 +160,15 @@ object TextOps {
                       WHEN n_es > n_en THEN 'es'
                       ELSE 'en' END) = lang AS is_match
          FROM c""",
+    "t_freq_quality" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         corpus AS (SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok),
+         total AS (SELECT count(*) AS n FROM toks)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(CAST(sum(CAST(CAST(tok_freq AS DOUBLE)/total.n AS DECIMAL(28,18))) AS DOUBLE)
+                      / count(*), 9) AS mean_freq_ratio
+         FROM toks JOIN corpus USING (tok), total
+         GROUP BY doc_id""",
     "t_winnow" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          g AS (SELECT doc_id,

@@ -23,7 +23,10 @@ object IvfIndex {
   def build(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, seed: Long = 42L): (DataFrame, Array[Array[Float]]) = {
     val withFeatures = emb.withColumn("features", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+    // few iterations suffice for cell assignment (cells need to be balanced,
+    // not optimal); deterministic for a fixed seed + input
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("features")
       .fit(withFeatures)
     val assigned = model.transform(withFeatures)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))

@@ -282,6 +282,31 @@ object Core {
              min(col("o_orderdate")).as("first_date"),
              min(date_trunc("month", col("o_orderdate"))).as("month_start"))
     }),
+    "q_math_funcs" -> ((s, dir) => {
+      // exact-result math only (abs/ceil/floor/mod/sign, power on small
+      // ints) — ln/exp/trig are not bit-reproducible across engines
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 100000.0).as("abs_diff"),
+        ceil(col("o_totalprice")).cast("bigint").as("ceil_price"),
+        floor(col("o_totalprice")).cast("bigint").as("floor_price"),
+        (col("o_orderkey") % 7).as("mod7"),
+        signum(col("o_totalprice") - 100000.0).cast("int").as("sign_diff"),
+        pow(lit(2.0), (col("o_orderkey") % 10).cast("double")).cast("bigint").as("pow2"))
+    }),
+    "q_map_funcs" -> ((s, dir) => {
+      // semi-structured → typed map → generator (explode over map entries)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("key", "value")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_entries"),
+          sum(col("value")).cast("bigint").as("sum_value"),
+          max(col("value")).as("max_value"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // events.props is a JSON string column (semi-structured staging records,
       // reference O11: gcs_to_postgres.py:160-161).
@@ -582,6 +607,26 @@ object Core {
                 min(o_orderdate) AS first_date,
                 CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS month_start
          FROM orders GROUP BY 1, 2""",
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+                abs(o_totalprice - 100000.0) AS abs_diff,
+                CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+                CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+                o_orderkey % 7 AS mod7,
+                CAST(sign(o_totalprice - 100000.0) AS INTEGER) AS sign_diff,
+                CAST(power(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS BIGINT) AS pow2
+         FROM orders""",
+    "q_map_funcs" ->
+      """WITH kv AS (
+           SELECT event_id,
+                  unnest(json_keys(props)) AS key,
+                  unnest(list_transform(json_keys(props),
+                    k -> CAST(json_extract_string(props, '$.' || k) AS INTEGER))) AS value
+           FROM events)
+         SELECT key, count(*) AS n_entries,
+                CAST(sum(value) AS BIGINT) AS sum_value,
+                max(value) AS max_value
+         FROM kv GROUP BY key""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import java.time.Instant
-
 import org.apache.spark.sql.SparkSession
 
 /** The reference DAG as a driver program (reporting_dag.py:13-183 → plain
@@ -20,9 +18,11 @@ object ReportingPipeline {
 
   /** Glob the entity's staged files under the fixture/extract dir. */
   private def stagedFiles(spark: SparkSession, dir: String, entity: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val glob = new org.apache.hadoop.fs.Path(s"$dir/$entity*.json")
+    // resolve the fs from the path's own scheme — FileSystem.get(conf)
+    // returns the default FS, which silently finds nothing when staging
+    // lives on a different scheme (e.g. local fixtures on an HDFS cluster)
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.globStatus(glob) match {
       case null => Seq.empty
       case st => st.map(_.getPath.toString).toSeq
@@ -43,8 +43,7 @@ object ReportingPipeline {
     * TaskGroups fanning out after ddl, reporting_dag.py:178-180) and run as
     * concurrent jobs on the shared session — Spark's scheduler interleaves
     * their stages across executor slots. */
-  def run(spark: SparkSession, fixtureDir: String,
-          runTs: Instant = Instant.now()): Unit = {
+  def run(spark: SparkSession, fixtureDir: String): Unit = {
     Catalog.ensure(spark)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration

@@ -26,8 +26,11 @@ object RestExtract {
   final case class Api(baseUrl: String, batchSize: Int = 1000,
                        watermarkParam: String = "start_date_gte")
 
+  // one client per JVM (driver or executor) — each HttpClient owns selector
+  // threads and a connection pool; per-request construction churns both
+  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+
   private def get(url: String): String = {
-    val client = HttpClient.newHttpClient()
     val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
     val res = client.send(req, HttpResponse.BodyHandlers.ofString())
     require(res.statusCode() == 200, s"GET $url -> ${res.statusCode()}")
@@ -75,12 +78,18 @@ object RestExtract {
   def extractStageLoad(spark: SparkSession, api: Api, entity: String,
                        stagingBase: String, runTs: String): Unit = {
     val table = Catalog.tableName(entity)
-    val wm = Schemas.watermarkOf(entity)
-      .flatMap(c => Watermark.maxWatermark(spark, table, c))
-      .map(_.toInstant.toString)
-    val fetched = fetch(spark, api, entity, wm)
+    val wmCol = Schemas.watermarkOf(entity)
+    val wm = wmCol.flatMap(c => Watermark.maxWatermark(spark, table, c))
+    val fetched = fetch(spark, api, entity, wm.map(_.toInstant.toString))
     val path = Staging.writeStaged(fetched, stagingBase, entity, runTs)
     val staged = Staging.readStaged(spark, entity, Seq(path), arrayForm = false)
-    Loader.dedupAppend(spark, staged, table, Schemas.pkOf(entity))
+    // the HTTP bound is inclusive (start_date_gte); re-apply the strict >
+    // watermark like the batch path, or boundary rows would duplicate on
+    // entities without a PK (task_instance)
+    val filtered = wmCol match {
+      case Some(c) => Watermark.applyWatermark(staged, c, wm)
+      case None => staged
+    }
+    Loader.dedupAppend(spark, filtered, table, Schemas.pkOf(entity))
   }
 }

@@ -481,9 +481,10 @@ object Core {
                       row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
                       count(*) OVER (PARTITION BY l_returnflag) AS nd
                FROM h),
-         kth AS (SELECT l_returnflag, nd,
-                        ('0x' || substr(h, 1, 12))::BIGINT AS v
-                 FROM r WHERE rn = 256)
+         kth AS (SELECT l_returnflag, max(nd) AS nd,
+                        max(CASE WHEN rn = 256
+                                 THEN ('0x' || substr(h, 1, 12))::BIGINT END) AS v
+                 FROM r GROUP BY l_returnflag)
          SELECT x.l_returnflag,
                 CASE WHEN x.nd < 256 THEN CAST(x.nd AS DOUBLE)
                      ELSE round((255.0 / x.v) * 281474976710656.0, 4) END AS kmv_estimate,

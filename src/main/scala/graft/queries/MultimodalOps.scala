@@ -46,7 +46,7 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     "m_frames" ->
       """SELECT doc_id AS asset_id,
-                CAST((octet_length(encode(text)) + 63) // 64 AS INTEGER) AS n_frames,
+                CAST(greatest(1, (octet_length(encode(text)) + 63) // 64) AS INTEGER) AS n_frames,
                 CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
          FROM documents""",
     "m_asset_meta" ->

@@ -47,13 +47,13 @@ object StreamingOps {
     "s_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          flagged AS (
-           SELECT user_id, us,
+           SELECT user_id, event_id, us,
                   CASE WHEN lag(us) OVER w IS NULL
                         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          sess AS (
            SELECT user_id, us,
-                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged)
          SELECT user_id, make_timestamp(min(us)) AS session_start, count(*) AS n_events

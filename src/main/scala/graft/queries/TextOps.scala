@@ -38,6 +38,9 @@ object TextOps {
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
     }),
     "t_quality" -> ((s, dir) => {
+      // NB each derived column re-splits text (3 splits/row): acceptable
+      // for short docs; TextFunctions.bind can't share across sibling
+      // columns (SimplifyExtractValueOps re-inlines struct fields)
       val toks = TextFunctions.tokens(col("text"))
       docs(s, dir)
         .withColumn("n_tokens", size(toks))

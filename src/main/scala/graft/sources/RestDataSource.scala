@@ -70,16 +70,17 @@ private[sources] class RestScanBuilder(schema: StructType, baseUrl: String,
   private var watermark: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
 
-  /** Accept `start_date > ts` as the source-side watermark; everything else
-    * stays a residual filter for Spark to evaluate. */
+  /** Use `start_date > ts` to narrow the source query — but the HTTP param
+    * is an inclusive `start_date_gte` bound, so the filter is only a
+    * PARTIAL pushdown: it is returned as residual too and Spark re-applies
+    * the strict `>` post-scan (boundary rows the server may return are
+    * filtered exactly). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) = filters.partition {
-      case GreaterThan("start_date", ts: java.sql.Timestamp) =>
-        watermark = Some(ts.toInstant.toString); true
-      case _ => false
+    pushed = filters.collect {
+      case f @ GreaterThan("start_date", ts: java.sql.Timestamp) =>
+        watermark = Some(ts.toInstant.toString); f
     }
-    pushed = accepted
-    residual
+    filters // all filters stay residual — pushdown only narrows
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -40,10 +40,12 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
         val limit = params.getOrElse("limit", "1000").toInt
         val offset = params.getOrElse("offset", "0").toInt
         val wm = params.get("start_date_gte").map(java.time.Instant.parse)
+        // INCLUSIVE >= semantics (the Airflow API contract): boundary rows
+        // are returned; the engine's residual strict > must drop them
         val all = (0 until 25).filter { i =>
           val start = java.time.Instant.parse("2022-03-01T00:00:05Z")
             .plusSeconds(3600L * i)
-          wm.forall(w => start.isAfter(w))
+          wm.forall(w => !start.isBefore(w))
         }
         val page = all.slice(offset, offset + limit).map(runJson)
         val body =
@@ -69,12 +71,14 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select("dag_run_id").distinct().count() == 25)
   }
 
-  test("watermark narrows the extraction server-side (strict >)") {
+  test("watermark narrows the extraction server-side (inclusive raw fetch)") {
     val api = RestExtract.Api(base, batchSize = 10)
-    // watermark at run_19's start: only runs 20..24 remain
+    // watermark at run_19's start: the raw fetch keeps the inclusive
+    // boundary row (server >= semantics) — runs 19..24; the strict > is
+    // applied by extractStageLoad / the DSv2 residual filter
     val wm = java.time.Instant.parse("2022-03-01T00:00:05Z").plusSeconds(3600L * 19)
     val df = RestExtract.fetch(spark, api, "dag_run", Some(wm.toString))
-    assert(df.count() == 5)
+    assert(df.count() == 6)
   }
 
   test("DSv2 connector: watermark filter pushes into the HTTP query") {

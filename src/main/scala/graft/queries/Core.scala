@@ -360,6 +360,27 @@ object Core {
     }),
 
     // --- subqueries --------------------------------------------------------
+    "q_in_subquery" -> ((s, dir) => {
+      // IN-subquery (decorrelates to a left semi join): parts supplied in
+      // any high-value lineitem
+      t(s, dir, "part").createOrReplaceTempView("part_in")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_in")
+      s.sql("""SELECT p_partkey, p_brand FROM part_in
+               WHERE p_partkey IN (SELECT l_partkey FROM lineitem_in
+                                   WHERE l_extendedprice > 80000.0)""")
+    }),
+    "q_array_funcs" -> ((s, dir) => {
+      // array surface on the embedding column: size/slice/sort/contains-ish
+      // (floats pass through untouched → exact in both engines)
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        array_max(col("embedding")).as("max_val"),
+        array_min(col("embedding")).as("min_val"),
+        element_at(array_sort(col("embedding")), 32).as("median_low"))
+    }),
     "q_correlated_subquery" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates to an aggregate
       // + join (RewriteCorrelatedScalarSubquery); deterministic via the
@@ -657,6 +678,19 @@ object Core {
          SELECT e.event_id, e.user_id, c.click_id
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts >= c.ts""",
+    "q_in_subquery" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                             WHERE l_extendedprice > 80000.0)""",
+    "q_array_funcs" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INTEGER) AS dim,
+                embedding[1] AS first_val,
+                embedding[1:4] AS head4,
+                list_max(embedding) AS max_val,
+                list_min(embedding) AS min_val,
+                list_sort(embedding)[32] AS median_low
+         FROM embeddings""",
     "q_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
          WHERE o_totalprice > 1.5 * (

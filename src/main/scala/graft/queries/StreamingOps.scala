@@ -27,6 +27,19 @@ object StreamingOps {
         s, EventsStream.sessionAgg(EventsStream.readEvents(s, dir)),
         "s_sessionize_sink", "complete")
     }),
+    "s_stream_join" -> ((s, dir) => {
+      // stream-stream inner join with event-time range + watermarked state
+      val ev = EventsStream.readEvents(s, dir)
+      val joined = EventsStream.clickErrorJoin(
+        ev.filter(col("event_type") === "click"),
+        EventsStream.readEvents(s, dir).filter(col("event_type") === "error"),
+        windowSec = 600L)
+      EventsStream.runToMemory(s, joined, "s_stream_join_sink", "append")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          countDistinct(col("error_id")).as("n_errors"))
+    }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
       // result must equal plain per-type counts of the batch table.
@@ -58,6 +71,18 @@ object StreamingOps {
            FROM flagged)
          SELECT user_id, make_timestamp(min(us)) AS session_start, count(*) AS n_events
          FROM sess GROUP BY user_id, session_id""",
+    "s_stream_join" ->
+      """WITH pairs AS (
+           SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+           FROM events c JOIN events e
+             ON c.user_id = e.user_id
+            AND c.event_type = 'click' AND e.event_type = 'error'
+            AND epoch_us(e.ts) >= epoch_us(c.ts)
+            AND epoch_us(e.ts) <= epoch_us(c.ts) + 600000000)
+         SELECT user_id, count(*) AS n_pairs,
+                count(DISTINCT click_id) AS n_clicks,
+                count(DISTINCT error_id) AS n_errors
+         FROM pairs GROUP BY user_id""",
     "s_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"""
   )

@@ -52,6 +52,25 @@ object EventsStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-stream inner join: each click joined to the same user's errors
+    * within the following `windowSec` seconds. Both sides carry watermarks
+    * so join state is evicted by event time — the unbounded-input-safe form
+    * of the batch range join. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame, windowSec: Long): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val e = errors
+      .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", "1 hour")
+    c.join(e,
+      col("user_id") === col("e_user_id")
+        && col("error_ts") >= col("click_ts")
+        && col("error_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("error_id"))
+  }
+
   /** Stateful stream dedup on event_id, state bounded by the watermark. */
   def dedupByEventId(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Full pre-round gate: compile, tests, oracle sweeps at all SFs, bench.
+# Usage: tools/round_check.sh [--quick]   (--quick skips sf0.1 + bench)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== compile + tests =="
+sbt -batch test 2>&1 | grep -E "Tests:|FAILED|error\]" | head -5
+
+for sf in sf0.001 sf0.01; do
+  echo "== oracle sweep $sf =="
+  rm -rf "/tmp/rc_$sf"
+  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/$sf /tmp/rc_$sf" 2>&1 | grep "\[verify\]" || true
+  python3 tools/check_oracle.py "/root/testdata/$sf" "/tmp/rc_$sf" | tail -1
+done
+
+if [[ "${1:-}" != "--quick" ]]; then
+  echo "== oracle sweep sf0.1 =="
+  rm -rf /tmp/rc_sf0.1
+  SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/rc_sf0.1" 2>&1 | grep "\[verify\]" || true
+  python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/rc_sf0.1 | tail -1
+  echo "== bench sf0.1 =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+fi
+echo "== round_check done =="

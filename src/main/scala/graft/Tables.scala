@@ -15,6 +15,8 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name),
+      s"unknown table '$name'; expected one of ${names.mkString(", ")}")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanosecond
     // Long (spark.sql.legacy.parquet.nanosAsLong, set in Engine.configure)

@@ -46,8 +46,10 @@ object Similarity {
     * the scan itself is a single projection + TakeOrderedAndProject. */
   def knnBrute(emb: DataFrame, idCol: String, vecCol: String,
                queryId: Long, k: Int): DataFrame = {
-    val query: Seq[Float] = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol)).first().getSeq[Float](0)
+    require(k > 0, s"k must be positive, got $k")
+    val queryRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    require(queryRows.nonEmpty, s"query vector not found: $idCol = $queryId")
+    val query: Seq[Float] = queryRows.head.getSeq[Float](0)
     emb.filter(col(idCol) =!= queryId)
       .select(col(idCol).as("vec_id"),
         cosineToQuery(col(vecCol), query).as("c_raw"))

@@ -25,6 +25,9 @@ object GraftPlanBridge {
     * for deterministic output. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
                  order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(keyCols.nonEmpty, "at least one key column is required")
+    require(order.nonEmpty, "at least one order column is required")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =

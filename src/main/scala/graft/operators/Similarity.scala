@@ -78,13 +78,17 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs within sign blocks: cosine >= threshold.
-    * Per-pair exact cosine is a single expression over the joined rows. */
+    * Two-phase verification: a cheap codegen'd double cosine prefilters
+    * candidates (with a margin far wider than double-vs-decimal divergence,
+    * ~1e-12), then the decimal-exact cosine decides — results are identical
+    * to decimal-only, but the expensive exact path runs only on survivors. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    nBits: Int, minCosine: Double): DataFrame = {
     val blocked = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBlock(col(vecCol), nBits).as("block"))
     blocked.as("a").join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .filter(cosineFast(col("a.v"), col("b.v")) >= minCosine - 1e-9)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         (decDot(col("a.v"), col("b.v"))
           / (sqrt(decDot(col("a.v"), col("a.v")))

@@ -307,6 +307,17 @@ object Core {
           sum(col("value")).cast("bigint").as("sum_value"),
           max(col("value")).as("max_value"))
     }),
+    "q_date_arith" -> ((s, dir) => {
+      // calendar arithmetic: month addition (end-of-month clamping), day
+      // offsets, month boundaries, day-of-week — all calendar-exact ops
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3mo"),
+        date_add(col("o_orderdate"), 45).as("plus45d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // events.props is a JSON string column (semi-structured staging records,
       // reference O11: gcs_to_postgres.py:160-161).
@@ -649,6 +660,14 @@ object Core {
                 CAST(sum(value) AS BIGINT) AS sum_value,
                 max(value) AS max_value
          FROM kv GROUP BY key""",
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+                CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+                CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+                CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+         FROM orders""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -20,9 +18,10 @@ import org.apache.spark.sql.functions.udaf
   */
 class KmvDistinct(k: Int) extends Aggregator[String, Array[String], Double] {
 
+  // hot path: reuse the ThreadLocal digest + table-driven hex from
+  // NativeHashes instead of per-row JCA lookups and Formatter calls
   private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
+    NativeHashes.md5HexOf(s.getBytes("UTF-8"))
 
   override def zero: Array[String] = Array.empty
 
@@ -53,7 +52,9 @@ class KmvDistinct(k: Int) extends Aggregator[String, Array[String], Double] {
     else {
       // first 12 hex digits as an exact 48-bit integer; 2^48 scaling of a
       // double is exact, so both engines compute the identical estimate
-      val v = java.lang.Long.parseLong(buf(k - 1).substring(0, 12), 16)
+      // max(v,1): a k-th hash with 12 leading zero hex digits (adversarial
+      // md5 prefix) must not divide by zero; the oracle guards identically
+      val v = math.max(java.lang.Long.parseLong(buf(k - 1).substring(0, 12), 16), 1L)
       val est = ((k - 1).toDouble / v) * 281474976710656.0
       // half-up at 4 decimals, matching the oracle's round(x, 4) on positives
       math.floor(est * 10000.0 + 0.5) / 10000.0

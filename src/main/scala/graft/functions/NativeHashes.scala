@@ -25,21 +25,24 @@ object NativeHashes {
   }
 
   /** 32-bit SimHash over token occurrences: bit j = sign of Σ±1 where +1
-    * iff hex digit j of md5(token) has its high bit set. */
+    * iff hex digit j of md5(token) has its high bit set. Null elements are
+    * skipped (absent tokens contribute nothing). */
   def simhash32(tokens: ArrayData): Long = {
     val counts = new Array[Int](32)
     val md = md5Local.get()
     var t = 0
     val n = tokens.numElements()
     while (t < n) {
-      md.reset()
-      val digest = md.digest(tokens.getUTF8String(t).getBytes)
-      var j = 0
-      while (j < 32) {
-        val b = digest(j >> 1)
-        val high = if ((j & 1) == 0) (b & 0x80) != 0 else (b & 0x08) != 0
-        counts(j) += (if (high) 1 else -1)
-        j += 1
+      if (!tokens.isNullAt(t)) {
+        md.reset()
+        val digest = md.digest(tokens.getUTF8String(t).getBytes)
+        var j = 0
+        while (j < 32) {
+          val b = digest(j >> 1)
+          val high = if ((j & 1) == 0) (b & 0x80) != 0 else (b & 0x08) != 0
+          counts(j) += (if (high) 1 else -1)
+          j += 1
+        }
       }
       t += 1
     }
@@ -50,6 +53,13 @@ object NativeHashes {
       j += 1
     }
     acc
+  }
+
+  /** md5 as lowercase hex of raw bytes — shared hot-path helper. */
+  def md5HexOf(input: Array[Byte]): String = {
+    val md = md5Local.get()
+    md.reset()
+    toHex(md.digest(input)).toString
   }
 
   private val hexChars = "0123456789abcdef".toCharArray
@@ -67,20 +77,33 @@ object NativeHashes {
 
   /** MinHash signature array: sigs[s] = min over shingles of
     * md5(shingle ":" s) — identical bytes hashed, identical hex strings
-    * out (unsigned byte order == hex lexicographic order). */
+    * out (unsigned byte order == hex lexicographic order). Empty/all-null
+    * shingle input yields an EMPTY array (not fabricated zero digests), so
+    * `filter(size(sigs) > 0)` excludes degenerate docs; shingle bytes are
+    * extracted once, not once per hash index. */
   def minhashSigs(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
+    val bytes = new Array[Array[Byte]](n)
+    var nb = 0
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        bytes(nb) = shingles.getUTF8String(i).getBytes
+        nb += 1
+      }
+      i += 1
+    }
+    if (nb == 0) return new GenericArrayData(Array.empty[AnyRef])
     val mins = Array.ofDim[Byte](numHashes, 16)
     val have = new Array[Boolean](numHashes)
     val md = md5Local.get()
     var s = 0
     while (s < numHashes) {
       val suffix = (":" + s).getBytes("UTF-8")
-      var i = 0
-      while (i < n) {
-        val sh = shingles.getUTF8String(i).getBytes
+      i = 0
+      while (i < nb) {
         md.reset()
-        md.update(sh)
+        md.update(bytes(i))
         md.update(suffix)
         val digest = md.digest()
         if (!have(s) || unsignedLess(digest, mins(s))) {
@@ -93,6 +116,16 @@ object NativeHashes {
     }
     new GenericArrayData(mins.map(toHex(_): AnyRef))
   }
+
+  private[functions] def requireStringArray(fn: String, child: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$fn expects array<string>, got ${other.simpleString}")
+    }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
@@ -109,6 +142,9 @@ object NativeHashes {
 /** simhash32(tokens array<string>) → bigint. */
 case class SimHash32Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    NativeHashes.requireStringArray("graft_simhash32", child)
   override def nullSafeEval(v: Any): Any =
     NativeHashes.simhash32(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -121,6 +157,9 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
 case class MinHashSigsExpr(child: Expression, numHashes: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    NativeHashes.requireStringArray("graft_minhash_sigs", child)
   override def nullSafeEval(v: Any): Any =
     NativeHashes.minhashSigs(v.asInstanceOf[ArrayData], numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -23,9 +23,12 @@ object IvfIndex {
   def build(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, seed: Long = 42L): (DataFrame, Array[Array[Float]]) = {
     val withFeatures = emb.withColumn("features", array_to_vector(col(vecCol)))
-    // few iterations suffice for cell assignment (cells need to be balanced,
-    // not optimal); deterministic for a fixed seed + input
+    // cosine distance so the training metric matches the probe/scoring
+    // metric (Euclidean cells mis-place high-magnitude clusters for cosine
+    // search); few iterations suffice for cell assignment (cells need to be
+    // balanced, not optimal); deterministic for a fixed seed + input
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
+      .setDistanceMeasure("cosine")
       .setFeaturesCol("features")
       .fit(withFeatures)
     val assigned = model.transform(withFeatures)
@@ -43,7 +46,7 @@ object IvfIndex {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
       val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
       val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      dot / (na * nb)
+      dot / math.max(na * nb, 1e-12) // zero-norm guard: never NaN
     }
     val probeCells = centroids.zipWithIndex
       .sortBy { case (c, i) => (-cos(query, c.toSeq), i) }

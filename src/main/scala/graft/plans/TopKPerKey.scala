@@ -55,11 +55,19 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
       implicit val heapOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => ordering.compare(a, b)
+      // NB float keys are grouped by raw bytes (-0.0 vs 0.0 differ) —
+      // normalize float key columns upstream if SQL key equality is needed
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       rows.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[UnsafeRow])
+        // probe with the reused projection row; copy only on first insert
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow]
+            heaps.put(key.copy(), h)
+            h
+        }
         val u = row.asInstanceOf[UnsafeRow]
         if (heap.size < limit) heap.enqueue(u.copy())
         else if (ordering.compare(u, heap.head) < 0) {

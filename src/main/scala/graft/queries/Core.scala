@@ -514,8 +514,8 @@ object Core {
                       count(*) OVER (PARTITION BY l_returnflag) AS nd
                FROM h),
          kth AS (SELECT l_returnflag, max(nd) AS nd,
-                        max(CASE WHEN rn = 256
-                                 THEN ('0x' || substr(h, 1, 12))::BIGINT END) AS v
+                        greatest(1, max(CASE WHEN rn = 256
+                                 THEN ('0x' || substr(h, 1, 12))::BIGINT END)) AS v
                  FROM r GROUP BY l_returnflag)
          SELECT x.l_returnflag,
                 CASE WHEN x.nd < 256 THEN CAST(x.nd AS DOUBLE)

@@ -77,8 +77,11 @@ private[sources] class RestScanBuilder(schema: StructType, baseUrl: String,
     * filtered exactly). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.collect {
+      // value type depends on spark.sql.datetime.java8API.enabled
       case f @ GreaterThan("start_date", ts: java.sql.Timestamp) =>
         watermark = Some(ts.toInstant.toString); f
+      case f @ GreaterThan("start_date", i: java.time.Instant) =>
+        watermark = Some(i.toString); f
     }
     filters // all filters stay residual — pushdown only narrows
   }

@@ -32,10 +32,11 @@ object GraftPlanBridge {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // .quoted: names are literal column names, never nested-field paths
     val sortOrders = order.map { case (name, asc) =>
-      SortOrder(UnresolvedAttribute(name), if (asc) Ascending else Descending)
+      SortOrder(UnresolvedAttribute.quoted(name), if (asc) Ascending else Descending)
     }
-    ofRows(spark, TopKPerKey(keyCols.map(UnresolvedAttribute(_)), sortOrders, k,
+    ofRows(spark, TopKPerKey(keyCols.map(UnresolvedAttribute.quoted), sortOrders, k,
       logicalPlan(df)))
   }
 }

@@ -215,6 +215,15 @@ object Core {
         .withColumn("prev_orderdate", lag(col("o_orderdate"), 1).over(w))
         .select("o_custkey", "o_orderkey", "prev_orderdate")
     }),
+    "q_session_window" -> ((s, dir) => {
+      // session_window as a BATCH aggregation (same operator the streaming
+      // twin uses; gap >= 30 min starts a new session)
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // Gap-based sessionization over the events stream table (30-min gap).
       val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
@@ -588,6 +597,20 @@ object Core {
                 lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey) AS prev_orderdate
          FROM orders""",
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, make_timestamp(min(us)) AS session_start, count(*) AS n_events
+         FROM sess GROUP BY user_id, session_id""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          flagged AS (

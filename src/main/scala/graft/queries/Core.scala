@@ -132,6 +132,17 @@ object Core {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
     }),
+    "q_argmax" -> ((s, dir) => {
+      // deterministic arg-max: max over (value, tiebreak) struct — the
+      // engine-portable form of max_by/arg_max, whose tie behavior is
+      // undefined in both engines
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_orderpriority"),
+          col("m.o_totalprice").as("top_price"),
+          col("m.o_orderkey").as("top_orderkey"))
+    }),
     "q_percentile" -> ((s, dir) => {
       t(s, dir, "orders").groupBy("o_orderpriority").agg(
         round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
@@ -541,6 +552,11 @@ object Core {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "q_argmax" ->
+      """SELECT o_orderpriority,
+                (max(struct_pack(p := o_totalprice, k := o_orderkey))).p AS top_price,
+                (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_orderkey
+         FROM orders GROUP BY o_orderpriority""",
     "q_percentile" ->
       """SELECT o_orderpriority,
                 round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

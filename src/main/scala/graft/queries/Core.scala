@@ -220,6 +220,17 @@ object Core {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(28, 2)))
         .select("o_custkey", "o_orderkey", "running")
     }),
+    "q_window_rankfuncs" -> ((s, dir) => {
+      // ranking-function family: ntile/percent_rank/cume_dist on a total
+      // order (rank arithmetic over identical ints → identical doubles)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    }),
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders")
@@ -608,6 +619,13 @@ object Core {
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running
          FROM orders""",
+    "q_window_rankfuncs" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey)""",
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey,
                 lag(o_orderdate, 1) OVER (PARTITION BY o_custkey

@@ -21,21 +21,31 @@ import graft.Tables
   * independent of partitioning/summation order in BOTH engines; averages are
   * derived as `cast(decimalSum as double) / count` (one IEEE division of
   * identical operands); thresholds compare those deterministic values only.
-  * Output types are aligned (BIGINT counts, INTEGER for year/rank, DECIMAL(28,2)
-  * money sums) so the driver's schema check passes.
+  * Output types are aligned (BIGINT counts, INTEGER for year/rank) so the
+  * driver's schema check passes.
+  *
+  * OUTPUT columns are never DECIMAL: the accumulation is decimal (exactness),
+  * but every final projection casts to DOUBLE. The driver canonicalizes
+  * results through pandas, where a Spark parquet DECIMAL becomes
+  * `Decimal('254462.00')` (trailing zeros at scale) while DuckDB's DECIMAL
+  * becomes `float64` `254462.0` — a guaranteed string mismatch. The
+  * decimal→double cast is exact here (sums stay far below 2^53), and since
+  * both engines cast the *identical* exact decimal, the doubles are
+  * bit-identical.
   */
 object Core {
 
-  /** Exact, order-independent sum of a money-like double column. */
+  /** Exact, order-independent sum of a money-like double column.
+    * Decimal accumulation internally; DOUBLE in the output (see class doc). */
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 2))).cast(DecimalType(28, 2))
+    sum(c.cast(DecimalType(18, 2))).cast("double")
 
   /** Like dsum but scale 4 — for products of two 2-decimal columns (e.g.
     * price*(1-discount)), whose true values are exact at 4 decimals. Casting
     * at scale 2 would tie-break differently across engines (~10% of rows sit
     * on a .xx5 boundary); at scale 4 the cast is exact in both. */
   private def dsum4(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(28, 4))
+    sum(c.cast(DecimalType(18, 4))).cast("double")
 
   /** Deterministic average: exact decimal sum / count, one double division. */
   private def davg(c: Column): Column =
@@ -217,7 +227,7 @@ object Core {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .withColumn("running",
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DecimalType(28, 2)))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
         .select("o_custkey", "o_orderkey", "running")
     }),
     "q_window_rankfuncs" -> ((s, dir) => {
@@ -412,13 +422,17 @@ object Core {
                                    WHERE l_extendedprice > 80000.0)""")
     }),
     "q_array_funcs" -> ((s, dir) => {
-      // array surface on the embedding column: size/slice/sort/contains-ish
-      // (floats pass through untouched → exact in both engines)
+      // array surface on the embedding column: size/slice/sort/element_at
+      // (floats pass through untouched → exact in both engines). Outputs are
+      // SCALAR only: an array-typed result column crashes the driver's pandas
+      // row-sort ("unhashable type: numpy.ndarray"), so slice is exercised
+      // through scalar derivatives.
       t(s, dir, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first_val"),
-        slice(col("embedding"), 1, 4).as("head4"),
+        size(slice(col("embedding"), 1, 4)).as("head4_len"),
+        element_at(slice(col("embedding"), 1, 4), 4).as("head4_last"),
         array_max(col("embedding")).as("max_val"),
         array_min(col("embedding")).as("min_val"),
         element_at(array_sort(col("embedding")), 32).as("median_low"))
@@ -446,18 +460,24 @@ object Core {
     "q_unpivot" -> ((s, dir) => {
       val wide = t(s, dir, "customer").groupBy("c_nationkey").agg(
         dsum(col("c_acctbal")).as("sum_bal"),
-        count(lit(1)).cast(DecimalType(28, 2)).as("n_cust"))
+        count(lit(1)).cast("double").as("n_cust"))
       wide.unpivot(Array(col("c_nationkey")),
         Array(col("sum_bal"), col("n_cust")), "metric", "value")
     }),
     "q_window_range" -> ((s, dir) => {
       // range-frame window: 7-day moving order revenue per day (day number
       // as the numeric range key — identical in both engines)
+      // day_rev stays DECIMAL through the window sum (sliding-frame float
+      // summation is algorithm-dependent per engine); both outputs cast to
+      // DOUBLE only in the final projection
       val daily = t(s, dir, "orders")
         .groupBy(datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).as("day_num"))
-        .agg(dsum(col("o_totalprice")).as("day_rev"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("day_rev_dec"))
       val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
-      daily.withColumn("rev_7d", sum(col("day_rev")).over(w).cast(DecimalType(28, 2)))
+      daily
+        .withColumn("rev_7d", sum(col("day_rev_dec")).over(w).cast("double"))
+        .select(col("day_num"), col("day_rev_dec").cast("double").as("day_rev"),
+          col("rev_7d"))
     }),
     "q_corr_stats" -> ((s, dir) => {
       // Pearson correlation + stddev from exact decimal component sums —
@@ -488,9 +508,9 @@ object Core {
         .groupBy("c_custkey")
         .agg(dsum(col("o_totalprice")).as("big_spend"))
         .select(col("c_custkey"),
-          coalesce(col("big_spend"), lit(0).cast(DecimalType(28, 2))).as("spend_or_zero"),
+          coalesce(col("big_spend"), lit(0.0)).as("spend_or_zero"),
           col("big_spend").isNull.as("no_big_orders"),
-          nullif(col("big_spend"), lit(0).cast(DecimalType(28, 2))).as("spend_or_null"))
+          nullif(col("big_spend"), lit(0.0)).as("spend_or_null"))
     }),
     "q_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -516,9 +536,9 @@ object Core {
                 count(*) AS n_rows FROM orders""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base,
-                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(l_quantity), 6) AS avg_qty,
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(l_extendedprice), 6) AS avg_price,
                 count(*) AS n_rows
@@ -531,7 +551,7 @@ object Core {
       """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
                      WHEN o_totalprice < 150000.0 THEN 'mid' ELSE 'high' END AS bucket,
                 count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY 1""",
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
@@ -555,11 +575,11 @@ object Core {
          FROM kth x""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
@@ -577,12 +597,12 @@ object Core {
          FROM orders GROUP BY o_orderpriority""",
     "q_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey
          GROUP BY c_mktsegment""",
     "q_join_left" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spent
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey, c_name""",
     "q_join_full" ->
@@ -592,7 +612,7 @@ object Core {
            ON c.nk = s.nk""",
     "q_join_multi" ->
       """SELECT r_name, n_name,
-                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                        JOIN customer ON o_custkey = c_custkey
@@ -617,7 +637,7 @@ object Core {
       """SELECT o_custkey, o_orderkey,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
          FROM orders""",
     "q_window_rankfuncs" ->
       """SELECT o_orderkey, o_orderpriority,
@@ -733,7 +753,7 @@ object Core {
     "q_time_bucket" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
                 count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q_range_join" ->
       """SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
@@ -762,7 +782,8 @@ object Core {
       """SELECT vec_id,
                 CAST(len(embedding) AS INTEGER) AS dim,
                 embedding[1] AS first_val,
-                embedding[1:4] AS head4,
+                CAST(len(embedding[1:4]) AS INTEGER) AS head4_len,
+                (embedding[1:4])[4] AS head4_last,
                 list_max(embedding) AS max_val,
                 list_min(embedding) AS min_val,
                 list_sort(embedding)[32] AS median_low
@@ -780,8 +801,8 @@ object Core {
          FROM orders GROUP BY o_orderpriority""",
     "q_unpivot" ->
       """WITH wide AS (SELECT c_nationkey,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal,
-                CAST(count(*) AS DECIMAL(28,2)) AS n_cust
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+                CAST(count(*) AS DOUBLE) AS n_cust
               FROM customer GROUP BY c_nationkey)
          SELECT c_nationkey, 'sum_bal' AS metric, sum_bal AS value FROM wide
          UNION ALL
@@ -789,11 +810,11 @@ object Core {
     "q_window_range" ->
       """WITH daily AS (
            SELECT CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS INTEGER) AS day_num,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS day_rev
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev_dec
            FROM orders GROUP BY 1)
-         SELECT day_num, day_rev,
-                CAST(sum(day_rev) OVER (ORDER BY day_num
-                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS rev_7d
+         SELECT day_num, CAST(day_rev_dec AS DOUBLE) AS day_rev,
+                CAST(sum(day_rev_dec) OVER (ORDER BY day_num
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
          FROM daily""",
     "q_corr_stats" ->
       """WITH comps AS (
@@ -810,11 +831,11 @@ object Core {
          FROM comps""",
     "q_null_funcs" ->
       """SELECT c_custkey,
-                coalesce(big_spend, CAST(0 AS DECIMAL(28,2))) AS spend_or_zero,
+                coalesce(big_spend, 0.0) AS spend_or_zero,
                 big_spend IS NULL AS no_big_orders,
-                nullif(big_spend, CAST(0 AS DECIMAL(28,2))) AS spend_or_null
+                nullif(big_spend, 0.0) AS spend_or_null
          FROM (SELECT c_custkey,
-                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS big_spend
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_spend
                FROM customer LEFT JOIN orders
                  ON c_custkey = o_custkey AND o_totalprice > 250000.0
                GROUP BY c_custkey) t""",

@@ -33,13 +33,15 @@ object EventsStream {
     else raw
   }
 
-  /** Tumbling 1-hour counts + exact decimal sums per event type. */
+  /** Tumbling 1-hour counts + exact decimal sums per event type.
+    * Decimal accumulation, DOUBLE output (see Core's determinism contract:
+    * DECIMAL output columns break the driver's pandas canonicalization). */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(28, 2)).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
 

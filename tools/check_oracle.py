@@ -1,38 +1,62 @@
 #!/usr/bin/env python3
 """Dev-only pre-validation of the driver's DuckDB-oracle compare.
 
-Mimics the driver: for each result parquet written by `graft.Verify` into
-OUT_DIR, run the corresponding SQL from oracle_sql.json in DuckDB over the
-same testdata parquet, sort columns by name, sort rows, and compare values.
+FAITHFUL to the driver's canonicalization (this matters — round 1's replica
+read the Spark result parquet back through DuckDB, which normalized DECIMAL
+to float64 on both sides and hid 11 real hash-fails):
+
+  * Spark side:  pyarrow.parquet -> pandas  (DECIMAL becomes `object` of
+    decimal.Decimal, keeping trailing zeros; arrays become np.ndarray, which
+    CRASHES the row sort exactly like the driver does)
+  * Oracle side: duckdb .df()    -> pandas  (DECIMAL becomes float64)
+  * compare: sort columns by name, sort rows (pandas sort_values over all
+    columns), str() every value, exact match.
 
 Usage: python3 tools/check_oracle.py <sf_dir> <out_dir> [query ...]
 """
-import json, math, sys
+import glob
+import json
+import sys
+
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v)
-    return str(v)
+def canon(df: pd.DataFrame):
+    """Column-sort, row-sort, render rows — the driver's comparison form.
+
+    Rendering goes through pandas' column-wise CSV formatter (NOT per-value
+    str()): this is what makes a duckdb datetime64 DATE ('1995-01-31
+    00:00:00' under str()) compare equal to a pyarrow datetime.date
+    ('1995-01-31') — pandas renders an all-midnight datetime64 column
+    date-only — while still exposing Decimal('254462.00') vs float 254462.0
+    mismatches. Round 1's q_date_arith (driver-green) plus the 11
+    decimal hash-fails pin down exactly this behavior.
+    """
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        # driver-style lexicographic row sort over all columns; raises
+        # TypeError on array-typed (ndarray) cells, same as the driver
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    rows = df.to_csv(index=False, header=False, lineterminator="\n").splitlines()
+    return list(df.columns), rows
 
 
-def frame(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+def spark_frame(out_dir: str, name: str):
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no result parquet under {out_dir}/{name}")
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
+    return canon(df)
+
+
+def oracle_frame(con, sql: str):
+    return canon(con.execute(sql).df())
 
 
 def main():
@@ -40,28 +64,29 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         try:
-            gcols, got = frame(
-                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            ecols, exp = frame(con, sql)
+            gcols, got = spark_frame(out_dir, name)
+            ecols, exp = oracle_frame(con, sql)
         except Exception as e:
-            print(f"FAIL {name}: error {e}")
+            print(f"FAIL {name}: error {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if gcols != ecols:
-            print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
+        if list(gcols) != list(ecols):
+            print(f"FAIL {name}: columns spark={list(gcols)} oracle={list(ecols)}")
             n_fail += 1
         elif got != exp:
-            diff_g = [r for r in got if r not in set(map(tuple, exp))][:3]
-            diff_e = [r for r in exp if r not in set(map(tuple, got))][:3]
-            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            exp_set, got_set = set(exp), set(got)
+            diff_g = [r for r in got if r not in exp_set][:3]
+            diff_e = [r for r in exp if r not in got_set][:3]
+            ncell = sum(1 for a, b in zip(got, exp) if a != b)
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)} "
+                  f"(~{ncell} differing rows)")
             print(f"  spark-only: {diff_g}")
             print(f"  oracle-only: {diff_e}")
             n_fail += 1

@@ -34,17 +34,40 @@ object TextDedup {
 
   /** N-gram Jaccard near-duplicate pairs (threshold as an exact rational
     * predicate `num*inter >= den*union`, so both engines decide ties
-    * identically). Shuffle pattern: explode → join on shingle → count. */
+    * identically).
+    *
+    * Two-phase plan built for 100 TB: candidate generation self-joins only
+    * shingles whose document frequency is <= `maxShingleDf` (the standard
+    * stop-shingle cap — a corpus-common shingle like "in the of" would
+    * otherwise create a quadratic join bucket), then the exact intersection
+    * is recomputed over the FULL shingle sets of the candidate pairs, so
+    * Jaccard scores are unbiased by the cap. A true pair is missed only if
+    * every shingle it shares is corpus-common — such pairs share nothing
+    * distinctive and sit below any useful threshold. The cap bounds every
+    * join bucket to maxShingleDf² candidate rows regardless of corpus size.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    // barrier: the shingle expression feeds three consumers (both join
-    // sides + the size table); one exchange computes it once and
-    // ReuseExchange shares it (see minhashLshPairs)
+                        n: Int, thresholdNum: Int, thresholdDen: Int,
+                        maxShingleDf: Int = 1000): DataFrame = {
+    // barrier: the shingle expression feeds several consumers (size table,
+    // doc-frequency table, both candidate sides, both verify sides); one
+    // exchange computes it once and ReuseExchange shares it
     val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val rareKeys = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxShingleDf).select("sh")
+    val rare = sh.join(rareKeys, "sh")
+    val cand = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verify on candidates only: re-join the full shingle sets of
+    // each side, count matching shingles (composite (doc, shingle) key
+    // keeps the join hash-partitioned, never nested-loop)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter_cnt"))
     inter
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")

@@ -376,16 +376,26 @@ object Core {
     }),
 
     "q_range_join" -> ((s, dir) => {
-      // interval self-join: pairs of events by the same user within 60s —
-      // equi-join on the key carries the shuffle, the range predicate
-      // filters pairs (at scale: bucketize time into the key for a banded
-      // range join; here user cardinality bounds bucket sizes)
+      // BANDED interval self-join: pairs of events by the same user within
+      // 60s. The equi-join key is (user_id, time_bucket) with bucket width
+      // = the 60s window, one side exploded to its bucket ± 1: any pair
+      // within the window differs by at most one bucket, and each
+      // qualifying pair matches on exactly one exploded value (b's exploded
+      // bucket that equals a's) — no dedup needed. This bounds every join
+      // bucket to one user-minute, so a single hot user at 100 TB can no
+      // longer form a quadratic bucket; cost is a 3× replication of one
+      // side, which AQE-splits cleanly.
+      val w = 60L * 1000000L
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      ev.as("a").join(ev.as("b"),
+      val a = ev.withColumn("bucket", expr(s"us div $w"))
+      val b = ev.withColumn("bucket",
+        explode(array(expr(s"us div $w") - 1, expr(s"us div $w"), expr(s"us div $w") + 1)))
+      a.as("a").join(b.as("b"),
           col("a.user_id") === col("b.user_id")
+            && col("a.bucket") === col("b.bucket")
             && col("a.event_id") < col("b.event_id")
-            && abs(col("a.us") - col("b.us")) <= 60L * 1000000L)
+            && abs(col("a.us") - col("b.us")) <= w)
         .select(col("a.user_id").as("user_id"),
           col("a.event_id").as("ev_a"), col("b.event_id").as("ev_b"),
           abs(col("a.us") - col("b.us")).as("gap_us"))

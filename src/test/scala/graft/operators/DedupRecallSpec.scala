@@ -66,6 +66,25 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(joined.filter(col("a.simhash") =!= col("b.simhash")).count() == 0)
   }
 
+  test("stop-shingle doc-frequency cap preserves pairs and exact Jaccard scores") {
+    val (docs, planted) = corpus(nBase = 60, nDup = 20, docLen = 40, mutations = 2)
+    def pairs(cap: Int) =
+      TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 3, 10, maxShingleDf = cap)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cap = 3
+    // the cap must actually bind on this corpus, or the test proves nothing
+    val maxDf = TextDedup.shingleTable(docs, "doc_id", "text", 3)
+      .groupBy("sh").count().agg(max("count")).first().getLong(0)
+    assert(maxDf > cap, s"corpus max shingle df $maxDf does not exceed cap $cap")
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(cap)
+    assert(capped == uncapped,
+      s"capped run changed results: only-capped=${capped -- uncapped} only-uncapped=${uncapped -- capped}")
+    val found = capped.map(p => (p._1, p._2))
+    assert(planted.count(found.contains).toDouble / planted.size >= 0.9)
+  }
+
   test("unrelated random docs produce few false-positive candidates") {
     val (docs, _) = corpus(nBase = 100, nDup = 0, docLen = 40, mutations = 0)
     val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text", 3, 15, 3).count()

@@ -28,7 +28,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop FIRST so no Spark shutdown logging can land after the JSON: the
+    // driver parses the bench from the tail of the captured output, and the
+    // JSON must be the final stdout line this program emits
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

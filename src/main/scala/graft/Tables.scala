@@ -20,13 +20,19 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanosecond
     // Long (spark.sql.legacy.parquet.nanosAsLong, set in Engine.configure)
-    // and we truncate to microsecond TimestampType — the same ns→µs
-    // truncation DuckDB's epoch_us/CAST(ts AS TIMESTAMP) performs, so oracle
-    // comparisons agree (FIXTURES.md, SURVEY.md §7 timestamp-fidelity risk).
+    // and we FLOOR it to microsecond TimestampType — `div` truncates toward
+    // zero, which would disagree with DuckDB's flooring epoch_us by 1µs for
+    // pre-epoch (negative) nanosecond timestamps (FIXTURES.md, SURVEY.md §7
+    // timestamp-fidelity risk).
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", timestamp_micros(nsFloorToMicros))
     else df
   }
+
+  /** Exact integer floor division of a ns Long to µs (no double rounding,
+    * correct for negative values). */
+  private[graft] def nsFloorToMicros: org.apache.spark.sql.Column =
+    expr("(ts - (((ts % 1000) + 1000) % 1000)) div 1000")
 
   /** Register every table as a temp view named after itself. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -49,7 +49,8 @@ case class FloatCosine(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard, identical to Similarity.cosineFast / IvfIndex.knn
+    dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -67,7 +68,8 @@ case class FloatCosine(left: Expression, right: Expression)
         |  double y = (double) $b.getFloat($i);
         |  $dot += x * y; $na += x * x; $nb += y * y;
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |${ev.value} = $dot / java.lang.Math.max(
+        |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb), 1e-12);
       """.stripMargin
     })
 

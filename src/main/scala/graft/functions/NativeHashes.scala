@@ -137,6 +137,85 @@ object NativeHashes {
     }
     false
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken) as one native pass:
+    * positional n-gram bytes (single-space join, nulls skipped — exactly
+    * concat_ws semantics), md5 per gram, sliding window-`w` minima compared
+    * in unsigned digest order (== hex lexicographic order), distinct
+    * preserving first appearance. Byte-identical to TextFunctions.winnow's
+    * interpreted higher-order-function formulation, which spent ~9 s of the
+    * sf0.1 bench in lambda frames; this runs inside whole-stage codegen. */
+  def winnow(tokens: ArrayData, n: Int, w: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    val nGrams = len - n + 1
+    val toks = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5Local.get()
+    val digests = new Array[Array[Byte]](nGrams)
+    i = 0
+    while (i < nGrams) {
+      md.reset()
+      var first = true
+      var k = 0
+      while (k < n) {
+        val tb = toks(i + k)
+        if (tb != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(tb)
+          first = false
+        }
+        k += 1
+      }
+      digests(i) = md.digest()
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[AnyRef]()
+    if (nGrams >= w) {
+      i = 0
+      while (i <= nGrams - w) {
+        var m = i
+        var k = i + 1
+        while (k < i + w) {
+          if (unsignedLess(digests(k), digests(m))) m = k
+          k += 1
+        }
+        out.add(toHex(digests(m)))
+        i += 1
+      }
+    } else {
+      var m = 0
+      i = 1
+      while (i < nGrams) {
+        if (unsignedLess(digests(i), digests(m))) m = i
+        i += 1
+      }
+      out.add(toHex(digests(m)))
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+}
+
+/** Session-local registration of every native text expression. Deployment:
+  * inject the same builders via SparkSessionExtensions (see GraftExtensions
+  * in FloatCosine.scala). */
+object NativeTextFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash32",
+      exprs => SimHash32Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sigs",
+      exprs => MinHashSigsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => WinnowExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+  }
 }
 
 /** simhash32(tokens array<string>) → bigint. */
@@ -149,6 +228,21 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     NativeHashes.simhash32(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeHashes.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** winnow(tokens array<string>, n, w) → array<string> of distinct sliding
+  * window-minimum gram hashes. */
+case class WinnowExpr(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    NativeHashes.requireStringArray("graft_winnow", child)
+  override def nullSafeEval(v: Any): Any =
+    NativeHashes.winnow(v.asInstanceOf[ArrayData], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeHashes.winnow($c, $n, $w)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

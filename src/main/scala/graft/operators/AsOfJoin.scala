@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** NULL-key caveat: rows with NULL key values land in the same window
+    * partition and therefore match each other — unlike SQL join equality,
+    * where NULL = NULL is not true. Filter NULL keys upstream if SQL
+    * semantics are required (current call sites have non-null keys). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == rightTime)
+    require(payloadCols.nonEmpty,
+      s"asofJoin: right side needs at least one payload column beyond " +
+        s"keys ${keyCols.mkString(",")} and time '$rightTime' " +
+        "(struct() of zero columns is an analysis error)")
     val payloadStruct = struct(payloadCols.map(col): _*)
     val rightTagged = right.select(
       keyCols.map(col) ++ Seq(

@@ -35,10 +35,16 @@ object Similarity {
       (acc, v) => (acc + v).cast(dec))
       .cast("double")
 
+  /** Zero-norm guard: a zero vector would make cosine 0/0 = NaN, which
+    * also diverges from the oracle; clamping the denominator (like
+    * IvfIndex.knn) maps it to 0. The same `greatest(..., 1e-12)` appears in
+    * every oracle so non-degenerate results stay bit-identical. */
+  private def safeDenom(d: Column): Column = greatest(d, lit(1e-12))
+
   /** Exact cosine between an embedding column and a fixed query vector. */
   def cosineToQuery(vec: Column, query: Seq[Float]): Column = {
     val q = typedLit(query)
-    decDot(vec, q) / (sqrt(decDot(vec, vec)) * sqrt(decDot(q, q)))
+    decDot(vec, q) / safeDenom(sqrt(decDot(vec, vec)) * sqrt(decDot(q, q)))
   }
 
   /** Exact top-k nearest neighbours of `queryId`'s embedding by cosine.
@@ -91,7 +97,7 @@ object Similarity {
       .filter(cosineFast(col("a.v"), col("b.v")) >= minCosine - 1e-9)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         (decDot(col("a.v"), col("b.v"))
-          / (sqrt(decDot(col("a.v"), col("a.v")))
+          / safeDenom(sqrt(decDot(col("a.v"), col("a.v")))
             * sqrt(decDot(col("b.v"), col("b.v"))))).as("c_raw"))
       .filter(col("c_raw") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("c_raw"), 6).as("cosine"))
@@ -105,6 +111,6 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
     val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
+    dot / safeDenom(sqrt(na) * sqrt(nb))
   }
 }

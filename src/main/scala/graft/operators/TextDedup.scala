@@ -54,21 +54,28 @@ object TextDedup {
     // exchange computes it once and ReuseExchange shares it
     val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rareKeys = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") <= maxShingleDf).select("sh")
-    val rare = sh.join(rareKeys, "sh")
-    val cand = rare.as("a").join(rare.as("b"),
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+    val rare = sh.join(dfreq.filter(col("df_cnt") <= maxShingleDf).select("sh"), "sh")
+    // the rare self-join both generates the candidates AND counts their
+    // rare-shingle intersections (partial aggregation absorbs the pair
+    // stream map-side — no separate dedup pass)
+    val interRare = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // exact verify on candidates only: re-join the full shingle sets of
-    // each side, count matching shingles (composite (doc, shingle) key
-    // keeps the join hash-partitioned, never nested-loop)
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // exact correction: add the capped-out (common) shingles' contribution
+    // for candidate pairs only — the common posting lists are joined
+    // per-candidate on a composite (doc, shingle) key, so the quadratic
+    // common-shingle self-join never happens
+    val common = sh.join(dfreq.filter(col("df_cnt") > maxShingleDf).select("sh"), "sh")
+    val interCommon = interRare.select("doc_a", "doc_b")
+      .join(common.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(common.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter_cnt"))
+      .agg(count(lit(1)).as("inter_common"))
+    val inter = interRare.join(interCommon, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_cnt",
+        col("inter_rare") + coalesce(col("inter_common"), lit(0L)))
     inter
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -78,14 +85,8 @@ object TextDedup {
         round(col("inter_cnt").cast("double") / col("union_cnt"), 6).as("jaccard"))
   }
 
-  private def registerNative(df: DataFrame): Unit = {
-    val reg = df.sparkSession.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_simhash32",
-      exprs => graft.functions.SimHash32Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sigs",
-      exprs => graft.functions.MinHashSigsExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-  }
+  private def registerNative(df: DataFrame): Unit =
+    graft.functions.NativeTextFunctions.register(df.sparkSession)
 
   /** Per-doc MinHash signature array: sigs[s] = lexicographic min of
     * md5(shingle ":" s) over the doc's distinct shingles — a deterministic

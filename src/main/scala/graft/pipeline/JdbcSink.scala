@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** JDBC terminal sink — the reference's real reporting target is a Postgres
+  * database loaded via COPY (gcs_to_postgres.py:178-181); SURVEY.md §2A O15
+  * maps that to `df.write.jdbc` with batched inserts. Mirrors Loader's
+  * managed-table semantics against any JDBC database:
+  *
+  *  - [[dedupAppend]]: insert-if-absent (PK anti join against the target)
+  *  - [[upsert]]: update-on-conflict (absent PKs batch-INSERT, present PKs
+  *    batch-UPDATE)
+  *
+  * Scale posture: the existing-keys read prunes to the PK columns (Spark's
+  * JDBC relation pushes column pruning into the remote SELECT) and can be
+  * range-partitioned via the standard partitionColumn/numPartitions options
+  * in `props`; writes go through executeBatch with `batchSize` rows per
+  * round trip — for Postgres add `reWriteBatchedInserts=true` to collapse a
+  * batch into multi-row INSERTs. Tests run against embedded Derby (the one
+  * JDBC engine bundled with Spark's jars).
+  */
+object JdbcSink {
+
+  /** Append PK-absent rows of `incoming` to JDBC `table`. Empty `pkCols` →
+    * plain bulk append. */
+  def dedupAppend(spark: SparkSession, incoming: DataFrame, url: String,
+                  table: String, pkCols: Seq[String],
+                  props: Properties = new Properties,
+                  batchSize: Int = 10000,
+                  preference: Seq[Column] = Nil): Unit = {
+    val remote = spark.read.jdbc(url, table, props)
+    val fresh =
+      if (pkCols.isEmpty) incoming
+      else Loader.pickPerKey(incoming, pkCols, preference)
+        .join(remote.select(pkCols.map(col): _*), pkCols, "left_anti")
+    writeAppend(coerceToRemote(fresh, remote), url, table, props, batchSize)
+  }
+
+  /** Update-on-conflict: rows whose PK exists in `table` UPDATE it in
+    * batches; absent PKs are bulk-inserted. In-batch duplicates resolve by
+    * `preference` order (first wins), like [[Loader.upsert]]. */
+  def upsert(spark: SparkSession, incoming: DataFrame, url: String,
+             table: String, pkCols: Seq[String],
+             props: Properties = new Properties,
+             batchSize: Int = 10000,
+             preference: Seq[Column] = Nil): Unit = {
+    require(pkCols.nonEmpty, "upsert requires PK columns")
+    val remote = spark.read.jdbc(url, table, props)
+    val inc = coerceToRemote(
+      Loader.pickPerKey(incoming, pkCols, preference), remote)
+    val existing = remote.select(pkCols.map(col): _*)
+    writeAppend(inc.join(existing, pkCols, "left_anti"), url, table, props, batchSize)
+    writeUpdates(inc.join(existing, pkCols, "left_semi"), url, table, pkCols,
+      props, batchSize)
+  }
+
+  /** Project/cast to the remote table's schema (sink-side coercion, like
+    * Loader.coerceToTable) — also drops loader-only columns such as the
+    * staging-file preference. */
+  private def coerceToRemote(df: DataFrame, remote: DataFrame): DataFrame =
+    df.select(remote.schema.map(f => col(f.name).cast(f.dataType)): _*)
+
+  private def writeAppend(df: DataFrame, url: String, table: String,
+                          props: Properties, batchSize: Int): Unit =
+    df.write.mode("append")
+      .option("batchsize", batchSize.toLong)
+      .jdbc(url, table, props)
+
+  /** Distributed batched UPDATE: each partition opens one connection and
+    * flushes `batchSize` statements per round trip — per-partition
+    * imperative JDBC is the one place mapPartitions-style code is the right
+    * tool (no Catalyst expression executes remote DML). */
+  private def writeUpdates(df: DataFrame, url: String, table: String,
+                           pkCols: Seq[String], props: Properties,
+                           batchSize: Int): Unit = {
+    val setCols = df.columns.filterNot(pkCols.contains).toSeq
+    if (setCols.isEmpty) return
+    val sql = s"UPDATE $table SET ${setCols.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")}"
+    val ordered = df.select((setCols ++ pkCols).map(col): _*)
+    val sqlTypes = ordered.schema.fields.map(f => jdbcType(f.dataType))
+    val propsMap = {
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+    ordered.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val p = new Properties()
+        propsMap.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = DriverManager.getConnection(url, p)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < sqlTypes.length) {
+              val v = r.get(i)
+              if (v == null) ps.setNull(i + 1, sqlTypes(i))
+              else ps.setObject(i + 1, v, sqlTypes(i))
+              i += 1
+            }
+            ps.addBatch()
+            n += 1
+            if (n % batchSize == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def jdbcType(dt: DataType): Int = dt match {
+    case StringType => java.sql.Types.VARCHAR
+    case BooleanType => java.sql.Types.BOOLEAN
+    case IntegerType => java.sql.Types.INTEGER
+    case LongType => java.sql.Types.BIGINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType => java.sql.Types.DATE
+    case BinaryType => java.sql.Types.BINARY
+    case d: DecimalType => java.sql.Types.DECIMAL
+    case other =>
+      throw new IllegalArgumentException(s"unsupported JDBC update type $other")
+  }
+}

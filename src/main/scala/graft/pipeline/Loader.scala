@@ -1,8 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, row_number}
 
 /** Insert-if-absent loader — the *intended* semantics of the reference's
   * GCSToPostgres (gcs_to_postgres.py:153-181): project, dedup on PK against
@@ -12,29 +12,101 @@ import org.apache.spark.sql.types.BinaryType
   * distributed left anti join on the PK columns (the one genuine join in the
   * reference's semantics, SURVEY.md §2A O13), and in-batch duplicates are
   * dropped first (the reference misses those entirely).
+  *
+  * In-batch dedup is DETERMINISTIC: the reference COPYs staged files in
+  * sequence, so when one extract batch carries the same PK twice the first
+  * file's row wins. `preference` encodes that order (e.g. the staging file
+  * name); remaining columns complete a total order so ties cannot flake.
   */
 object Loader {
+
+  /** Keep, per PK, the first row in (preference ++ every remaining column)
+    * order — a total order, so the survivor is unique and deterministic. */
+  private[pipeline] def pickPerKey(df: DataFrame, pkCols: Seq[String],
+                                   preference: Seq[Column]): DataFrame = {
+    val others = df.columns.filterNot(pkCols.contains).map(col(_).asc_nulls_last)
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(preference ++ others: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
 
   /** Append `incoming` to `table`, inserting only PK-absent rows.
     * Empty `pkCols` → plain append (task_instance path: PK commented out at
     * rpt.sql:58-62). Single action — no row counting here, so the anti join
     * runs exactly once. */
   def dedupAppend(spark: SparkSession, incoming: DataFrame, table: String,
-                  pkCols: Seq[String]): Unit = {
+                  pkCols: Seq[String], preference: Seq[Column] = Nil): Unit = {
     val deduped =
       if (pkCols.isEmpty) incoming
       else {
         val existing = spark.table(table).select(pkCols.map(col): _*)
         // NB the using-columns join reorders output (keys first); the final
         // coercion below restores table order — insertInto is positional.
-        incoming
-          .dropDuplicates(pkCols)
+        pickPerKey(incoming, pkCols, preference)
           .join(existing, pkCols, "left_anti")
       }
     val toInsert = coerceToTable(spark, deduped, table)
     // Append is job-atomic, comparable to the reference's per-file COPY
     // atomicity (gcs_to_postgres.py:178-181).
     toInsert.write.mode("append").insertInto(table)
+  }
+
+  /** Update-on-conflict MERGE into a managed table: matched PKs take the
+    * incoming payload, absent PKs are inserted — the semantics a
+    * metadata-reporting user needs when a re-extract mutates `state`
+    * (SURVEY.md §7 "Upsert gap"). `preference` orders in-batch duplicates
+    * (first in order wins — pass the extract sequence DESC for last-wins).
+    *
+    * Implementation is copy-on-write: merged = (target anti-join incoming)
+    * ∪ incoming, staged to a scratch table (a plan cannot lazily read the
+    * table it overwrites), then written back. That is the same I/O a
+    * Delta/Iceberg MERGE pays on a table without partition pruning; for
+    * scale, [[upsertPartitioned]] rewrites only the partitions the batch
+    * touches. */
+  def upsert(spark: SparkSession, incoming: DataFrame, table: String,
+             pkCols: Seq[String], preference: Seq[Column] = Nil): Unit = {
+    require(pkCols.nonEmpty, "upsert requires PK columns")
+    val inc = coerceToTable(spark, pickPerKey(incoming, pkCols, preference), table)
+    val kept = spark.table(table)
+      .join(inc.select(pkCols.map(col): _*), pkCols, "left_anti")
+    writeViaStage(spark, coerceToTable(spark, kept, table).unionByName(inc), table) {
+      staged => staged.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Partition-scoped upsert: only partitions present in `incoming` are
+    * rewritten (dynamic partition overwrite) — the 100 TB path, where a
+    * day's re-extract rewrites that day, not the table. `partCols` must be
+    * the table's partition columns. */
+  def upsertPartitioned(spark: SparkSession, incoming: DataFrame, table: String,
+                        pkCols: Seq[String], partCols: Seq[String],
+                        preference: Seq[Column] = Nil): Unit = {
+    require(pkCols.nonEmpty, "upsert requires PK columns")
+    val inc = coerceToTable(spark, pickPerKey(incoming, pkCols, preference), table)
+    val touched = inc.select(partCols.map(col): _*).distinct()
+    val kept = spark.table(table)
+      .join(broadcast(touched), partCols, "left_semi")
+      .join(inc.select(pkCols.map(col): _*), pkCols, "left_anti")
+    writeViaStage(spark, coerceToTable(spark, kept, table).unionByName(inc), table) {
+      staged =>
+        val conf = spark.conf
+        val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try staged.write.mode("overwrite").insertInto(table)
+        finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+  }
+
+  /** Materialize `df` into a scratch table, run `write` on the
+    * materialized copy, drop the scratch — the standard rewrite barrier for
+    * overwriting a table that is also a plan input. */
+  private def writeViaStage(spark: SparkSession, df: DataFrame, table: String)
+                           (write: DataFrame => Unit): Unit = {
+    val stage = table.replace('.', '_') + "_upsert_stage"
+    df.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    try write(spark.table(stage))
+    finally spark.sql(s"DROP TABLE IF EXISTS $stage")
   }
 
   /** Sink-side type coercion, driven by the table schema — the Spark analog

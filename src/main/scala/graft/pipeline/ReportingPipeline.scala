@@ -50,9 +50,9 @@ object ReportingPipeline {
     import scala.concurrent.ExecutionContext.Implicits.global
     val groups = Seq("dag", "dag_run", "task_instance").map { entity =>
       Future {
-        val files = stagedFiles(spark, fixtureDir, filePrefix(entity))
+        val files = stagedFiles(spark, fixtureDir, filePrefix(entity)).sorted
         if (files.nonEmpty) {
-          val staged = Staging.readStaged(spark, entity, files)
+          val staged = Staging.readStaged(spark, entity, files, keepSourceFile = true)
           val table = Catalog.tableName(entity)
           val filtered = Schemas.watermarkOf(entity) match {
             case Some(wmCol) =>
@@ -60,7 +60,10 @@ object ReportingPipeline {
               Watermark.applyWatermark(staged, wmCol, wm)
             case None => staged
           }
-          Loader.dedupAppend(spark, filtered, table, Schemas.pkOf(entity))
+          // first-file-wins on intra-batch PK dups, like the reference's
+          // sequential per-file COPY with insert-if-absent
+          Loader.dedupAppend(spark, filtered, table, Schemas.pkOf(entity),
+            preference = Seq(org.apache.spark.sql.functions.col(Staging.srcFileCol)))
         }
       }
     }

@@ -39,7 +39,10 @@ object RestExtract {
 
   private def pageUrl(api: Api, entity: String, offset: Long,
                       wm: Option[String]): String = {
-    val wmQ = wm.map(w => s"&${api.watermarkParam}=$w").getOrElse("")
+    // URL-encode the watermark: Instant.toString is URL-safe, but an
+    // offset-bearing form ('+02:00') would otherwise decode as a space
+    val wmQ = wm.map(w => s"&${api.watermarkParam}=" +
+      java.net.URLEncoder.encode(w, "UTF-8")).getOrElse("")
     s"${api.baseUrl}/$entity?limit=${api.batchSize}&offset=$offset$wmQ"
   }
 

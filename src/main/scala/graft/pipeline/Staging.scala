@@ -4,7 +4,7 @@ import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 /** Run-partitioned object-store staging (reference O6-O8 sinks, O10-O12
   * scans, O16 paths — SURVEY.md §2A).
@@ -29,17 +29,27 @@ object Staging {
   def stagingPath(base: String, entity: String, runTs: String): String =
     s"$base/airflow/$entity/$runTs"
 
+  /** Column carrying the staged file URI (extract sequence): the reference
+    * COPYs page files in order, so first-file-wins resolves intra-batch PK
+    * duplicates — `Loader.dedupAppend(preference = col(srcFileCol))`. */
+  val srcFileCol = "_src_file"
+
   /** Read staged JSON-array files with the entity schema + strict projection.
     * One whole-file array = one input partition; large pages should be
-    * repartitioned downstream (SURVEY.md §7 risk note). */
+    * repartitioned downstream (SURVEY.md §7 risk note). With
+    * `keepSourceFile`, appends [[srcFileCol]] (the loader's dedup
+    * preference; dropped by sink-side coercion before insert). */
   def readStaged(spark: SparkSession, entity: String, paths: Seq[String],
-                 arrayForm: Boolean = true): DataFrame = {
+                 arrayForm: Boolean = true,
+                 keepSourceFile: Boolean = false): DataFrame = {
     val schema = Schemas.byEntity(entity)
     val df = spark.read
       .schema(schema)
       .option("multiLine", arrayForm)
       .json(paths: _*)
-    df.select(schema.fieldNames.map(col): _*)
+    val projected = df.select(schema.fieldNames.map(col): _*)
+    if (keepSourceFile) projected.withColumn(srcFileCol, input_file_name())
+    else projected
   }
 
   /** Stage a page set. Spark's JSON writer emits JSON-lines (not whole-file

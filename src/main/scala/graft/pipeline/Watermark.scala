@@ -26,7 +26,13 @@ object Watermark {
 
   /** Keep rows strictly above the watermark; no-op when none exists yet.
     * Late rows (at/below the watermark) are dropped — the reference's
-    * implicit late-data policy. */
+    * implicit late-data policy.
+    *
+    * NULL watermark values: a NULL never satisfies `col > ts`, so rows with
+    * a NULL watermark column load exactly once — on the FIRST run (empty
+    * table → no watermark → no filter) — and are excluded from every
+    * incremental run after it. For no-PK entities (task_instance) that is
+    * precisely what prevents their re-append/duplication. */
   def applyWatermark(df: DataFrame, column: String, wm: Option[Timestamp]): DataFrame =
     wm.fold(df)(ts => df.filter(col(column) > lit(ts)))
 }

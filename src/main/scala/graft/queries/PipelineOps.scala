@@ -1,20 +1,38 @@
 package graft.queries
 
+import java.sql.DriverManager
+import java.util.Properties
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.pipeline.{Catalog, Fixtures, ReportingPipeline}
+import graft.pipeline.{Catalog, Fixtures, JdbcSink, Loader, ReportingPipeline, Schemas, Staging}
 
-/** The reference pipeline itself as a declared operator: DDL → staged-JSON
-  * extract → watermark → anti-join dedup load, over the bundled
-  * reference-shaped fixtures, returning the loaded dag_run table. Driver
-  * does a rows-only check (the load is stateful and its input is not one of
-  * the testdata parquet tables, so no DuckDB oracle); invariants are
-  * asserted in PipelineSpec.
+/** The reference pipeline itself as declared operators, each with a REAL
+  * DuckDB oracle: the oracle SQL replays the same staged JSON fixtures
+  * (read_json over the materialized fixture dir — the path is embedded when
+  * Verify dumps oracle_sql.json, after [[Fixtures.dir]] exists on disk), so
+  * the flagship load is hash-checked, not just row-counted.
+  *
+  *  - p_reporting_e2e: DDL → staged extract → watermark → FIRST-file-wins
+  *    dedup-append (the reference's sequential per-file COPY with
+  *    insert-if-absent), run twice to prove idempotence.
+  *  - p_upsert_state: a re-extract arrives where `etl_daily/run_2` has
+  *    completed (state running → success in the later page);
+  *    update-on-conflict applies LAST-file-wins — the SURVEY §7 "Upsert
+  *    gap" closed.
+  *  - p_jdbc_upsert: the same contract against a real JDBC database
+  *    (embedded Derby; production target = the reference's Postgres with
+  *    reWriteBatchedInserts).
   */
 object PipelineOps {
 
   private def fixtureDir: String = Fixtures.dir
+
+  private def dagRunFiles: Seq[String] =
+    Seq(s"$fixtureDir/dagRuns1.json", s"$fixtureDir/dagRuns2.json")
+
+  private val dagRunPk = Schemas.pkOf("dag_run")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_reporting_e2e" -> ((s, _) => {
@@ -25,8 +43,69 @@ object PipelineOps {
       s.table(Catalog.tableName("dag_run"))
         .select("dag_id", "dag_run_id", "execution_date", "state")
         .orderBy(col("dag_id"), col("dag_run_id"))
+    }),
+    "p_upsert_state" -> ((s, _) => {
+      Catalog.drop(s)
+      ReportingPipeline.run(s, fixtureDir)
+      // re-extract the full window; the LATER page carries mutated states —
+      // update-on-conflict, last page wins
+      val reExtract = Staging.readStaged(s, "dag_run", dagRunFiles,
+        keepSourceFile = true)
+      val table = Catalog.tableName("dag_run")
+      Loader.upsert(s, reExtract, table, dagRunPk,
+        preference = Seq(col(Staging.srcFileCol).desc))
+      s.table(table).select("dag_id", "dag_run_id", "state")
+        .orderBy(col("dag_id"), col("dag_run_id"))
+    }),
+    "p_jdbc_upsert" -> ((s, _) => {
+      val url = "jdbc:derby:memory:graft" +
+        java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+      val conn = DriverManager.getConnection(url)
+      try conn.createStatement().execute(
+        """CREATE TABLE dag_run (
+             dag_id VARCHAR(250) NOT NULL, dag_run_id VARCHAR(250) NOT NULL,
+             end_date TIMESTAMP, execution_date TIMESTAMP NOT NULL,
+             external_trigger BOOLEAN, logical_date TIMESTAMP,
+             start_date TIMESTAMP, state VARCHAR(50),
+             PRIMARY KEY (dag_run_id, dag_id))""")
+      finally conn.close()
+      // initial load = first page only; then the full re-extract upserts
+      val page1 = Staging.readStaged(s, "dag_run", dagRunFiles.take(1))
+      JdbcSink.dedupAppend(s, page1, url, "dag_run", dagRunPk)
+      val reExtract = Staging.readStaged(s, "dag_run", dagRunFiles,
+        keepSourceFile = true)
+      JdbcSink.upsert(s, reExtract, url, "dag_run", dagRunPk,
+        preference = Seq(col(Staging.srcFileCol).desc))
+      s.read.jdbc(url, "dag_run", new Properties)
+        .select("dag_id", "dag_run_id", "state")
+        .orderBy(col("dag_id"), col("dag_run_id"))
     })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB replays of the staged-fixture loads. `def`, not `val`: the SQL
+    * embeds the fixture temp dir, which must exist when Verify serializes
+    * oracle_sql.json (it does — queries run first, and Fixtures.dir is
+    * idempotent per JVM). */
+  def oracles: Map[String, String] = {
+    val src = s"read_json('$fixtureDir/dagRuns*.json', format='array', " +
+      "filename=true, columns={dag_id:'VARCHAR', dag_run_id:'VARCHAR', " +
+      "end_date:'VARCHAR', execution_date:'VARCHAR', " +
+      "external_trigger:'BOOLEAN', logical_date:'VARCHAR', " +
+      "start_date:'VARCHAR', state:'VARCHAR'})"
+    def replay(order: String, cols: String) =
+      s"""WITH staged AS (
+            SELECT dag_id, dag_run_id, execution_date, state,
+                   row_number() OVER (PARTITION BY dag_id, dag_run_id
+                                      ORDER BY filename $order) AS rn
+            FROM $src)
+          SELECT $cols FROM staged WHERE rn = 1"""
+    Map(
+      "p_reporting_e2e" -> replay("ASC",
+        """dag_id, dag_run_id,
+           CAST(CAST(execution_date AS TIMESTAMPTZ) AT TIME ZONE 'UTC' AS TIMESTAMP)
+             AS execution_date,
+           state"""),
+      "p_upsert_state" -> replay("DESC", "dag_id, dag_run_id, state"),
+      "p_jdbc_upsert" -> replay("DESC", "dag_id, dag_run_id, state"))
+  }
 }

@@ -90,10 +90,15 @@ object TextOps {
     "t_winnow" -> ((s, dir) => {
       // winnowing fingerprints: 3-gram md5 hashes, window-4 minima.
       // docs shorter than n+w-1 tokens excluded in both engines.
+      // Native codegen'd WinnowExpr — byte-identical to the interpreted
+      // TextFunctions.winnow (asserted in NativeWinnowSpec), ~10× less
+      // per-row overhead.
+      graft.functions.NativeTextFunctions.register(s)
       docs(s, dir)
         .filter(size(TextFunctions.tokens(col("text"))) >= 6)
         .select(col("doc_id"),
-          explode(TextFunctions.winnow(TextFunctions.tokens(col("text")), 3, 4)).as("fp"))
+          explode(call_function("graft_winnow",
+            TextFunctions.tokens(col("text")), lit(3), lit(4))).as("fp"))
     }),
     "t_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(

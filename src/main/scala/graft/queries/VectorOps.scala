@@ -64,9 +64,9 @@ object VectorOps {
     "v_knn_brute" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          ${accumSql("embeddings")}
-         SELECT vec_id, round(dot/(sqrt(norm2)*sqrt(qn.qnorm2)), 6) AS cosine
+         SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
-         ORDER BY dot/(sqrt(norm2)*sqrt(qn.qnorm2)) DESC, vec_id ASC LIMIT 10""",
+         ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
     "v_knn_lsh" ->
       s"""WITH blocked AS (
            SELECT vec_id, embedding,
@@ -76,9 +76,9 @@ object VectorOps {
          q AS (SELECT embedding AS qe, block AS qb FROM blocked WHERE vec_id = 0),
          cands AS (SELECT b.vec_id, b.embedding FROM blocked b, q WHERE b.block = q.qb),
          ${accumSql("cands")}
-         SELECT vec_id, round(dot/(sqrt(norm2)*sqrt(qn.qnorm2)), 6) AS cosine
+         SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
-         ORDER BY dot/(sqrt(norm2)*sqrt(qn.qnorm2)) DESC, vec_id ASC LIMIT 10""",
+         ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
     "v_neardup" ->
       """WITH blocked AS (
            SELECT vec_id, embedding,
@@ -95,7 +95,7 @@ object VectorOps {
                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS nb
                FROM u GROUP BY 1, 2)
          SELECT va AS vec_a, vb AS vec_b,
-                round(dot/(sqrt(na)*sqrt(nb)), 6) AS cosine
-         FROM d WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35"""
+                round(dot/greatest(sqrt(na)*sqrt(nb), 1e-12), 6) AS cosine
+         FROM d WHERE dot/greatest(sqrt(na)*sqrt(nb), 1e-12) >= 0.35"""
   )
 }

@@ -29,7 +29,7 @@ object EventsStream {
     val raw = spark.readStream.schema(physical)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     if (physical("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", timestamp_micros(graft.Tables.nsFloorToMicros))
     else raw
   }
 

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Managed-table MERGE semantics (SURVEY.md §7 "Upsert gap"): matched PKs
+  * take the incoming payload, absent PKs insert, re-applying the same batch
+  * is a no-op; the partition-scoped variant rewrites only touched
+  * partitions. */
+class LoaderUpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def freshTable(partitioned: Boolean): String = {
+    n += 1
+    val t = s"upsert_spec_$n${if (partitioned) "_p" else ""}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    if (partitioned)
+      spark.sql(s"""CREATE TABLE $t (run_id STRING, state STRING, score DOUBLE,
+                    day STRING) USING parquet PARTITIONED BY (day)""")
+    else
+      spark.sql(s"CREATE TABLE $t (run_id STRING, state STRING, score DOUBLE) USING parquet")
+    t
+  }
+
+  test("upsert: update matched, insert absent, idempotent re-apply") {
+    val t = freshTable(partitioned = false)
+    Seq(("r1", "running", 1.0), ("r2", "queued", 2.0))
+      .toDF("run_id", "state", "score")
+      .write.mode("append").insertInto(t)
+    val re = Seq(("r1", "success", 5.0), ("r3", "running", 3.0))
+      .toDF("run_id", "state", "score")
+    Loader.upsert(spark, re, t, Seq("run_id"))
+    Loader.upsert(spark, re, t, Seq("run_id"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("r1", "success", 5.0), ("r2", "queued", 2.0),
+      ("r3", "running", 3.0)))
+  }
+
+  test("upsert resolves in-batch duplicate PKs by preference (last extract wins)") {
+    val t = freshTable(partitioned = false)
+    val batch = Seq(("r1", "old", 1.0, "page1"), ("r1", "new", 2.0, "page2"))
+      .toDF("run_id", "state", "score", "page")
+    Loader.upsert(spark, batch, t, Seq("run_id"),
+      preference = Seq(col("page").desc))
+    assert(spark.table(t).collect().map(_.getString(1)).toSeq == Seq("new"))
+  }
+
+  test("upsertPartitioned rewrites only the partitions the batch touches") {
+    val t = freshTable(partitioned = true)
+    Seq(("r1", "running", 1.0, "d1"), ("r2", "queued", 2.0, "d2"))
+      .toDF("run_id", "state", "score", "day")
+      .write.mode("append").insertInto(t)
+    val d1Files = spark.table(t).filter(col("day") === "d1")
+      .inputFiles.toSet
+    val d2FilesBefore = spark.table(t).filter(col("day") === "d2")
+      .inputFiles.toSet
+    // batch touches only d2: r2 mutates, r3 inserts
+    val re = Seq(("r2", "success", 9.0, "d2"), ("r3", "running", 3.0, "d2"))
+      .toDF("run_id", "state", "score", "day")
+    Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq
+    assert(out == Seq(("r1", "running", "d1"), ("r2", "success", "d2"),
+      ("r3", "running", "d2")))
+    // d1's physical files are untouched; d2's were rewritten
+    assert(spark.table(t).filter(col("day") === "d1").inputFiles.toSet == d1Files)
+    assert(spark.table(t).filter(col("day") === "d2").inputFiles.toSet
+      != d2FilesBefore)
+  }
+}

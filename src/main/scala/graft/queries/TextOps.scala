@@ -78,11 +78,14 @@ object TextOps {
       val toks = docs(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       val corpus = toks.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
-      val total = toks.count() // driver scalar, like a watermark
+      // corpus-total derived FROM the corpus aggregate (broadcast 1-row
+      // frame), not a separate full pass over toks — one less corpus scan
+      val total = corpus.agg(sum("tok_freq").cast("double").as("total_toks"))
       toks.join(corpus, "tok")
+        .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          sum((col("tok_freq").cast("double") / total)
+          sum((col("tok_freq").cast("double") / col("total_toks"))
             .cast(org.apache.spark.sql.types.DecimalType(28, 18))).as("sum_ratio"))
         .select(col("doc_id"), col("n_tokens"),
           round(col("sum_ratio").cast("double") / col("n_tokens"), 9).as("mean_freq_ratio"))

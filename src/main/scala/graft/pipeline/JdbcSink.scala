@@ -53,10 +53,17 @@ object JdbcSink {
     val remote = spark.read.jdbc(url, table, props)
     val inc = coerceToRemote(
       Loader.pickPerKey(incoming, pkCols, preference), remote)
-    val existing = remote.select(pkCols.map(col): _*)
-    writeAppend(inc.join(existing, pkCols, "left_anti"), url, table, props, batchSize)
-    writeUpdates(inc.join(existing, pkCols, "left_semi"), url, table, pkCols,
-      props, batchSize)
+    // Snapshot the existing-PK set BEFORE the insert phase: the JDBC
+    // relation is lazy, so an un-materialized semi join would re-read the
+    // table after the inserts commit and redundantly re-UPDATE every row
+    // just inserted (double write volume; racy under concurrent writers).
+    val existing = remote.select(pkCols.map(col): _*).cache()
+    existing.count()
+    try {
+      writeAppend(inc.join(existing, pkCols, "left_anti"), url, table, props, batchSize)
+      writeUpdates(inc.join(existing, pkCols, "left_semi"), url, table, pkCols,
+        props, batchSize)
+    } finally existing.unpersist()
   }
 
   /** Project/cast to the remote table's schema (sink-side coercion, like
@@ -78,7 +85,12 @@ object JdbcSink {
   private def writeUpdates(df: DataFrame, url: String, table: String,
                            pkCols: Seq[String], props: Properties,
                            batchSize: Int): Unit = {
-    val setCols = df.columns.filterNot(pkCols.contains).toSeq
+    // column names come from remote JDBC metadata (Derby/Oracle report
+    // uppercase), so the PK exclusion must be case-insensitive — otherwise
+    // the UPDATE would redundantly SET the PKs (or fail on engines that
+    // forbid PK updates)
+    val pkLower = pkCols.map(_.toLowerCase)
+    val setCols = df.columns.filterNot(c => pkLower.contains(c.toLowerCase)).toSeq
     if (setCols.isEmpty) return
     val sql = s"UPDATE $table SET ${setCols.map(c => s"$c = ?").mkString(", ")} " +
       s"WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")}"

@@ -75,27 +75,55 @@ object Loader {
     }
   }
 
-  /** Partition-scoped upsert: only partitions present in `incoming` are
-    * rewritten (dynamic partition overwrite) — the 100 TB path, where a
-    * day's re-extract rewrites that day, not the table. `partCols` must be
-    * the table's partition columns. */
+  /** Partition-scoped upsert: only touched partitions are rewritten
+    * (dynamic partition overwrite) — the 100 TB path, where a day's
+    * re-extract rewrites that day, not the table. `partCols` must be the
+    * table's partition columns.
+    *
+    * Touched = partitions the batch writes into PLUS partitions holding a
+    * stale row for an incoming PK: a re-extract may move a PK to a new
+    * partition value, and without rewriting the old partition the stale row
+    * would survive the dynamic overwrite as a silent duplicate. A touched
+    * partition whose every row is superseded and that receives no new rows
+    * stages zero rows — dynamic overwrite cannot delete it, so it is
+    * dropped explicitly (partition lists are metadata-scale, so the
+    * driver-side collect is bounded like a watermark read). */
   def upsertPartitioned(spark: SparkSession, incoming: DataFrame, table: String,
                         pkCols: Seq[String], partCols: Seq[String],
                         preference: Seq[Column] = Nil): Unit = {
     require(pkCols.nonEmpty, "upsert requires PK columns")
     val inc = coerceToTable(spark, pickPerKey(incoming, pkCols, preference), table)
-    val touched = inc.select(partCols.map(col): _*).distinct()
+    val stalePartitions = spark.table(table)
+      .join(inc.select(pkCols.map(col): _*), pkCols, "left_semi")
+      .select(partCols.map(col): _*)
+    val touched = inc.select(partCols.map(col): _*)
+      .union(stalePartitions).distinct().cache()
     val kept = spark.table(table)
       .join(broadcast(touched), partCols, "left_semi")
       .join(inc.select(pkCols.map(col): _*), pkCols, "left_anti")
     writeViaStage(spark, coerceToTable(spark, kept, table).unionByName(inc), table) {
       staged =>
+        // evaluate BEFORE the overwrite: `touched` reads the pre-merge target
+        val emptied = touched
+          .except(staged.select(partCols.map(col): _*).distinct()).collect()
         val conf = spark.conf
         val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try staged.write.mode("overwrite").insertInto(table)
         finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        emptied.foreach { r =>
+          val spec = partCols.zipWithIndex
+            .map { case (c, i) => s"$c = ${sqlLiteral(r.get(i))}" }.mkString(", ")
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+        }
+        touched.unpersist()
     }
+  }
+
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => other.toString
   }
 
   /** Materialize `df` into a scratch table, run `write` on the

@@ -58,27 +58,39 @@ object PipelineOps {
         .orderBy(col("dag_id"), col("dag_run_id"))
     }),
     "p_jdbc_upsert" -> ((s, _) => {
-      val url = "jdbc:derby:memory:graft" +
-        java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
-      val conn = DriverManager.getConnection(url)
-      try conn.createStatement().execute(
-        """CREATE TABLE dag_run (
-             dag_id VARCHAR(250) NOT NULL, dag_run_id VARCHAR(250) NOT NULL,
-             end_date TIMESTAMP, execution_date TIMESTAMP NOT NULL,
-             external_trigger BOOLEAN, logical_date TIMESTAMP,
-             start_date TIMESTAMP, state VARCHAR(50),
-             PRIMARY KEY (dag_run_id, dag_id))""")
-      finally conn.close()
-      // initial load = first page only; then the full re-extract upserts
-      val page1 = Staging.readStaged(s, "dag_run", dagRunFiles.take(1))
-      JdbcSink.dedupAppend(s, page1, url, "dag_run", dagRunPk)
-      val reExtract = Staging.readStaged(s, "dag_run", dagRunFiles,
-        keepSourceFile = true)
-      JdbcSink.upsert(s, reExtract, url, "dag_run", dagRunPk,
-        preference = Seq(col(Staging.srcFileCol).desc))
-      s.read.jdbc(url, "dag_run", new Properties)
-        .select("dag_id", "dag_run_id", "state")
-        .orderBy(col("dag_id"), col("dag_run_id"))
+      val dbName = "graft" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$dbName;create=true"
+      try {
+        val conn = DriverManager.getConnection(url)
+        try conn.createStatement().execute(
+          """CREATE TABLE dag_run (
+               dag_id VARCHAR(250) NOT NULL, dag_run_id VARCHAR(250) NOT NULL,
+               end_date TIMESTAMP, execution_date TIMESTAMP NOT NULL,
+               external_trigger BOOLEAN, logical_date TIMESTAMP,
+               start_date TIMESTAMP, state VARCHAR(50),
+               PRIMARY KEY (dag_run_id, dag_id))""")
+        finally conn.close()
+        // initial load = first page only; then the full re-extract upserts
+        val page1 = Staging.readStaged(s, "dag_run", dagRunFiles.take(1))
+        JdbcSink.dedupAppend(s, page1, url, "dag_run", dagRunPk)
+        val reExtract = Staging.readStaged(s, "dag_run", dagRunFiles,
+          keepSourceFile = true)
+        JdbcSink.upsert(s, reExtract, url, "dag_run", dagRunPk,
+          preference = Seq(col(Staging.srcFileCol).desc))
+        val lazyResult = s.read.jdbc(url, "dag_run", new Properties)
+          .select("dag_id", "dag_run_id", "state")
+          .orderBy(col("dag_id"), col("dag_run_id"))
+        // detach the result from the database (a handful of rows — bounded
+        // like a watermark read) so the db can be dropped before returning;
+        // the driver sorts rows before hashing, so order is immaterial
+        s.createDataFrame(lazyResult.collectAsList(), lazyResult.schema)
+      } finally {
+        // Derby in-memory dbs live until JVM exit unless dropped — repeated
+        // runs in one JVM (Bench n=2, spec suites) would each leak a full
+        // table copy. drop=true "succeeds" by throwing 08006.
+        try DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+        catch { case _: java.sql.SQLNonTransientConnectionException => () }
+      }
     })
   )
 

@@ -112,8 +112,12 @@ object TextOps {
     "d_exact" -> ((s, dir) =>
       TextDedup.exactGroups(docs(s, dir), "doc_id", "text")),
     "d_ngram_jaccard" -> ((s, dir) =>
-      // threshold 3/10 = Jaccard >= 0.3 over distinct word 3-grams
-      TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 3, 10)),
+      // threshold 3/10 = Jaccard >= 0.3 over distinct word 3-grams; the
+      // stop-shingle cap (df <= 1000) is mirrored in the oracle's candidate
+      // generation so engine and oracle agree at ANY scale factor, not just
+      // ones where no shingle exceeds the cap
+      TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 3, 10,
+        maxShingleDf = 1000)),
     "d_minhash_lsh" -> ((s, dir) =>
       // 15 hashes, 5 bands × 3 rows — candidates from band collisions
       TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 15, 3)),
@@ -198,10 +202,22 @@ object TextOps {
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
     "d_ngram_jaccard" ->
+      // mirrors the engine's two-phase plan exactly: candidates must share
+      // >= 1 RARE shingle (doc-frequency <= 1000, the stop-shingle cap);
+      // the intersection is then exact over the FULL shingle sets, so the
+      // Jaccard value is unbiased by the cap
       s"""WITH $shingleSql,
+         dfreq AS (SELECT sh, count(*) AS df_cnt FROM sh GROUP BY 1),
+         rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq USING (sh)
+                  WHERE df_cnt <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
-               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         p AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
+               FROM cand
+               JOIN sh a ON a.doc_id = cand.doc_a
+               JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+               GROUP BY 1, 2)
          SELECT doc_a, doc_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
                 round(CAST(inter_cnt AS DOUBLE)/(sa.n + sb.n - inter_cnt), 6) AS jaccard
          FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id

@@ -72,4 +72,37 @@ class LoaderUpsertSpec extends AnyFunSuite {
     assert(spark.table(t).filter(col("day") === "d2").inputFiles.toSet
       != d2FilesBefore)
   }
+
+  test("upsertPartitioned removes the stale row when a PK moves partitions") {
+    val t = freshTable(partitioned = true)
+    Seq(("r1", "running", 1.0, "d1"), ("r2", "queued", 2.0, "d2"))
+      .toDF("run_id", "state", "score", "day")
+      .write.mode("append").insertInto(t)
+    // re-extract moves r1 from d1 to d3: the old d1 row must not survive
+    val re = Seq(("r1", "success", 9.0, "d3"))
+      .toDF("run_id", "state", "score", "day")
+    Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq
+    assert(out == Seq(("r1", "success", "d3"), ("r2", "queued", "d2")))
+  }
+
+  test("upsertPartitioned drops a partition fully superseded with no new rows") {
+    val t = freshTable(partitioned = true)
+    Seq(("r1", "running", 1.0, "d1"), ("r1b", "running", 1.5, "d1"),
+        ("r2", "queued", 2.0, "d2"))
+      .toDF("run_id", "state", "score", "day")
+      .write.mode("append").insertInto(t)
+    // every d1 row moves to d2 → d1 stages zero rows and must be dropped,
+    // not left holding the stale copies
+    val re = Seq(("r1", "success", 9.0, "d2"), ("r1b", "success", 9.5, "d2"))
+      .toDF("run_id", "state", "score", "day")
+    Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq
+    assert(out == Seq(("r1", "success", "d2"), ("r1b", "success", "d2"),
+      ("r2", "queued", "d2")))
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).toSet
+      == Set("day=d2"))
+  }
 }

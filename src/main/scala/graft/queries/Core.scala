@@ -118,11 +118,19 @@ object Core {
         countDistinct(col("l_partkey")).as("exact_distinct"))
     }),
     "q_approx_distinct" -> ((s, dir) => {
-      // HLL sketch (engine-specific bits → rows-only check; ±5% accuracy
-      // asserted in CoreSpec against the exact count)
+      // HLL sketch. The raw estimate is engine-specific bits, so the
+      // oracle-checkable contract is the accuracy bound itself: the output
+      // carries the exact count plus a flag that the HLL estimate (default
+      // rsd 5%) landed within ±10%; the oracle asserts the flag is TRUE.
+      // If the sketch ever drifts out of bound the hash check fails — the
+      // bound is proven per run, not trusted. (CoreSpec asserts the tighter
+      // ±5% at test SFs.)
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
     "q_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -566,6 +574,13 @@ object Core {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
                 count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_approx_distinct" ->
+      // the engine emits TRUE iff its HLL estimate is within ±10% of exact;
+      // the oracle demands TRUE, turning the sketch's error bound into a
+      // hash-checked per-run assertion
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+                TRUE AS approx_within_10pct
          FROM lineitem GROUP BY l_returnflag""",
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h

@@ -7,10 +7,14 @@ import graft.Tables
 import graft.multimodal.Multimodal
 
 /** Multimodal-column surface: binary payload + typed metadata, and the
-  * per-partition decode path. `m_asset_meta` is oracle-checked (deterministic
-  * metadata); `m_decode` exercises the mapPartitions codec plumbing and is
-  * covered by the driver's rows-only check + ScalaTest (the stub checksum is
-  * not SQL-expressible).
+  * per-partition decode path. ALL queries are oracle-checked: the stub
+  * codec's byte arithmetic (mod-fold checksum, bucketed histogram
+  * embedding) is deterministic and — because the document corpus is
+  * printable ASCII, so UTF-8 payload bytes equal code points — exactly
+  * reproducible in DuckDB via list_reduce/list_transform lambdas. A real
+  * codec would drop m_decode/m_embed_knn back to rows-only checks; the
+  * pipeline shape under test (binary columns, per-partition decode, fan-out,
+  * embedding → kNN) is unchanged either way.
   */
 object MultimodalOps {
 
@@ -44,6 +48,50 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m_decode" ->
+      // replays decodeStub's byte fold: acc = (acc*31 + byte) % 1000003,
+      // seeded 0 — list_reduce's first-element seed is identical because
+      // (0*31 + b0) % 1000003 = b0 for any ASCII byte
+      """SELECT doc_id AS asset_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+                CAST(1 + length(text) // 1024 AS INTEGER) AS n_frames,
+                CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE list_reduce(
+                                 list_transform(range(1, length(text) + 1), i -> unicode(text[i])),
+                                 (a, b) -> (a * 31 + b) % 1000003) END AS DOUBLE)
+                  / 1000003.0 AS feature_norm
+         FROM documents""",
+    "m_embed_knn" ->
+      // replays embedStub (byte-histogram mod 16 → double counts → /norm →
+      // float32) then the decimal-exact kNN of v_knn_brute; the float32
+      // rounding (CAST AS REAL) and sequential norm sum make the embedding
+      // bit-identical to the engine's, so cosines and top-k order agree
+      """WITH codes AS (
+           SELECT doc_id AS vec_id,
+                  list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS cs
+           FROM documents),
+         hist AS (
+           SELECT vec_id,
+                  list_transform(range(0, 16), b ->
+                    CAST(len(list_filter(cs, c -> c % 16 = b)) AS DOUBLE)) AS h
+           FROM codes),
+         emb AS (
+           SELECT vec_id,
+                  list_transform(h, x -> CAST(x / greatest(
+                    sqrt(list_reduce(list_transform(h, v -> v * v), (a, b) -> a + b)),
+                    1e-12) AS REAL)) AS embedding
+           FROM hist),
+         q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0),
+         u AS (SELECT vec_id, unnest(embedding) AS x, unnest(q.qe) AS y FROM emb, q),
+         d AS (SELECT vec_id,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS norm2
+               FROM u GROUP BY 1),
+         qn AS (SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qnorm2
+                FROM (SELECT unnest(qe) AS x FROM q))
+         SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
+         FROM d, qn WHERE vec_id <> 0
+         ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
     "m_frames" ->
       """SELECT doc_id AS asset_id,
                 CAST(greatest(1, (octet_length(encode(text)) + 63) // 64) AS INTEGER) AS n_frames,

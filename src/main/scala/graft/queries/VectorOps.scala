@@ -26,9 +26,10 @@ object VectorOps {
     "v_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", nBits = 8, minCosine = 0.35)),
     "v_knn_native" -> ((s, dir) => {
-      // throughput path: the codegen'd FloatCosine expression (plain double
-      // accumulation — no DuckDB oracle, rows-only check; exactness path is
-      // v_knn_brute). Same top-k shape, fused scoring loop.
+      // throughput path: the codegen'd FloatCosine expression. Plain double
+      // accumulation, but the loop order is fixed (index order), so the
+      // oracle replays the identical IEEE sequence via list_reduce and the
+      // result is still bit-checked. Same top-k shape, fused scoring loop.
       FloatCosine.register(s)
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
@@ -61,6 +62,25 @@ object VectorOps {
               FROM (SELECT unnest(qe) AS x FROM q))"""
 
   val oracles: Map[String, String] = Map(
+    "v_knn_native" ->
+      // FloatCosine accumulates dot/norms left-to-right in index order;
+      // list_reduce replays the same IEEE addition sequence (its
+      // first-element seed equals the 0.0 seed exactly: 0.0 + x = x), so
+      // the doubles — and therefore the rounded cosines and the top-k
+      // boundary — are bit-identical without decimal accumulation
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         d AS (
+           SELECT vec_id,
+                  list_reduce(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+                  list_reduce(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b) AS na,
+                  list_reduce(list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (a, b) -> a + b) AS nb
+           FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, round(dot / greatest(sqrt(na) * sqrt(nb), 1e-12), 6) AS cosine
+         FROM d
+         ORDER BY dot / greatest(sqrt(na) * sqrt(nb), 1e-12) DESC, vec_id ASC LIMIT 10""",
     "v_knn_brute" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          ${accumSql("embeddings")}

@@ -95,16 +95,30 @@ object EventsStream {
 
   /** Drain a (bounded) streaming DataFrame through a memory sink and return
     * the sink contents as a batch DataFrame. Deterministic for file sources:
-    * processAllAvailable blocks until every input file is consumed. */
+    * processAllAvailable blocks until every input file is consumed.
+    *
+    * State partition count is scoped down for the drain: a streaming query
+    * instantiates one state store per shuffle partition and commits every
+    * one of them per micro-batch, so per-batch overhead scales with the
+    * session's shuffle parallelism (32 here) rather than the data. 8 keeps
+    * the drain parallel without paying 32 state commits for a bounded
+    * replay; a production deployment sizes this to its key cardinality via
+    * the session conf instead (state partitioning is fixed at the first
+    * checkpoint, so it is a per-query deployment choice either way). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-                  mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+                  mode: String, statePartitions: Int = 8): DataFrame = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

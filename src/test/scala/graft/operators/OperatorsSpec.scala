@@ -56,14 +56,22 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(sh("simhash") =!= shifted("simhash")).count() == 0)
   }
 
-  test("approx_count_distinct lands within 5% of exact") {
-    val rows = graft.queries.Core.defs("q_approx_distinct")(spark, dir).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
-      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
+  test("approx_count_distinct lands within 5% of exact; declared flag is within-10pct") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    // tighter 5% assertion on the raw estimate (the declared query only
+    // exposes the oracle-checked 10% flag)
+    val raw = graft.Tables.load(spark, dir, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact")).collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact")).toDouble
       assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
     }
+    val declared = graft.queries.Core.defs("q_approx_distinct")(spark, dir).collect()
+    assert(declared.nonEmpty)
+    assert(declared.forall(r => r.getBoolean(r.fieldIndex("approx_within_10pct"))))
   }
 
   test("knnBrute: cosine bounds, k rows, self excluded, descending order") {

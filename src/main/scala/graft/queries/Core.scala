@@ -168,8 +168,52 @@ object Core {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
         count(lit(1)).as("n_orders"))
     }),
+    "q_approx_percentile" -> ((s, dir) => {
+      // approx_percentile's t-digest-style value is engine-specific, so —
+      // like q_approx_distinct — the declared contract is the error bound:
+      // the sketch's p50 must land within ±5% of the exact continuous
+      // median, hash-checked per run (the oracle demands TRUE).
+      t(s, dir, "orders").groupBy("o_orderpriority").agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), round(col("p50"), 4).as("p50"),
+          col("n_orders"),
+          (abs(col("ap50") - col("p50")) <= col("p50") * 0.05)
+            .as("approx_within_5pct"))
+    }),
+    "q_reagg" -> ((s, dir) => {
+      // partial-aggregate reuse: the daily rollup is computed FROM the
+      // hourly pre-aggregate, never rescanning raw events — the
+      // materialized-rollup maintenance pattern (at 100 TB the hourly table
+      // is orders of magnitude smaller than the event stream). Decimal
+      // partials are exact and associative, so reaggregation is lossless:
+      // the oracle computes the daily answer directly from raw events and
+      // the hashes must match.
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
+      hourly
+        .groupBy(date_trunc("day", col("hour_ts")).as("day_ts"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_dec")).cast("double").as("sum_value"))
+    }),
 
     // --- joins -------------------------------------------------------------
+    "q_bloom_prune" -> ((s, dir) => {
+      // runtime-filter join (operators.BloomPrune): a bloom sketch of the
+      // high-value order keys prunes the lineitem side BEFORE its shuffle;
+      // the exact semi join afterwards clears false positives, so the
+      // result — and hash — equals the naive semi join the oracle runs.
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+        .select("o_orderkey")
+      graft.operators.BloomPrune.prunedSemiJoin(
+          t(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
     "q_join_inner" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -620,6 +664,22 @@ object Core {
                 round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
                 count(*) AS n_orders
          FROM orders GROUP BY o_orderpriority""",
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                count(*) AS n_orders, TRUE AS approx_within_5pct
+         FROM orders GROUP BY o_orderpriority""",
+    "q_reagg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 150000.0)
+         GROUP BY l_returnflag""",
     "q_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

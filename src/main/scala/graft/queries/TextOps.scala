@@ -109,6 +109,33 @@ object TextOps {
         TextFunctions.fingerprint(col("text")).as("fp"),
         substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp_prefix"))
     }),
+    "t_sample_split" -> ((s, dir) => {
+      // deterministic train/val/test split (~90/5/5) on a hash of the
+      // stable id: reproducible across runs and engines, and a doc's split
+      // never changes as the corpus grows — the property leakage-free LLM
+      // data splits need. Lexicographic md5-prefix thresholds avoid
+      // hex→int conversion differences between engines.
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      docs(s, dir).select(col("doc_id"),
+        when(h < "e6", "train").when(h < "f3", "val").otherwise("test").as("split"))
+    }),
+    "t_pack" -> ((s, dir) => {
+      // token-budget sequence packing (chunked formulation): docs pack in
+      // stable doc_id order into 2048-token bins via a running token count;
+      // bin = tokens-before div 2048. Packing runs per shard (doc_id mod 8)
+      // so no global sort exists — shards pack independently across
+      // executors, which is how a 100 TB corpus packs in practice.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+        .withColumn("tokens_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("tokens_before"), expr("tokens_before div 2048").as("bin_id"))
+    }),
     "d_exact" -> ((s, dir) =>
       TextDedup.exactGroups(docs(s, dir), "doc_id", "text")),
     "d_ngram_jaccard" -> ((s, dir) =>
@@ -198,6 +225,25 @@ object TextOps {
       """SELECT doc_id, md5(trim(lower(text))) AS fp,
                 substr(md5(trim(lower(text))), 1, 8) AS fp_prefix
          FROM documents""",
+    "t_sample_split" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "t_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+                    FROM documents),
+         w AS (SELECT doc_id, shard, n_tokens,
+                      CAST(COALESCE(sum(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tokens_before
+               FROM t)
+         SELECT doc_id, shard, n_tokens, tokens_before,
+                tokens_before // 2048 AS bin_id
+         FROM w""",
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",

@@ -22,6 +22,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(3, 0, 1))
   }
 
+  test("bloom-pruned semi join equals the plain semi join, even FP-heavy") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val keys = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0).select("o_orderkey")
+    val plain = li.join(keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    // 256 bits for thousands of keys → bloom saturates with false
+    // positives; the exact verify join must still clear every one
+    val pruned = BloomPrune.prunedSemiJoin(li, keys, "l_orderkey", "o_orderkey",
+      expectedItems = 16L, numBits = 256L)
+    assert(pruned.count() == plain.count())
+    assert(pruned.select("l_orderkey", "l_linenumber")
+      .except(plain.select("l_orderkey", "l_linenumber")).count() == 0)
+    // and a sane sketch actually prunes: the might-contain prefilter alone
+    // passes fewer rows than the full table (sketch selectivity is real)
+    val bloom = BloomPrune.buildBloom(keys, "o_orderkey", 100000L, 1L << 20)
+    val prefiltered = li.filter(
+      BloomPrune.mightContain(li, bloom, col("l_orderkey"))).count()
+    assert(prefiltered < li.count())
+    assert(prefiltered >= plain.count())
+  }
+
   test("exact dedup groups partition the corpus") {
     val groups = TextDedup.exactGroups(docs, "doc_id", "text")
     val total = groups.agg(sum("n_copies")).first().getLong(0)

@@ -22,6 +22,11 @@ object StreamingOps {
         "s_hourly_sink", "complete")
       out.select("hour_ts", "event_type", "n_events", "sum_value")
     }),
+    "s_sliding" -> ((s, dir) => {
+      EventsStream.runToMemory(
+        s, EventsStream.slidingAgg(EventsStream.readEvents(s, dir)),
+        "s_sliding_sink", "complete")
+    }),
     "s_sessionize" -> ((s, dir) => {
       EventsStream.runToMemory(
         s, EventsStream.sessionAgg(EventsStream.readEvents(s, dir)),
@@ -57,6 +62,20 @@ object StreamingOps {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "s_sliding" ->
+      // each event belongs to the 4 sliding windows whose 15-min-aligned
+      // start s satisfies s <= ts < s+1h; both engines' window grids are
+      // :00/:15/:30/:45-aligned (epoch and 2000-01-01 origins coincide for
+      // divisors of an hour), so the starts — and sums — match exactly
+      """WITH g AS (SELECT unnest(generate_series(0, 3)) AS k),
+         w AS (SELECT e.event_type, e.value,
+                      time_bucket(INTERVAL '15 minutes', e.ts)
+                        - k * INTERVAL '15 minutes' AS wstart
+               FROM events e, g)
+         SELECT CAST(wstart AS TIMESTAMP) AS window_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2""",
     "s_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          flagged AS (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -29,6 +29,23 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "zh" -> Seq("de0", "shi4", "le0", "zai4", "wo3"))
 
+  /** One marker-hit count column per language (n_en, n_es, ...). */
+  private def withMarkerCounts(df: DataFrame): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    langMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+      acc.withColumn(s"n_$lang", TextFunctions.markerCount(toks, markers))
+    }
+  }
+
+  /** Majority-marker language vote over the n_* count columns — shared by
+    * t_langid and the t_curate filter chain (same CASE chain as the oracle). */
+  private def predLang: Column =
+    when(col("n_zh") > greatest(col("n_en"), col("n_es"), col("n_fr"), col("n_de")), "zh")
+      .when(col("n_de") > greatest(col("n_en"), col("n_es"), col("n_fr")), "de")
+      .when(col("n_fr") > greatest(col("n_en"), col("n_es")), "fr")
+      .when(col("n_es") > col("n_en"), "es")
+      .otherwise("en")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_tokens" -> ((s, dir) => {
       docs(s, dir).select(
@@ -56,19 +73,26 @@ object TextOps {
             .as("quality_score"))
     }),
     "t_langid" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val withCounts = langMarkers.foldLeft(docs(s, dir)) { case (df, (lang, markers)) =>
-        df.withColumn(s"n_$lang", TextFunctions.markerCount(toks, markers))
-      }
-      withCounts.select(
+      withMarkerCounts(docs(s, dir)).select(
           col("doc_id"), col("lang"),
           col("n_en"), col("n_es"), col("n_fr"), col("n_de"), col("n_zh"),
-          when(col("n_zh") > greatest(col("n_en"), col("n_es"), col("n_fr"), col("n_de")), "zh")
-            .when(col("n_de") > greatest(col("n_en"), col("n_es"), col("n_fr")), "de")
-            .when(col("n_fr") > greatest(col("n_en"), col("n_es")), "fr")
-            .when(col("n_es") > col("n_en"), "es")
-            .otherwise("en").as("pred_lang"))
+          predLang.as("pred_lang"))
         .withColumn("is_match", col("pred_lang") === col("lang"))
+    }),
+    "t_curate" -> ((s, dir) => {
+      // flagship curation composition — the full "raw corpus → training
+      // corpus" chain as ONE declarative plan: canonical copy of each
+      // exact-duplicate group, predicted-English only, token-count window.
+      // Every stage is a relational op Catalyst fuses/prunes; nothing
+      // collects, so the same plan curates at any corpus size.
+      val d = docs(s, dir)
+      val canonical = TextDedup.exactGroups(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      withMarkerCounts(d.join(canonical, Seq("doc_id"), "left_semi"))
+        .withColumn("pred_lang", predLang)
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+        .filter(col("pred_lang") === "en" && col("n_tokens").between(20, 80))
+        .select("doc_id", "lang", "n_tokens")
     }),
     "t_freq_quality" -> ((s, dir) => {
       // corpus-statistics quality signal: mean corpus-frequency ratio of a
@@ -225,6 +249,28 @@ object TextOps {
       """SELECT doc_id, md5(trim(lower(text))) AS fp,
                 substr(md5(trim(lower(text))), 1, 8) AS fp_prefix
          FROM documents""",
+    "t_curate" ->
+      // replays the curation chain: exact-dedup canonical survivors →
+      // marker-vote language prediction (same CASE chain as t_langid) →
+      // predicted-en + token-window filters
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         t AS (SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS toks
+               FROM documents d JOIN keep USING (doc_id)),
+         c AS (SELECT doc_id, lang,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS n_en,
+                 len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) AS n_es,
+                 len(list_filter(toks, x -> x IN ('le','les','des','et','est'))) AS n_fr,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS n_de,
+                 len(list_filter(toks, x -> x IN ('de0','shi4','le0','zai4','wo3'))) AS n_zh
+               FROM t)
+         SELECT doc_id, lang, n_tokens FROM c
+         WHERE (CASE WHEN n_zh > greatest(n_en, n_es, n_fr, n_de) THEN 'zh'
+                     WHEN n_de > greatest(n_en, n_es, n_fr) THEN 'de'
+                     WHEN n_fr > greatest(n_en, n_es) THEN 'fr'
+                     WHEN n_es > n_en THEN 'es'
+                     ELSE 'en' END) = 'en'
+           AND n_tokens BETWEEN 20 AND 80""",
     "t_sample_split" ->
       """SELECT doc_id,
                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'

@@ -45,6 +45,18 @@ object EventsStream {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
+    * overlapping windows (Spark's epoch-aligned window grid). Decimal
+    * accumulation, DOUBLE output, like hourlyAgg. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization via session_window (30-minute gap). */
   def sessionAgg(events: DataFrame): DataFrame =
     events

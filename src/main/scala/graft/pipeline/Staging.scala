@@ -52,6 +52,43 @@ object Staging {
     else projected
   }
 
+  /** Tolerant staging read — realizes the reference's `max_bad_records`
+    * parameter, which it declares but never reads (gcs_to_postgres.py:103,
+    * a BigQuery-copied dead param; SURVEY.md §2A config surface): up to
+    * `maxBadRecords` malformed records are dropped, one more fails the
+    * load. PERMISSIVE parse routes malformed input to a corrupt-record
+    * column; in array form a malformed FILE is one bad record (the COPY
+    * unit), in JSON-lines form each bad line counts separately.
+    *
+    * The parsed batch is cached because Spark (correctly) refuses plans
+    * that read only the corrupt column from a fresh scan, and because the
+    * validation count plus the downstream load would otherwise parse the
+    * staged page twice — a staging batch is page-sized, far below executor
+    * storage. */
+  def readStagedTolerant(spark: SparkSession, entity: String, paths: Seq[String],
+                         maxBadRecords: Long, arrayForm: Boolean = true,
+                         keepSourceFile: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = Schemas.byEntity(entity)
+    val corrupt = "_corrupt_record"
+    val df = spark.read
+      .schema(StructType(schema.fields :+ StructField(corrupt, StringType)))
+      .option("multiLine", arrayForm)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(paths: _*)
+      .cache()
+    val bad = df.filter(col(corrupt).isNotNull).count()
+    if (bad > maxBadRecords)
+      throw new IllegalStateException(
+        s"staging read of $entity: $bad malformed records exceed " +
+          s"max_bad_records=$maxBadRecords (paths: ${paths.mkString(", ")})")
+    val projected = df.filter(col(corrupt).isNull)
+      .select(schema.fieldNames.map(col): _*)
+    if (keepSourceFile) projected.withColumn(srcFileCol, input_file_name())
+    else projected
+  }
+
   /** Stage a page set. Spark's JSON writer emits JSON-lines (not whole-file
     * arrays), so re-reads of our own staging pass arrayForm=false; the
     * reference-shaped fixture files use the array form (default). */

@@ -27,6 +27,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.catalog.tableExists("rpt.task_instance"))
   }
 
+  test("tolerant staging read honors max_bad_records (gcs_to_postgres.py:103)") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-badrec")
+    val good = Paths.get(Fixtures.dir, "dagRuns1.json")
+    Files.copy(good, tmp.resolve("page1.json"))
+    Files.writeString(tmp.resolve("page2.json"), "{not json at all")
+    val paths = Seq(s"$tmp/page1.json", s"$tmp/page2.json")
+    // one malformed file = one bad record in array form; within budget it
+    // is dropped, past the budget the load fails
+    val ok = Staging.readStagedTolerant(spark, "dag_run", paths, maxBadRecords = 1)
+    assert(ok.count() ==
+      Staging.readStaged(spark, "dag_run", Seq(good.toString)).count())
+    assert(ok.columns.toSeq == Schemas.byEntity("dag_run").fieldNames.toSeq)
+    val e = intercept[IllegalStateException] {
+      Staging.readStagedTolerant(spark, "dag_run", paths, maxBadRecords = 0).count()
+    }
+    assert(e.getMessage.contains("max_bad_records"))
+  }
+
   test("staged JSON-array read applies schema, keeps nulls, parses ISO-8601 offsets") {
     val df = Staging.readStaged(spark, "dag_run",
       Seq(TestSpark.fixture("dagRuns1.json"), TestSpark.fixture("dagRuns2.json")))

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, row_number}
+import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
 
 /** Insert-if-absent loader — the *intended* semantics of the reference's
   * GCSToPostgres (gcs_to_postgres.py:153-181): project, dedup on PK against
@@ -142,5 +142,33 @@ object Loader {
   private def coerceToTable(spark: SparkSession, df: DataFrame, table: String): DataFrame = {
     val target = spark.table(table).schema
     df.select(target.map(f => col(f.name).cast(f.dataType)): _*)
+  }
+
+  /** Schema-evolution conformance for an incoming batch: target columns the
+    * batch lacks are filled with typed NULLs (only legal for nullable
+    * columns — a missing NOT-NULL column still fails, like the reference's
+    * strict `row[field]` KeyError, gcs_to_postgres.py:169-172); extra batch
+    * columns are dropped; everything casts to the DDL type. Use before
+    * [[dedupAppend]]/[[upsert]] when the extractor predates a table's new
+    * column — the standard additive-evolution path. */
+  def conformToTable(spark: SparkSession, df: DataFrame, table: String): DataFrame =
+    conformToSchema(df, spark.table(table).schema)
+
+  /** Schema-level conformance (the table overload reads the catalog schema;
+    * NB Spark parquet tables report every column nullable, so the
+    * non-nullable guard bites on sinks with real constraints — JDBC
+    * remotes, entity StructTypes from [[Schemas]]). */
+  def conformToSchema(df: DataFrame,
+                      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val present = df.columns.map(_.toLowerCase).toSet
+    val missingRequired = target.filter(f =>
+      !present.contains(f.name.toLowerCase) && !f.nullable)
+    require(missingRequired.isEmpty,
+      "batch is missing non-nullable column(s): " +
+        missingRequired.map(_.name).mkString(", "))
+    df.select(target.map { f =>
+      if (present.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 }

@@ -45,6 +45,22 @@ object StreamingOps {
           countDistinct(col("click_id")).as("n_clicks"),
           countDistinct(col("error_id")).as("n_errors"))
     }),
+    "s_enrich" -> ((s, dir) => {
+      // stream-static dimension enrichment: stateless on the stream side
+      // (broadcast dim snapshot per micro-batch); the aggregation runs
+      // batch-side on the drained sink
+      val ev = EventsStream.readEvents(s, dir)
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = EventsStream
+        .enrichWithDim(ev, dim, "user_id", "c_custkey")
+        .select(col("c_mktsegment"), col("event_type"), col("value"))
+      EventsStream.runToMemory(s, joined, "s_enrich_sink", "append")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+    }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
       // result must equal plain per-type counts of the batch table.
@@ -102,6 +118,11 @@ object StreamingOps {
                 count(DISTINCT click_id) AS n_clicks,
                 count(DISTINCT error_id) AS n_errors
          FROM pairs GROUP BY user_id""",
+    "s_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
     "s_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"""
   )

@@ -85,6 +85,15 @@ object EventsStream {
       .select(col("user_id"), col("click_id"), col("error_id"))
   }
 
+  /** Stream-static enrichment: each event picks up its key's dimension
+    * attributes from a batch table. The dim side broadcasts, so the
+    * streaming side carries NO state at all — every micro-batch joins
+    * against the snapshot; the standard dimension-enrichment shape, safe on
+    * an unbounded stream at any scale. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Stateful stream dedup on event_id, state bounded by the watermark. */
   def dedupByEventId(events: DataFrame): DataFrame =
     events

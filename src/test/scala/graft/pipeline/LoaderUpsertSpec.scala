@@ -73,6 +73,29 @@ class LoaderUpsertSpec extends AnyFunSuite {
       != d2FilesBefore)
   }
 
+  test("conformToTable fills missing nullable columns, drops extras, rejects missing required") {
+    val t = freshTable(partitioned = false)
+    // batch predates the table's `score` column and carries a stray column
+    val batch = Seq(("r1", "running", "stray"))
+      .toDF("run_id", "state", "not_in_table")
+    val conformed = Loader.conformToTable(spark, batch, t)
+    assert(conformed.columns.toSeq == Seq("run_id", "state", "score"))
+    Loader.dedupAppend(spark, conformed, t, Seq("run_id"))
+    val r = spark.table(t).first()
+    assert(r.getString(0) == "r1" && r.isNullAt(2))
+    // a non-nullable target column missing from the batch must still fail
+    // (schema-level: Spark parquet tables report all columns nullable, so
+    // the guard matters for sinks with real constraints)
+    import org.apache.spark.sql.types._
+    val strict = StructType(Seq(
+      StructField("run_id", StringType, nullable = false),
+      StructField("state", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      Loader.conformToSchema(Seq("x").toDF("state"), strict)
+    }
+    assert(e.getMessage.contains("run_id"))
+  }
+
   test("upsertPartitioned removes the stale row when a PK moves partitions") {
     val t = freshTable(partitioned = true)
     Seq(("r1", "running", 1.0, "d1"), ("r2", "queued", 2.0, "d2"))

@@ -143,6 +143,18 @@ object TextOps {
       docs(s, dir).select(col("doc_id"),
         when(h < "e6", "train").when(h < "f3", "val").otherwise("test").as("split"))
     }),
+    "t_stratified" -> ((s, dir) => {
+      // stratified deterministic sampling: exactly every 5th doc per
+      // language stratum in stable doc_id order — balanced class subsets
+      // (the eval-set carve-out) with one window shuffle on the stratum
+      // key, no global sort, and bit-reproducible membership.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") - 1) % 5 === 0)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    }),
     "t_pack" -> ((s, dir) => {
       // token-budget sequence packing (chunked formulation): docs pack in
       // stable doc_id order into 2048-token bins via a running token count;
@@ -277,6 +289,12 @@ object TextOps {
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    "t_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
+         FROM (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+               FROM documents)
+         WHERE (rn - 1) % 5 = 0""",
     "t_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
                            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

@@ -59,13 +59,15 @@ object BloomPrune {
 
   /** Semi join of `big` against `keys`, bloom-pruned before the shuffle;
     * result rows are exactly `big semi-join keys` (the exact join clears
-    * false positives). */
+    * false positives). The keys side is renamed onto `bigKey` and joined
+    * by using-column, so same-named key columns (`bigKey == keyCol`) stay
+    * unambiguous. */
   def prunedSemiJoin(big: DataFrame, keys: DataFrame,
                      bigKey: String, keyCol: String,
                      expectedItems: Long = 1000000L,
                      numBits: Long = 8388608L): DataFrame = {
     val bloom = buildBloom(keys, keyCol, expectedItems, numBits)
     big.filter(mightContain(big, bloom, col(bigKey)))
-      .join(keys.select(col(keyCol)), col(bigKey) === col(keyCol), "left_semi")
+      .join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
   }
 }

@@ -103,26 +103,37 @@ object Loader {
       .join(inc.select(pkCols.map(col): _*), pkCols, "left_anti")
     writeViaStage(spark, coerceToTable(spark, kept, table).unionByName(inc), table) {
       staged =>
-        // evaluate BEFORE the overwrite: `touched` reads the pre-merge target
-        val emptied = touched
-          .except(staged.select(partCols.map(col): _*).distinct()).collect()
-        val conf = spark.conf
-        val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try staged.write.mode("overwrite").insertInto(table)
-        finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        emptied.foreach { r =>
-          val spec = partCols.zipWithIndex
-            .map { case (c, i) => s"$c = ${sqlLiteral(r.get(i))}" }.mkString(", ")
-          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
-        }
-        touched.unpersist()
+        try {
+          // evaluate BEFORE the overwrite: `touched` reads the pre-merge target
+          val emptied = touched
+            .except(staged.select(partCols.map(col): _*).distinct()).collect()
+          val conf = spark.conf
+          val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+          conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try staged.write.mode("overwrite").insertInto(table)
+          finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+          emptied.foreach { r =>
+            // a null partition value has no expressible DROP PARTITION spec
+            // (Hive's default-partition sentinel); leave it for a manual
+            // sweep rather than fail a committed merge
+            if ((0 until partCols.length).forall(i => r.get(i) != null)) {
+              val spec = partCols.zipWithIndex
+                .map { case (c, i) => s"$c = ${sqlLiteral(r.get(i))}" }.mkString(", ")
+              spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+            }
+          }
+        } finally touched.unpersist()
     }
   }
 
+  /** Partition-spec literal: strings AND date/time values must be quoted
+    * (an unquoted `day = 2024-01-01` is a ParseException); numerics and
+    * booleans stay bare. */
   private def sqlLiteral(v: Any): String = v match {
-    case null => "NULL"
     case s: String => "'" + s.replace("'", "''") + "'"
+    case d @ (_: java.sql.Date | _: java.sql.Timestamp | _: java.time.LocalDate |
+              _: java.time.LocalDateTime | _: java.time.Instant) =>
+      "'" + d.toString.replace("'", "''") + "'"
     case other => other.toString
   }
 

@@ -60,33 +60,42 @@ object Staging {
     * column; in array form a malformed FILE is one bad record (the COPY
     * unit), in JSON-lines form each bad line counts separately.
     *
-    * The parsed batch is cached because Spark (correctly) refuses plans
-    * that read only the corrupt column from a fresh scan, and because the
-    * validation count plus the downstream load would otherwise parse the
-    * staged page twice — a staging batch is page-sized, far below executor
-    * storage. */
+    * The validation count runs over a scoped cache (Spark correctly
+    * refuses fresh-scan plans that read ONLY the corrupt column), which is
+    * unpersisted before returning; the returned frame is a clean re-read,
+    * so `input_file_name()` still resolves (over a cached scan it blanks)
+    * and nothing stays pinned in executor storage. The page parses twice —
+    * a staging batch is page-sized, so validation-by-reparse is cheap. */
   def readStagedTolerant(spark: SparkSession, entity: String, paths: Seq[String],
                          maxBadRecords: Long, arrayForm: Boolean = true,
                          keepSourceFile: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val schema = Schemas.byEntity(entity)
     val corrupt = "_corrupt_record"
-    val df = spark.read
+    def parsed = spark.read
       .schema(StructType(schema.fields :+ StructField(corrupt, StringType)))
       .option("multiLine", arrayForm)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
       .json(paths: _*)
-      .cache()
-    val bad = df.filter(col(corrupt).isNotNull).count()
+    val validation = parsed.cache()
+    val bad =
+      try validation.filter(col(corrupt).isNotNull).count()
+      finally validation.unpersist()
     if (bad > maxBadRecords)
       throw new IllegalStateException(
         s"staging read of $entity: $bad malformed records exceed " +
           s"max_bad_records=$maxBadRecords (paths: ${paths.mkString(", ")})")
-    val projected = df.filter(col(corrupt).isNull)
-      .select(schema.fieldNames.map(col): _*)
-    if (keepSourceFile) projected.withColumn(srcFileCol, input_file_name())
-    else projected
+    // the returned frame re-reads in DROPMALFORMED mode (the same records
+    // survive as corrupt-IS-NULL, but no plan ever references the corrupt
+    // column — a downstream count() would otherwise prune to corrupt-only
+    // and hit Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction)
+    val clean = spark.read.schema(schema)
+      .option("multiLine", arrayForm)
+      .option("mode", "DROPMALFORMED")
+      .json(paths: _*)
+    if (keepSourceFile) clean.withColumn(srcFileCol, input_file_name())
+    else clean.select(schema.fieldNames.map(col): _*)
   }
 
   /** Stage a page set. Spark's JSON writer emits JSON-lines (not whole-file

@@ -37,14 +37,29 @@ object TextOps {
     }
   }
 
-  /** Majority-marker language vote over the n_* count columns — shared by
-    * t_langid and the t_curate filter chain (same CASE chain as the oracle). */
-  private def predLang: Column =
-    when(col("n_zh") > greatest(col("n_en"), col("n_es"), col("n_fr"), col("n_de")), "zh")
-      .when(col("n_de") > greatest(col("n_en"), col("n_es"), col("n_fr")), "de")
-      .when(col("n_fr") > greatest(col("n_en"), col("n_es")), "fr")
-      .when(col("n_es") > col("n_en"), "es")
+  /** Majority-marker language vote (one CASE chain, same as the oracle),
+    * abstracted over where the per-language counts come from. */
+  private def predLangFrom(n: String => Column): Column =
+    when(n("zh") > greatest(n("en"), n("es"), n("fr"), n("de")), "zh")
+      .when(n("de") > greatest(n("en"), n("es"), n("fr")), "de")
+      .when(n("fr") > greatest(n("en"), n("es")), "fr")
+      .when(n("es") > n("en"), "es")
       .otherwise("en")
+
+  /** Vote over the n_* count columns of [[withMarkerCounts]] (t_langid,
+    * whose contract exposes the individual counts). */
+  private def predLang: Column = predLangFrom(l => col(s"n_$l"))
+
+  /** Vote as ONE let-bound expression: tokenizes once per row and computes
+    * every marker count over the bound array — for consumers that only
+    * need the final vote (t_curate), where per-count columns would each
+    * re-inline their own split(text). */
+  private def predLangOf(text: Column): Column = {
+    val markers = langMarkers.toMap
+    TextFunctions.bind(TextFunctions.tokens(text)) { tk =>
+      predLangFrom(l => TextFunctions.markerCount(tk, markers(l)))
+    }
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_tokens" -> ((s, dir) => {
@@ -88,8 +103,8 @@ object TextOps {
       val d = docs(s, dir)
       val canonical = TextDedup.exactGroups(d, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      withMarkerCounts(d.join(canonical, Seq("doc_id"), "left_semi"))
-        .withColumn("pred_lang", predLang)
+      d.join(canonical, Seq("doc_id"), "left_semi")
+        .withColumn("pred_lang", predLangOf(col("text")))
         .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
         .filter(col("pred_lang") === "en" && col("n_tokens").between(20, 80))
         .select("doc_id", "lang", "n_tokens")

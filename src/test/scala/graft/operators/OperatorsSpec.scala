@@ -35,6 +35,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pruned.count() == plain.count())
     assert(pruned.select("l_orderkey", "l_linenumber")
       .except(plain.select("l_orderkey", "l_linenumber")).count() == 0)
+    // same-named key columns must not trip ambiguous resolution
+    val sameName = BloomPrune.prunedSemiJoin(li,
+      keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "l_orderkey",
+      expectedItems = 16L, numBits = 256L)
+    assert(sameName.count() == plain.count())
     // and a sane sketch actually prunes: the might-contain prefilter alone
     // passes fewer rows than the full table (sketch selectivity is real)
     val bloom = BloomPrune.buildBloom(keys, "o_orderkey", 100000L, 1L << 20)

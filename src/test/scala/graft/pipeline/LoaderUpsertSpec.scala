@@ -96,6 +96,28 @@ class LoaderUpsertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("run_id"))
   }
 
+  test("upsertPartitioned drops emptied DATE partitions (quoted partition spec)") {
+    n += 1
+    val t = s"upsert_spec_${n}_d"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (run_id STRING, state STRING, day DATE)
+                  USING parquet PARTITIONED BY (day)""")
+    Seq(("r1", "running", java.sql.Date.valueOf("2024-01-01")),
+        ("r2", "queued", java.sql.Date.valueOf("2024-01-02")))
+      .toDF("run_id", "state", "day")
+      .write.mode("append").insertInto(t)
+    // r1 moves from Jan 1 to Jan 2 → the Jan 1 partition empties and its
+    // DROP PARTITION spec must quote the date literal
+    val re = Seq(("r1", "success", java.sql.Date.valueOf("2024-01-02")))
+      .toDF("run_id", "state", "day")
+    Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSeq
+    assert(out == Seq(("r1", "success", "2024-01-02"), ("r2", "queued", "2024-01-02")))
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).toSet
+      == Set("day=2024-01-02"))
+  }
+
   test("upsertPartitioned removes the stale row when a PK moves partitions") {
     val t = freshTable(partitioned = true)
     Seq(("r1", "running", 1.0, "d1"), ("r2", "queued", 2.0, "d2"))

@@ -44,6 +44,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Staging.readStagedTolerant(spark, "dag_run", paths, maxBadRecords = 0).count()
     }
     assert(e.getMessage.contains("max_bad_records"))
+    // keepSourceFile must carry real file URIs (a cached scan would blank
+    // input_file_name) so the loader's first-file-wins preference works
+    val withSrc = Staging.readStagedTolerant(spark, "dag_run", paths,
+      maxBadRecords = 1, keepSourceFile = true)
+    val srcs = withSrc.select(Staging.srcFileCol).distinct()
+      .collect().map(_.getString(0))
+    assert(srcs.nonEmpty && srcs.forall(_.contains("page1.json")))
   }
 
   test("staged JSON-array read applies schema, keeps nulls, parses ISO-8601 offsets") {

@@ -236,6 +236,37 @@ object Core {
       cn.join(sn, Seq("nk"), "full")
         .select(col("nk").as("nationkey"), col("n_cust"), col("n_supp"))
     }),
+    "q_join_right" -> ((s, dir) => {
+      // right outer: every customer survives, order-less ones with zero
+      // counts (count(col) skips nulls, count(*) doesn't)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("revenue"))
+    }),
+    "q_cross" -> ((s, dir) => {
+      // deliberate cartesian of two tiny dims (5 x 25) — the one join shape
+      // where crossJoin is legitimate; both sides broadcast-sized
+      t(s, dir, "region").select("r_name")
+        .crossJoin(t(s, dir, "nation").select("n_name"))
+    }),
+    "q_not_in" -> ((s, dir) => {
+      // NOT IN subquery → Spark's null-aware anti join (the classic
+      // three-valued-logic trap; key columns here are non-null so both
+      // engines agree row-for-row)
+      val s2 = s
+      t(s2, dir, "orders").createOrReplaceTempView("q_not_in_orders")
+      t(s2, dir, "customer").createOrReplaceTempView("q_not_in_customer")
+      s2.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM q_not_in_orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM q_not_in_customer
+                                   WHERE c_mktsegment = 'BUILDING')
+           GROUP BY o_orderstatus""")
+    }),
     "q_join_multi" -> ((s, dir) => {
       // TPC-H Q5-shaped star join: facts shuffle on keys, dims broadcast.
       val c = t(s, dir, "customer")
@@ -298,6 +329,37 @@ object Core {
       t(s, dir, "orders")
         .withColumn("prev_orderdate", lag(col("o_orderdate"), 1).over(w))
         .select("o_custkey", "o_orderkey", "prev_orderdate")
+    }),
+    "q_window_firstlast" -> ((s, dir) => {
+      // value-window family over the full frame: first/last/nth event per
+      // user in (ts, event_id) order — the unique tie-break keeps both
+      // engines' frames identical
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"),
+          first(col("event_id")).over(w).as("first_event"),
+          last(col("event_id")).over(w).as("last_event"),
+          nth_value(col("event_id"), 2).over(w).as("second_event"))
+        .distinct()
+    }),
+    "q_string_agg" -> ((s, dir) => {
+      // ordered string aggregation (LISTAGG): deterministic via sort-then-
+      // join, matching the oracle's string_agg(... ORDER BY)
+      t(s, dir, "nation").join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+    }),
+    "q_histogram" -> ((s, dir) => {
+      // equi-width binning: floor-division bucket ids (identical doubles →
+      // identical buckets cross-engine), clamped to the last bucket
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / 50000.0), lit(11L)).cast(IntegerType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
     }),
     "q_session_window" -> ((s, dir) => {
       // session_window as a BATCH aggregation (same operator the streaming
@@ -695,6 +757,38 @@ object Core {
          FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
          FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
            ON c.nk = s.nk""",
+    "q_join_right" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation""",
+    "q_not_in" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_mktsegment = 'BUILDING')
+         GROUP BY o_orderstatus""",
+    "q_window_firstlast" ->
+      """SELECT DISTINCT user_id,
+                first_value(event_id) OVER w AS first_event,
+                last_value(event_id) OVER w AS last_event,
+                nth_value(event_id, 2) OVER w AS second_event
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INTEGER) AS bucket,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1""",
     "q_join_multi" ->
       """SELECT r_name, n_name,
                 CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

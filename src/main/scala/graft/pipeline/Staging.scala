@@ -107,22 +107,42 @@ object Staging {
     path
   }
 
+  /** CSV dialect knobs — the reference's declared loader config surface
+    * (`field_delimiter`, `quote_character`, `encoding`,
+    * `allow_quoted_newlines`, `allow_jagged_rows`,
+    * gcs_to_postgres.py:102-107; all dead params there, real here). */
+  final case class CsvDialect(delimiter: String = ",", quote: String = "\"",
+                              encoding: String = "UTF-8",
+                              allowQuotedNewlines: Boolean = false,
+                              allowJaggedRows: Boolean = false)
+
   /** CSV interop with the reference's NULL contract: empty field = NULL
     * (`COPY ... NULL AS ''`, gcs_to_postgres.py:178-180 — the O14 transient
     * format). Only needed when exchanging staged data with COPY-style
     * loaders; the engine's own staging stays typed. */
-  def writeStagedCsv(df: DataFrame, base: String, entity: String, runTs: String): String = {
+  def writeStagedCsv(df: DataFrame, base: String, entity: String, runTs: String,
+                     dialect: CsvDialect = CsvDialect()): String = {
     val path = stagingPath(base, entity, runTs) + "-csv"
     df.write.mode("overwrite")
       .option("header", "true").option("nullValue", "")
+      .option("delimiter", dialect.delimiter).option("quote", dialect.quote)
+      .option("encoding", dialect.encoding)
       .csv(path)
     path
   }
 
-  def readStagedCsv(spark: SparkSession, entity: String, path: String): DataFrame = {
+  def readStagedCsv(spark: SparkSession, entity: String, path: String,
+                    dialect: CsvDialect = CsvDialect()): DataFrame = {
     val schema = Schemas.byEntity(entity)
     spark.read.schema(schema)
       .option("header", "true").option("nullValue", "")
+      .option("delimiter", dialect.delimiter).option("quote", dialect.quote)
+      .option("encoding", dialect.encoding)
+      // quoted newlines need whole-file parsing (like the JSON array form)
+      .option("multiLine", dialect.allowQuotedNewlines)
+      // jagged row = fewer fields than the schema; PERMISSIVE null-fills
+      // (the reference's allow_jagged_rows intent), FAILFAST rejects
+      .option("mode", if (dialect.allowJaggedRows) "PERMISSIVE" else "FAILFAST")
       .csv(path)
       .select(schema.fieldNames.map(col): _*)
   }

@@ -158,6 +158,36 @@ object TextOps {
       docs(s, dir).select(col("doc_id"),
         when(h < "e6", "train").when(h < "f3", "val").otherwise("test").as("split"))
     }),
+    "t_clean" -> ((s, dir) => {
+      // token-level content cleaning: strip a stop-token list and rebuild
+      // the text — the shape of every removal pass (stopwords, boilerplate
+      // phrases, redaction placeholders) a training pipeline runs before
+      // tokenization. Pure array ops (filter + join), no regex dialect to
+      // reconcile, one tokenization per row via the let-binding.
+      val stop = Seq("the", "a")
+      val cleaned = TextFunctions.bind(TextFunctions.tokens(col("text"))) { tk =>
+        array_join(filter(tk, t => !t.isInCollection(stop)), " ")
+      }
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).as("raw_len"),
+        length(cleaned).as("clean_len"),
+        size(TextFunctions.tokens(col("text")))
+          .minus(size(split(cleaned, " "))).as("n_removed"))
+    }),
+    "t_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filter signal: the fraction of positional
+      // word 3-grams that are duplicates within the doc (1 - distinct/total)
+      // — high values flag boilerplate/looping text. Rational arithmetic:
+      // one IEEE division of identical ints.
+      val toks = TextFunctions.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(TextFunctions.ngrams(toks, 3)).as("n_grams"),
+          size(TextFunctions.shingles(toks, 3)).as("n_distinct"))
+        .filter(col("n_grams") > 0)
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+    }),
     "t_stratified" -> ((s, dir) => {
       // stratified deterministic sampling: exactly every 5th doc per
       // language stratum in stable doc_id order — balanced class subsets
@@ -304,6 +334,29 @@ object TextOps {
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    "t_clean" ->
+      """WITH t AS (SELECT doc_id, text,
+                           array_to_string(list_filter(string_split(text, ' '),
+                             x -> x NOT IN ('the', 'a')), ' ') AS cleaned
+                    FROM documents)
+         SELECT doc_id,
+                CAST(length(text) AS INTEGER) AS raw_len,
+                CAST(length(cleaned) AS INTEGER) AS clean_len,
+                CAST(len(string_split(text, ' ')) - len(string_split(cleaned, ' '))
+                     AS INTEGER) AS n_removed
+         FROM t""",
+    "t_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+               FROM t WHERE len(toks) >= 3)
+         SELECT doc_id,
+                CAST(len(grams) AS INTEGER) AS n_grams,
+                CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+                round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                  AS rep_ratio
+         FROM g""",
     "t_stratified" ->
       """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
          FROM (SELECT doc_id, lang,

@@ -16,6 +16,9 @@ run / fork := true
 Global / showSuccess := false
 Global / showTiming := false
 Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Forked run output goes straight to stdout, un-prefixed: the driver JSON-
+// parses the bench's final line, and an "[info] " prefix would break it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -138,8 +138,11 @@ object Staging {
       .option("header", "true").option("nullValue", "")
       .option("delimiter", dialect.delimiter).option("quote", dialect.quote)
       .option("encoding", dialect.encoding)
-      // quoted newlines need whole-file parsing (like the JSON array form)
-      .option("multiLine", dialect.allowQuotedNewlines)
+      // whole-file parsing for quoted newlines AND for non-UTF-8 charsets:
+      // per-line mode splits records on raw 0x0A bytes before decoding, so
+      // multi-byte encodings (UTF-16/32) would shred records mid-codepoint
+      .option("multiLine",
+        dialect.allowQuotedNewlines || !dialect.encoding.equalsIgnoreCase("UTF-8"))
       // jagged row = fewer fields than the schema; PERMISSIVE null-fills
       // (the reference's allow_jagged_rows intent), FAILFAST rejects
       .option("mode", if (dialect.allowJaggedRows) "PERMISSIVE" else "FAILFAST")

@@ -772,12 +772,15 @@ object Core {
                                  WHERE c_mktsegment = 'BUILDING')
          GROUP BY o_orderstatus""",
     "q_window_firstlast" ->
+      // epoch_us, NOT raw ts: DuckDB reads events.ts at ns precision while
+      // Spark floors to µs, so a raw-ts ORDER BY would tie-break by ns
+      // where Spark tie-breaks by event_id (same rule as q_sessionize)
       """SELECT DISTINCT user_id,
                 first_value(event_id) OVER w AS first_event,
                 last_value(event_id) OVER w AS last_event,
                 nth_value(event_id, 2) OVER w AS second_event
          FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q_string_agg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,

@@ -163,26 +163,28 @@ object TextOps {
       // the text — the shape of every removal pass (stopwords, boilerplate
       // phrases, redaction placeholders) a training pipeline runs before
       // tokenization. Pure array ops (filter + join), no regex dialect to
-      // reconcile, one tokenization per row via the let-binding.
+      // reconcile. n_removed counts tokens directly (size in - size kept),
+      // which stays correct for fully-stopworded docs where re-splitting
+      // the empty cleaned string would yield [""] and undercount by one.
       val stop = Seq("the", "a")
-      val cleaned = TextFunctions.bind(TextFunctions.tokens(col("text"))) { tk =>
-        array_join(filter(tk, t => !t.isInCollection(stop)), " ")
-      }
+      val toks = TextFunctions.tokens(col("text"))
+      val kept = filter(toks, t => !t.isInCollection(stop))
       docs(s, dir).select(col("doc_id"),
         length(col("text")).as("raw_len"),
-        length(cleaned).as("clean_len"),
-        size(TextFunctions.tokens(col("text")))
-          .minus(size(split(cleaned, " "))).as("n_removed"))
+        length(array_join(kept, " ")).as("clean_len"),
+        (size(toks) - size(kept)).as("n_removed"))
     }),
     "t_repetition" -> ((s, dir) => {
       // Gopher-style repetition filter signal: the fraction of positional
       // word 3-grams that are duplicates within the doc (1 - distinct/total)
       // — high values flag boilerplate/looping text. Rational arithmetic:
       // one IEEE division of identical ints.
+      // n_grams is arithmetic (token count - 2), not a second gram-array
+      // construction — only the distinct count needs the array built
       val toks = TextFunctions.tokens(col("text"))
       docs(s, dir)
         .select(col("doc_id"),
-          size(TextFunctions.ngrams(toks, 3)).as("n_grams"),
+          (size(toks) - 2).as("n_grams"),
           size(TextFunctions.shingles(toks, 3)).as("n_distinct"))
         .filter(col("n_grams") > 0)
         .withColumn("rep_ratio",
@@ -335,26 +337,24 @@ object TextOps {
                      ELSE 'test' END AS split
          FROM documents""",
     "t_clean" ->
-      """WITH t AS (SELECT doc_id, text,
-                           array_to_string(list_filter(string_split(text, ' '),
-                             x -> x NOT IN ('the', 'a')), ' ') AS cleaned
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                           list_filter(string_split(text, ' '),
+                             x -> x NOT IN ('the', 'a')) AS kept
                     FROM documents)
          SELECT doc_id,
                 CAST(length(text) AS INTEGER) AS raw_len,
-                CAST(length(cleaned) AS INTEGER) AS clean_len,
-                CAST(len(string_split(text, ' ')) - len(string_split(cleaned, ' '))
-                     AS INTEGER) AS n_removed
+                CAST(length(array_to_string(kept, ' ')) AS INTEGER) AS clean_len,
+                CAST(len(toks) - len(kept) AS INTEGER) AS n_removed
          FROM t""",
     "t_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         g AS (SELECT doc_id,
+         g AS (SELECT doc_id, CAST(len(toks) - 2 AS INTEGER) AS n_grams,
                       list_transform(generate_series(1, len(toks) - 2),
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
                FROM t WHERE len(toks) >= 3)
-         SELECT doc_id,
-                CAST(len(grams) AS INTEGER) AS n_grams,
+         SELECT doc_id, n_grams,
                 CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
-                round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / n_grams, 6)
                   AS rep_ratio
          FROM g""",
     "t_stratified" ->

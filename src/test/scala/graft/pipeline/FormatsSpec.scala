@@ -10,10 +10,6 @@ class FormatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("CSV dialect knobs: delimiter/quote roundtrip, jagged-row null-fill") {
-    import org.apache.spark.sql.functions.col
-    val dag = Tables.load(spark, "/root/testdata/sf0.001", "orders")
-      .limit(0) // schema source only; use a hand-built frame below
-    assert(dag.columns.nonEmpty)
     import spark.implicits._
     // delimiter/quote roundtrip through the dag_run entity schema
     val rows = Seq(

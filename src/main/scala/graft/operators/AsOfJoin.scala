@@ -24,15 +24,24 @@ object AsOfJoin {
   /** NULL-key caveat: rows with NULL key values land in the same window
     * partition and therefore match each other — unlike SQL join equality,
     * where NULL = NULL is not true. Filter NULL keys upstream if SQL
-    * semantics are required (current call sites have non-null keys). */
+    * semantics are required (current call sites have non-null keys).
+    *
+    * `toleranceUs` bounds match staleness (pandas merge_asof's tolerance /
+    * market-data max-age): the as-of match is nulled out when it is more
+    * than that many microseconds older than the left time. Only the LATEST
+    * right row is ever the candidate — an older row inside the bound does
+    * not resurrect a match, identical to merge_asof. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               toleranceUs: Option[Long] = None): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == rightTime)
     require(payloadCols.nonEmpty,
       s"asofJoin: right side needs at least one payload column beyond " +
         s"keys ${keyCols.mkString(",")} and time '$rightTime' " +
         "(struct() of zero columns is an analysis error)")
-    val payloadStruct = struct(payloadCols.map(col): _*)
+    // the matched right TIME rides along in the payload struct so the
+    // tolerance bound can compare it against the left time after the window
+    val payloadStruct = struct(col(rightTime).as("__rt") +: payloadCols.map(col): _*)
     val rightTagged = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTime).as("__t"),
@@ -56,12 +65,18 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    leftTagged.unionByName(rightAligned)
+    val matched = leftTagged.unionByName(rightAligned)
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(
-        keyCols.map(col) ++
-          leftCols.map(c => col(s"__lrow.$c").as(c)) ++
-          payloadCols.map(c => col(s"__matched.$c").as(c)): _*)
+    val bounded = toleranceUs match {
+      case None => matched
+      case Some(us) => matched.withColumn("__matched",
+        when(unix_micros(col("__t")) - unix_micros(col("__matched.__rt")) <= us,
+          col("__matched")))
+    }
+    bounded.select(
+      keyCols.map(col) ++
+        leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+        payloadCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
 }

@@ -44,9 +44,17 @@ object BloomPrune {
   /** Build the bloom sketch of `keys.keyCol` (distributed aggregate; one
     * scalar row to the driver, like a watermark read). */
   def buildBloom(keys: DataFrame, keyCol: String,
-                 expectedItems: Long, numBits: Long): Array[Byte] = {
+                 expectedItems: Long, numBits: Long): Array[Byte] =
+    buildBloomKey(keys, col(keyCol), expectedItems, numBits)
+
+  /** Column-expression variant — e.g. `xxhash64(pk1, pk2)` to sketch a
+    * composite key. Probe with the SAME expression. Returns null over an
+    * empty keys side (BloomFilterAggregate of zero rows) — callers branch
+    * to the unpruned plan. */
+  def buildBloomKey(keys: DataFrame, key: Column,
+                    expectedItems: Long, numBits: Long): Array[Byte] = {
     register(keys)
-    keys.select(call_function("graft_bloom_agg", col(keyCol),
+    keys.select(call_function("graft_bloom_agg", key,
         lit(expectedItems), lit(numBits)).as("bf"))
       .first().getAs[Array[Byte]](0)
   }

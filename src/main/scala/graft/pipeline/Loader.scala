@@ -52,6 +52,38 @@ object Loader {
     toInsert.write.mode("append").insertInto(table)
   }
 
+  /** [[dedupAppend]] with a bloom split — the 100 TB shape of the per-batch
+    * dedup: a compact sketch of the target's PKs classifies incoming rows,
+    * bloom MISSES are definitely absent (no false negatives) and insert
+    * without ever joining, and only the bloom hits — the candidate
+    * duplicates, usually a sliver of the batch — pay the anti join against
+    * the target. Result is row-identical to [[dedupAppend]] (the exact join
+    * clears false positives). Composite PKs sketch via xxhash64 over the
+    * key columns, probed with the same expression. */
+  def dedupAppendBloom(spark: SparkSession, incoming: DataFrame, table: String,
+                       pkCols: Seq[String], preference: Seq[Column] = Nil,
+                       expectedItems: Long = 1000000L,
+                       numBits: Long = 8388608L): Unit = {
+    require(pkCols.nonEmpty, "dedupAppendBloom requires PK columns")
+    val existing = spark.table(table).select(pkCols.map(col): _*)
+    val pkHash = org.apache.spark.sql.functions.xxhash64(pkCols.map(col): _*)
+    val sketch = graft.operators.BloomPrune
+      .buildBloomKey(existing, pkHash, expectedItems, numBits)
+    if (sketch == null) {
+      // empty target → nothing to dedup against
+      dedupAppend(spark, incoming, table, pkCols, preference)
+    } else {
+      val deduped = pickPerKey(incoming, pkCols, preference)
+        .withColumn("__maybe_dup",
+          graft.operators.BloomPrune.mightContain(incoming, sketch, pkHash))
+      val definiteNew = deduped.filter(!col("__maybe_dup")).drop("__maybe_dup")
+      val candidates = deduped.filter(col("__maybe_dup")).drop("__maybe_dup")
+        .join(existing, pkCols, "left_anti")
+      val toInsert = coerceToTable(spark, definiteNew.unionByName(candidates), table)
+      toInsert.write.mode("append").insertInto(table)
+    }
+  }
+
   /** Update-on-conflict MERGE into a managed table: matched PKs take the
     * incoming payload, absent PKs are inserted — the semantics a
     * metadata-reporting user needs when a re-extract mutates `state`

@@ -534,6 +534,21 @@ object Core {
         .asofJoin(errors, clicks, Seq("user_id"), "ts", "ts")
         .select("event_id", "user_id", "click_id")
     }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // as-of with a 10-minute staleness bound (merge_asof tolerance): the
+      // latest preceding click still wins, but is nulled when older than
+      // the bound — older in-bound clicks never resurrect a match
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin
+        .asofJoin(errors, clicks, Seq("user_id"), "ts", "ts",
+          toleranceUs = Some(600000000L))
+        .select("event_id", "user_id", "click_id")
+    }),
 
     // --- subqueries --------------------------------------------------------
     "q_in_subquery" -> ((s, dir) => {
@@ -948,12 +963,31 @@ object Core {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "q_asof_join" ->
+      // µs-floored on BOTH the group key and the ASOF inequality: DuckDB
+      // sees events.ts at ns precision while the engine floors to µs — raw
+      // ts would group clicks at ns (splitting groups the engine merges)
+      // and could flip the >= at µs-equal/ns-unequal pairs
       """WITH clicks AS (
-           SELECT user_id, ts, max(event_id) AS click_id FROM events
-           WHERE event_type = 'click' GROUP BY user_id, ts),
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                  max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
          errors AS (
-           SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id
+           FROM events WHERE event_type = 'error')
          SELECT e.event_id, e.user_id, c.click_id
+         FROM errors e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ts >= c.ts""",
+    "q_asof_tolerance" ->
+      """WITH clicks AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                  max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         errors AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id,
+                CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 600000000
+                     THEN c.click_id END AS click_id
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts >= c.ts""",
     "q_in_subquery" ->

@@ -73,6 +73,29 @@ class LoaderUpsertSpec extends AnyFunSuite {
       != d2FilesBefore)
   }
 
+  test("dedupAppendBloom equals dedupAppend: empty target, FP-heavy sketch, idempotent") {
+    val t1 = freshTable(partitioned = false)
+    val t2 = freshTable(partitioned = false)
+    val batch1 = Seq(("r1", "running", 1.0), ("r2", "queued", 2.0))
+      .toDF("run_id", "state", "score")
+    // empty target: bloom aggregate returns null → plain path
+    Loader.dedupAppend(spark, batch1, t1, Seq("run_id"))
+    Loader.dedupAppendBloom(spark, batch1, t2, Seq("run_id"))
+    // overlapping re-extract with a saturated 256-bit sketch: every row
+    // flags maybe-dup, the exact anti join must still clear the FPs
+    val batch2 = Seq(("r2", "success", 9.0), ("r3", "running", 3.0))
+      .toDF("run_id", "state", "score")
+    Loader.dedupAppend(spark, batch2, t1, Seq("run_id"))
+    Loader.dedupAppendBloom(spark, batch2, t2, Seq("run_id"),
+      expectedItems = 4L, numBits = 256L)
+    Loader.dedupAppendBloom(spark, batch2, t2, Seq("run_id")) // idempotent
+    val a = spark.table(t1).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val b = spark.table(t2).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(a == b && a == Seq(("r1", "running"), ("r2", "queued"), ("r3", "running")))
+  }
+
   test("conformToTable fills missing nullable columns, drops extras, rejects missing required") {
     val t = freshTable(partitioned = false)
     // batch predates the table's `score` column and carries a stray column

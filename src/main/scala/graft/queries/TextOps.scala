@@ -190,6 +190,25 @@ object TextOps {
         .withColumn("rep_ratio",
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
     }),
+    "t_top_terms" -> ((s, dir) => {
+      // per-doc top-3 distinguishing terms by tf·(N/df) — tf-idf shaped
+      // keyword extraction without log() (libm log is not bit-identical
+      // across engines; N is constant per ranking, so tf/df preserves the
+      // tf·idf order). One corpus pass fans into tf and df aggregates;
+      // ranking is a per-doc window with a deterministic term tie-break.
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df_cnt"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy((col("tf").cast("double") / col("df_cnt")).desc, col("tok").asc)
+      tf.join(dfreq, "tok")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df_cnt", "rank")
+    }),
     "t_stratified" -> ((s, dir) => {
       // stratified deterministic sampling: exactly every 5th doc per
       // language stratum in stable doc_id order — balanced class subsets
@@ -357,6 +376,17 @@ object TextOps {
                 round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / n_grams, 6)
                   AS rep_ratio
          FROM g""",
+    "t_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df_cnt FROM toks GROUP BY 1),
+         r AS (SELECT doc_id, tok, tf, df_cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY CAST(tf AS DOUBLE)/df_cnt DESC, tok) AS rank
+               FROM tf JOIN dfreq USING (tok))
+         SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+                CAST(df_cnt AS BIGINT) AS df_cnt, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 3""",
     "t_stratified" ->
       """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn
          FROM (SELECT doc_id, lang,

@@ -282,6 +282,18 @@ object Core {
         .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
              count(lit(1)).as("n_items"))
     }),
+    "q_skew_join" -> ((s, dir) => {
+      // Salted equi-join (operators/SkewJoin): the explicit hot-key defense
+      // for when AQE's skew split can't help (single key > one task's
+      // memory). Result is provably identical to the plain join — the
+      // oracle IS the plain join.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      graft.operators.SkewJoin.saltedJoin(li, o, Seq("o_orderkey"), 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
     "q_anti_join" -> ((s, dir) => {
       // The one genuine join in the reference's semantics: PK insert-if-absent
       // (O13, gcs_to_postgres.py:153-177) = left anti join.
@@ -576,6 +588,16 @@ object Core {
         array_min(col("embedding")).as("min_val"),
         element_at(array_sort(col("embedding")), 32).as("median_low"))
     }),
+    "q_explode" -> ((s, dir) =>
+      // generator/table-function surface (LATERAL VIEW): posexplode the
+      // leading tokens of each document — one generator feeding n output
+      // rows per input row, positions preserved. Bounded to the first 5
+      // tokens so the declared result stays row-count-stable vs corpus
+      // document length.
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos", "tok")))
+        .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("ord"),
+          col("tok"))),
     "q_correlated_subquery" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates to an aggregate
       // + join (RewriteCorrelatedScalarSubquery); deterministic via the
@@ -816,6 +838,13 @@ object Core {
                        JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+    // the salted join must be indistinguishable from the plain join — so
+    // the oracle IS the plain join
+    "q_skew_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -1004,6 +1033,14 @@ object Core {
                 list_min(embedding) AS min_val,
                 list_sort(embedding)[32] AS median_low
          FROM embeddings""",
+    // DuckDB zips parallel unnests in one SELECT, so position + value come
+    // from two aligned generators (no WITH ORDINALITY needed)
+    "q_explode" ->
+      """SELECT doc_id, CAST(ord AS INTEGER) AS ord, tok
+         FROM (SELECT doc_id,
+                      unnest(generate_series(1, least(5, len(toks)))) AS ord,
+                      unnest(toks[1:least(5, len(toks))]) AS tok
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""",
     "q_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
          WHERE o_totalprice > 1.5 * (

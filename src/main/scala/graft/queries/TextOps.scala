@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.TextDedup
+import graft.operators.{Components, TextDedup}
 
 /** Text analysis + document dedup surface over the `documents` table —
   * the LLM-training-data-pipeline operators (token counting, quality
@@ -253,7 +253,21 @@ object TextOps {
     "d_simhash" -> ((s, dir) =>
       TextDedup.simhash(docs(s, dir), "doc_id", "text")),
     "d_simhash_pairs" -> ((s, dir) =>
-      TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 2))
+      TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 2)),
+    "d_dedup_clusters" -> ((s, dir) => {
+      // pairs -> groups: connected components over the SimHash candidate
+      // graph, then each doc labeled with its cluster's min doc_id (the
+      // canonical survivor) and the cluster size. Near-dup relations are
+      // not transitive, so group-then-keep-min is the correct delete set —
+      // pairwise keep-min can delete both ends of a chain a-b-c.
+      import org.apache.spark.sql.expressions.Window
+      val prs = TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 2)
+        .select("doc_a", "doc_b")
+      Components.connectedComponents(prs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    })
   )
 
   private val shingleSql =
@@ -469,6 +483,31 @@ object TextOps {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          FROM sh a JOIN sh b ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2"""
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+    // same SimHash candidate graph as d_simhash_pairs, closed transitively:
+    // the recursive CTE enumerates reachable ids per node (fine at oracle
+    // scale; the engine side never materializes reachability — it
+    // min-label-propagates in O(diameter) joins)
+    "d_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, tok, count(*) AS cnt
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                      GROUP BY 1, 2),
+         bits AS (SELECT doc_id, j,
+                         sum(CASE WHEN substr(md5(tok), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                                  THEN cnt ELSE -cnt END) AS s
+                  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js GROUP BY 1, 2),
+         sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY 1),
+         prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sh a JOIN sh b ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                   UNION SELECT doc_b AS src, doc_a AS dst FROM prs),
+         reach AS (SELECT src AS node, src AS comp FROM edges
+                   UNION
+                   SELECT r.node, e.dst AS comp FROM reach r JOIN edges e ON e.src = r.comp),
+         labels AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1)
+         SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM labels"""
   )
 }

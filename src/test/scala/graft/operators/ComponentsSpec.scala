@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Connected components: chains must collapse to one group (the property
+  * pairwise keep-min dedup gets wrong), disjoint pairs stay separate, and
+  * the labeling is the component minimum for every member. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain collapses to a single component labeled with its min id") {
+    // 5-3-9-1-7: diameter 4, min label must travel the whole chain
+    val labels = labelsOf(Seq((5L, 3L), (3L, 9L), (9L, 1L), (1L, 7L)))
+    assert(labels == Map(5L -> 1L, 3L -> 1L, 9L -> 1L, 1L -> 1L, 7L -> 1L))
+  }
+
+  test("disjoint clusters keep distinct labels; duplicate edges are harmless") {
+    val labels = labelsOf(Seq(
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 10L), // triangle + dup edges
+      (20L, 21L),                                     // separate pair
+      (31L, 30L)))                                    // reversed order pair
+    assert(labels == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("star graph: all leaves adopt the hub's component minimum") {
+    val leaves = (1L to 20L).filter(_ != 7L)
+    val labels = labelsOf(leaves.map(l => (7L, l)))
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.size == 20)
+  }
+
+  test("non-convergence within maxIters is an error, not a wrong answer") {
+    // a 6-node path has diameter 5 > maxIters 2
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(pairs, "a", "b", maxIters = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+}

@@ -43,23 +43,33 @@ object Components {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    // per-node labels only ever decrease (new = min(old, neighbors)), so the
+    // global label sum is strictly monotone until fixpoint: an unchanged sum
+    // IS convergence — one 1-row aggregate per round instead of a
+    // change-detection join
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // decimal(38,0) accumulation: a long sum could overflow on huge
+      // graphs with large ids, silently faking (non-)convergence
+      import org.apache.spark.sql.types.DecimalType
+      df.agg(coalesce(sum(col("comp").cast(DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val next = edges
+    while (!converged && iter < maxIters) {
+      labels = edges
         .join(labels.select(col("node").as("src"), col("comp")), "src")
         .select(col("dst").as("node"), col("comp"))
         .union(labels)
         .groupBy("node").agg(min("comp").as("comp"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("node"), col("comp").as("prev_comp")), "node")
-        .filter(col("comp") =!= col("prev_comp"))
-        .count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
-    require(changed == 0L,
+    require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
     labels
   }

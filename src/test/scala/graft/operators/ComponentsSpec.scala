@@ -40,6 +40,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labels.size == 20)
   }
 
+  test("random graph matches a local union-find reference") {
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.map { n =>
+      val members = nodes.filter(m => find(m) == find(n))
+      n -> members.min
+    }.toMap
+    assert(labelsOf(pairs) == expected)
+  }
+
   test("non-convergence within maxIters is an error, not a wrong answer") {
     // a 6-node path has diameter 5 > maxIters 2
     val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")

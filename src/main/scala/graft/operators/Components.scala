@@ -73,4 +73,84 @@ object Components {
       s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
+
+  /** Same labeling as [[connectedComponents]] via the alternating
+    * large-star/small-star edge rewriting (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's larger neighbors (large-star) or smaller-or-equal
+    * neighbors (small-star) to the minimum of its neighborhood, which
+    * contracts path lengths geometrically — O(log^2 n) rounds on ANY graph
+    * shape, vs O(diameter) for plain propagation. Use this when the pair
+    * graph can contain long chains (transitive similarity sweeps);
+    * propagation remains the cheaper choice for near-clique dedup graphs.
+    *
+    * Each phase is one groupBy-min + one join over the current edge set —
+    * the same shuffle primitive as propagation, never more than O(|E|)
+    * state, lineage truncated per round.
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+                               maxIters: Int = 50): DataFrame = {
+    // neighborhood minimum per center over the undirected edge set
+    def withMin(und: DataFrame): DataFrame =
+      und.groupBy("c").agg(min("u").as("min_nb"))
+        .select(col("c"), least(col("c"), col("min_nb")).as("m"))
+
+    def undirected(edges: DataFrame): DataFrame =
+      edges.select(col("src").as("c"), col("dst").as("u"))
+        .union(edges.select(col("dst").as("c"), col("src").as("u")))
+        .distinct()
+
+    // large-star: every strictly-larger neighbor of c re-points to m(c)
+    def largeStar(edges: DataFrame): DataFrame = {
+      val und = undirected(edges)
+      und.join(withMin(und), "c")
+        .filter(col("u") > col("c"))
+        .select(col("u").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: c and its smaller neighbors all re-point to the minimum
+    // of that set (the emitted edges exclude the self-loop at m)
+    def smallStar(edges: DataFrame): DataFrame = {
+      val und = undirected(edges)
+      val smaller = und.filter(col("u") < col("c"))
+      val mins = smaller.groupBy("c").agg(min("u").as("m"))
+      val rewired = smaller.join(mins, "c")
+        .select(col("u").as("src"), col("m").as("dst"))
+        .union(mins.select(col("c").as("src"), col("m").as("dst")))
+      rewired.filter(col("src") =!= col("dst")).distinct()
+    }
+
+    // order-independent fingerprint of the edge set: converged when stable
+    // (decimal accumulation — a long sum of 64-bit hashes overflows ANSI)
+    def fingerprint(edges: DataFrame): (Long, java.math.BigDecimal) = {
+      import org.apache.spark.sql.types.DecimalType
+      val r = edges.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO))).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var prev = fingerprint(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val fp = fingerprint(edges)
+      converged = fp == prev
+      prev = fp
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge in $maxIters rounds")
+    // fixpoint edges are stars (node -> component min); roots label themselves
+    nodes.join(edges.select(col("src").as("node"), col("dst").as("comp")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
 }

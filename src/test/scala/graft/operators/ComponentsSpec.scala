@@ -16,6 +16,10 @@ class ComponentsSpec extends AnyFunSuite {
     Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def starLabelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponentsStars(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("a chain collapses to a single component labeled with its min id") {
     // 5-3-9-1-7: diameter 4, min label must travel the whole chain
     val labels = labelsOf(Seq((5L, 3L), (3L, 9L), (9L, 1L), (1L, 7L)))
@@ -40,11 +44,8 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labels.size == 20)
   }
 
-  test("random graph matches a local union-find reference") {
-    val rnd = new scala.util.Random(13)
-    val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
-      .filter { case (a, b) => a != b }
-    // union-find reference
+  /** Local union-find ground truth: node -> min id of its component. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -55,11 +56,31 @@ class ComponentsSpec extends AnyFunSuite {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
-    val expected = nodes.map { n =>
-      val members = nodes.filter(m => find(m) == find(n))
-      n -> members.min
+    nodes.map { n =>
+      n -> nodes.filter(m => find(m) == find(n)).min
     }.toMap
-    assert(labelsOf(pairs) == expected)
+  }
+
+  test("random graph matches a local union-find reference") {
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    assert(labelsOf(pairs) == unionFind(pairs))
+  }
+
+  test("large-star/small-star matches union-find on chains, stars, and random graphs") {
+    val rnd = new scala.util.Random(29)
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      // a 41-node chain: diameter 40 would exceed propagation's default
+      // round budget — the geometric contraction handles it in O(log^2 n)
+      (0L until 40L).map(i => (i, i + 1)),
+      (2L to 30L).map(l => (1L, l)),                           // hub star
+      Seq.fill(250)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b },                     // random
+      Seq((5L, 9L)))                                           // single edge
+    cases.foreach { pairs =>
+      assert(starLabelsOf(pairs) == unionFind(pairs))
+    }
   }
 
   test("non-convergence within maxIters is an error, not a wrong answer") {

@@ -238,6 +238,26 @@ object TextOps {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("tokens_before"), expr("tokens_before div 2048").as("bin_id"))
     }),
+    "t_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: score every training doc by the fraction
+      // of its distinct 3-gram shingles that appear in a held-out benchmark
+      // set (source 'src0' stands in for the eval suite). The overlap test
+      // is one shingle-equality semi join — the benchmark side is tiny and
+      // broadcast-able at any corpus scale; downstream filters pick the
+      // removal threshold on the exact rational (n_hit, n_sh) pair.
+      val d = docs(s, dir)
+      val corpusSh = TextDedup.shingleTable(
+        d.filter(col("source") =!= "src0"), "doc_id", "text", 3)
+      val benchSh = TextDedup.shingleTable(
+        d.filter(col("source") === "src0"), "doc_id", "text", 3)
+        .select("sh").distinct()
+      val sizes = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hits = corpusSh.join(benchSh, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      sizes.join(hits, Seq("doc_id"))
+        .withColumn("overlap",
+          round(col("n_hit").cast("double") / col("n_sh"), 6))
+    }),
     "d_exact" -> ((s, dir) =>
       TextDedup.exactGroups(docs(s, dir), "doc_id", "text")),
     "d_ngram_jaccard" -> ((s, dir) =>
@@ -423,6 +443,18 @@ object TextOps {
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "t_decontaminate" ->
+      s"""WITH $shingleSql,
+         corpus AS (SELECT s.doc_id, s.sh FROM sh s JOIN documents d USING(doc_id)
+                    WHERE d.source <> 'src0'),
+         bench AS (SELECT DISTINCT s.sh FROM sh s JOIN documents d USING(doc_id)
+                   WHERE d.source = 'src0'),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY 1),
+         hits AS (SELECT doc_id, count(*) AS n_hit FROM corpus
+                  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+         SELECT s.doc_id, s.n_sh, h.n_hit,
+                round(CAST(h.n_hit AS DOUBLE) / s.n_sh, 6) AS overlap
+         FROM sizes s JOIN hits h USING(doc_id)""",
     "d_ngram_jaccard" ->
       // mirrors the engine's two-phase plan exactly: candidates must share
       // >= 1 RARE shingle (doc-frequency <= 1000, the stop-shingle cap);

@@ -22,11 +22,8 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` truncates the plan each round so lineage stays O(1)
   * across iterations instead of doubling (iterative DataFrame plans
   * otherwise grow until the optimizer chokes). For adversarial graphs with
-  * long chains at 100 TB, swap the propagation body for the
-  * large-star/small-star edge rewriting of Kiveris et al., "Connected
-  * Components in MapReduce and Beyond" (SoCC'14) — O(log^2 n) rounds over
-  * the same join primitive; the driver loop and convergence test stay as
-  * written here.
+  * long chains, use [[connectedComponentsStars]] — O(log^2 n) rounds on
+  * any graph shape over the same join primitive.
   */
 object Components {
 

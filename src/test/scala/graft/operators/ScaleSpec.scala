@@ -23,6 +23,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("partition-column filters prune the scan to matching partitions only") {
+    val db = "scale_probe_pp"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      Tables.load(spark, dir, "orders")
+        .withColumn("status_part", col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("status_part")
+        .saveAsTable(s"$db.orders_p")
+      val q = spark.table(s"$db.orders_p").filter(col("status_part") === "F")
+        .select("o_orderkey")
+      val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+      // pruning happens at planning: the file index exposes the partition
+      // predicate, and only the matching partition directory is read
+      assert(scan.contains("PartitionFilters"), scan.take(600))
+      assert(scan.contains("status_part"), scan.take(600))
+      val prunedFiles = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount }
+      assert(prunedFiles.contains(1),
+        s"expected exactly 1 of 3 status partitions, got $prunedFiles")
+      assert(q.count() > 0)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("bucketed tables sort-merge join without an exchange") {
     val db = "scale_probe"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -37,8 +37,12 @@ object Components {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // seed with the neighborhood minimum instead of the node itself —
+    // equivalent to (and one shuffle round cheaper than) starting from
+    // identity labels and propagating once
+    var labels = edges.groupBy("src").agg(min("dst").as("min_nb"))
+      .select(col("src").as("node"),
+        least(col("src"), col("min_nb")).as("comp"))
       .localCheckpoint()
     // per-node labels only ever decrease (new = min(old, neighbors)), so the
     // global label sum is strictly monotone until fixpoint: an unchanged sum

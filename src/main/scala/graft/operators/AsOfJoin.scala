@@ -68,10 +68,25 @@ object AsOfJoin {
     val matched = leftTagged.unionByName(rightAligned)
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    // the time columns only need to be mutually orderable for the as-of
+    // itself; the tolerance bound additionally needs them on a microsecond
+    // number line — TimestampType converts, integral epoch-µs columns pass
+    // through, anything else has no defined µs distance
+    def asMicros(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case TimestampType => unix_micros(c)
+        case LongType | IntegerType | ShortType | ByteType => c.cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asofJoin toleranceUs: time columns must be TIMESTAMP or integral " +
+            s"epoch-micros, got $other")
+      }
+    }
     val bounded = toleranceUs match {
       case None => matched
       case Some(us) => matched.withColumn("__matched",
-        when(unix_micros(col("__t")) - unix_micros(col("__matched.__rt")) <= us,
+        when(asMicros(col("__t"), left.schema(leftTime).dataType)
+          - asMicros(col("__matched.__rt"), right.schema(rightTime).dataType) <= us,
           col("__matched")))
     }
     bounded.select(

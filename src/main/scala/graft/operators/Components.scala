@@ -132,11 +132,13 @@ object Components {
       (r.getLong(0), r.getDecimal(1))
     }
 
-    var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    // nodes come from the RAW pairs: a self-loop-only node must still get
+    // a (node, node) label row, exactly as propagation labels it
+    val raw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val nodes = raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var edges = raw.filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
     var prev = fingerprint(edges)
     var converged = edges.isEmpty
     var iter = 0

@@ -57,13 +57,15 @@ object JdbcSink {
     // relation is lazy, so an un-materialized semi join would re-read the
     // table after the inserts commit and redundantly re-UPDATE every row
     // just inserted (double write volume; racy under concurrent writers).
-    val existing = remote.select(pkCols.map(col): _*).cache()
-    existing.count()
-    try {
-      writeAppend(inc.join(existing, pkCols, "left_anti"), url, table, props, batchSize)
-      writeUpdates(inc.join(existing, pkCols, "left_semi"), url, table, pkCols,
-        props, batchSize)
-    } finally existing.unpersist()
+    // localCheckpoint, not cache: cached blocks are best-effort — a lost
+    // block would silently recompute from the live JDBC table mid-upsert,
+    // which is exactly the re-read this snapshot exists to prevent. A
+    // truncated-lineage checkpoint fails loudly instead; blocks are freed
+    // by the ContextCleaner once the frame is unreachable.
+    val existing = remote.select(pkCols.map(col): _*).localCheckpoint()
+    writeAppend(inc.join(existing, pkCols, "left_anti"), url, table, props, batchSize)
+    writeUpdates(inc.join(existing, pkCols, "left_semi"), url, table, pkCols,
+      props, batchSize)
   }
 
   /** Project/cast to the remote table's schema (sink-side coercion, like

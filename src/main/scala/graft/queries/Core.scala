@@ -256,10 +256,9 @@ object Core {
       // NOT IN subquery → Spark's null-aware anti join (the classic
       // three-valued-logic trap; key columns here are non-null so both
       // engines agree row-for-row)
-      val s2 = s
-      t(s2, dir, "orders").createOrReplaceTempView("q_not_in_orders")
-      t(s2, dir, "customer").createOrReplaceTempView("q_not_in_customer")
-      s2.sql(
+      t(s, dir, "orders").createOrReplaceTempView("q_not_in_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q_not_in_customer")
+      s.sql(
         """SELECT o_orderstatus, count(*) AS n_orders,
                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
            FROM q_not_in_orders

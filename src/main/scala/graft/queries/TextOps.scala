@@ -166,6 +166,8 @@ object TextOps {
       // reconcile. n_removed counts tokens directly (size in - size kept),
       // which stays correct for fully-stopworded docs where re-splitting
       // the empty cleaned string would yield [""] and undercount by one.
+      // Sibling columns re-derive toks/kept per column — as in t_quality,
+      // bind can't share across siblings (SimplifyExtractValueOps).
       val stop = Seq("the", "a")
       val toks = TextFunctions.tokens(col("text"))
       val kept = filter(toks, t => !t.isInCollection(stop))

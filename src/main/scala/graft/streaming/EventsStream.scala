@@ -128,18 +128,25 @@ object EventsStream {
     * checkpoint, so it is a per-query deployment choice either way). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   mode: String, statePartitions: Int = 8): DataFrame = {
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    } finally conf.set("spark.sql.shuffle.partitions", prev)
+    // the shuffle-partition override is session-global state: serialize
+    // drains so two concurrent save/set/restore sequences can't interleave
+    // and strand the session at the scoped-down value
+    drainLock.synchronized {
+      val conf = spark.conf
+      val prev = conf.get("spark.sql.shuffle.partitions")
+      conf.set("spark.sql.shuffle.partitions", statePartitions)
+      try {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
+
+  private val drainLock = new Object
 }

@@ -35,4 +35,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       (1L, "L2", Some("R_at_11")),   // latest at-or-before wins
       (2L, "L3", None)))             // right row is after the left → no match
   }
+
+  test("tolerance works on integral epoch-micros time columns, not just timestamps") {
+    val left = Seq((1L, 10_000_000L, "L1"), (1L, 90_000_000L, "L2"))
+      .toDF("k", "t", "lname")
+    val right = Seq((1L, 9_000_000L, "R9"))
+      .toDF("k", "t", "rname")
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        toleranceUs = Some(5_000_000L))
+      .select("k", "lname", "rname")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    // L1 is 1s after R9 (inside 5s tolerance); L2 is 81s after (stale)
+    assert(got == Set((1L, "L1", Some("R9")), (1L, "L2", None)))
+  }
+
+  test("tolerance on a non-time-typed column is rejected with a clear error") {
+    val left = Seq((1L, "a", "L1")).toDF("k", "t", "lname")
+    val right = Seq((1L, "a", "R1")).toDF("k", "t", "rname")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t",
+        toleranceUs = Some(1L)).collect()
+    }
+    assert(e.getMessage.contains("toleranceUs"))
+  }
 }

@@ -83,6 +83,13 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("self-loop-only nodes are labeled as their own component by both algorithms") {
+    val pairs = Seq((7L, 7L), (1L, 2L))
+    val expected = Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    assert(labelsOf(pairs) == expected)
+    assert(starLabelsOf(pairs) == expected)
+  }
+
   test("non-convergence within maxIters is an error, not a wrong answer") {
     // a 6-node path has diameter 5 > maxIters 2
     val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")

@@ -240,6 +240,20 @@ object TextOps {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("tokens_before"), expr("tokens_before div 2048").as("bin_id"))
     }),
+    "t_bpe_pairs" -> ((s, dir) =>
+      // corpus-global adjacent-pair frequencies — the merge-candidate
+      // statistic a BPE/WordPiece tokenizer trainer recomputes each round
+      // (here over whitespace tokens; the real trainer iterates the same
+      // plan over its evolving symbol sequences). Positional bigrams keep
+      // duplicates, partial aggregation absorbs the pair stream map-side,
+      // and the top-20 carries a total order (count desc, pair asc) so the
+      // cut is deterministic in both engines.
+      docs(s, dir)
+        .select(explode(TextFunctions.ngrams(
+          TextFunctions.tokens(col("text")), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)),
     "t_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: score every training doc by the fraction
       // of its distinct 3-gram shingles that appear in a held-out benchmark
@@ -445,6 +459,14 @@ object TextOps {
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "t_bpe_pairs" ->
+      """WITH grams AS (
+           SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+           FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 2)
+         SELECT pair, count(*) AS n FROM grams
+         GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""",
     "t_decontaminate" ->
       s"""WITH $shingleSql,
          corpus AS (SELECT s.doc_id, s.sh FROM sh s JOIN documents d USING(doc_id)

@@ -597,6 +597,21 @@ object Core {
           posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos", "tok")))
         .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("ord"),
           col("tok"))),
+    "q_lateral" -> ((s, dir) => {
+      // correlated LATERAL derived table: per-nation top-2 customers by
+      // balance. Catalyst decorrelates the LIMIT-ed lateral into a
+      // partitioned rank filter — per-key top-k without a per-key scan,
+      // same plan family as q_topk_perkey. Raw doubles pass through
+      // untouched; the (balance desc, custkey) order is total.
+      t(s, dir, "customer").createOrReplaceTempView("q_lateral_customer")
+      t(s, dir, "nation").createOrReplaceTempView("q_lateral_nation")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+           FROM q_lateral_nation n,
+           LATERAL (SELECT c_custkey, c_acctbal FROM q_lateral_customer c
+                    WHERE c.c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""")
+    }),
     "q_correlated_subquery" -> ((s, dir) => {
       // correlated scalar subquery — Catalyst decorrelates to an aggregate
       // + join (RewriteCorrelatedScalarSubquery); deterministic via the
@@ -1040,6 +1055,12 @@ object Core {
                       unnest(generate_series(1, least(5, len(toks)))) AS ord,
                       unnest(toks[1:least(5, len(toks))]) AS tok
                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""",
+    "q_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""",
     "q_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
          WHERE o_totalprice > 1.5 * (

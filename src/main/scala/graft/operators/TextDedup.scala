@@ -103,6 +103,14 @@ object TextDedup {
         lit(numHashes)).as("sigs"))
   }
 
+  /** (doc_id, sigs, band, bkey): one row per doc per band; band key = md5
+    * of the comma-joined band slice of the signature array. */
+  private def bandTable(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"), col("sigs"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        md5(array_join(slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+        .as(Seq("band", "bkey")))
+
   /** LSH banding: band key = md5 of the comma-joined band slice of the
     * signature array; candidate pairs are docs sharing any band key.
     * Estimated similarity = fraction of matching signature positions.
@@ -119,10 +127,7 @@ object TextDedup {
     val sigs = minhashSigs(docs, idCol, textCol, shingleN, numHashes)
       .filter(size(col("sigs")) > 0)
       .repartition(col("doc_id"))
-    val bands = sigs.select(col("doc_id"), col("sigs"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-          md5(array_join(slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
-          .as(Seq("band", "bkey")))
+    val bands = bandTable(sigs, numBands, rowsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
@@ -135,6 +140,47 @@ object TextDedup {
           b => b)).cast(LongType))
       .select(col("doc_a"), col("doc_b"), col("n_equal"),
         round(col("n_equal").cast("double") / numHashes, 6).as("est_sim"))
+  }
+
+  /** Incremental near-dup check: match a NEW batch of documents against an
+    * already-ingested corpus — the production dedup shape at 100 TB, where
+    * re-self-joining the whole corpus per arriving batch is not an option.
+    * The corpus side's (doc_id, band, bkey, sigs) frame is the persistent
+    * dedup index (in production: a table bucketed by bkey, appended as
+    * batches are admitted); each batch pays one band-key equality join
+    * sized by ITS band rows, never corpus x corpus.
+    *
+    * Returns one row per batch doc that has a corpus near-dup with at
+    * least `minEqual` of `numHashes` matching signature positions:
+    * (doc_id, match_id, n_equal), match chosen deterministically as the
+    * highest-overlap corpus doc (ties -> smallest id) via the struct
+    * arg-max pattern.
+    */
+  def incrementalLshMatches(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, shingleN: Int,
+                            numHashes: Int, rowsPerBand: Int,
+                            minEqual: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    def sigsOf(df: DataFrame) =
+      minhashSigs(df, idCol, textCol, shingleN, numHashes)
+        .filter(size(col("sigs")) > 0)
+        .repartition(col("doc_id"))
+    val corpusBands = bandTable(sigsOf(corpus), numBands, rowsPerBand)
+    val batchBands = bandTable(sigsOf(batch), numBands, rowsPerBand)
+    val cand = batchBands.as("b").join(corpusBands.as("c"),
+        col("b.band") === col("c.band") && col("b.bkey") === col("c.bkey"))
+      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("cid"),
+        col("b.sigs").as("sigs_b"), col("c.sigs").as("sigs_c"))
+      .dropDuplicates("doc_id", "cid")
+    cand
+      .withColumn("n_equal",
+        size(filter(zip_with(col("sigs_b"), col("sigs_c"), (x, y) => x === y),
+          b => b)).cast(LongType))
+      .filter(col("n_equal") >= minEqual)
+      .groupBy("doc_id")
+      .agg(max(struct(col("n_equal"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg_cid")).as("match_id"),
+        col("best.n_equal").as("n_equal"))
   }
 
   /** 32-bit SimHash: bit j is the sign of the sum of (2·b−1) over token

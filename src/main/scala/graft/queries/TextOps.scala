@@ -290,6 +290,16 @@ object TextOps {
       TextDedup.simhash(docs(s, dir), "doc_id", "text")),
     "d_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 2)),
+    "d_incremental" -> ((s, dir) => {
+      // incremental ingestion dedup: the 'src18' slice plays the newly
+      // arriving batch, everything else the already-ingested corpus whose
+      // band table is the persistent index. 9/15 matching positions
+      // (est. Jaccard ~0.6) admits a doc as a near-dup of its best match.
+      val d = docs(s, dir)
+      TextDedup.incrementalLshMatches(
+        d.filter(col("source") =!= "src18"), d.filter(col("source") === "src18"),
+        "doc_id", "text", 3, 15, 3, minEqual = 9)
+    }),
     "d_dedup_clusters" -> ((s, dir) => {
       // pairs -> groups: connected components over the SimHash candidate
       // graph, then each doc labeled with its cluster's min doc_id (the
@@ -540,6 +550,29 @@ object TextOps {
                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          FROM sh a JOIN sh b ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+    "d_incremental" ->
+      s"""WITH $shingleSql,
+         sigs AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS sig
+                  FROM sh, (SELECT unnest(generate_series(0, 14)) AS seed) s GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          md5(string_agg(sig, ',' ORDER BY seed)) AS bkey
+                   FROM sigs GROUP BY 1, 2),
+         batchb AS (SELECT b.* FROM bands b JOIN documents d USING(doc_id)
+                    WHERE d.source = 'src18'),
+         corpb  AS (SELECT b.* FROM bands b JOIN documents d USING(doc_id)
+                    WHERE d.source <> 'src18'),
+         cand AS (SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
+                  FROM batchb a JOIN corpb c ON a.band = c.band AND a.bkey = c.bkey),
+         eq AS (SELECT bid, cid,
+                       CAST(sum(CASE WHEN sa.sig = sc.sig THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+                FROM cand JOIN sigs sa ON cand.bid = sa.doc_id
+                          JOIN sigs sc ON cand.cid = sc.doc_id AND sa.seed = sc.seed
+                GROUP BY 1, 2
+                HAVING CAST(sum(CASE WHEN sa.sig = sc.sig THEN 1 ELSE 0 END) AS BIGINT) >= 9)
+         SELECT bid AS doc_id,
+                CAST(-(max(struct_pack(n := n_equal, nc := -cid)).nc) AS BIGINT) AS match_id,
+                max(struct_pack(n := n_equal, nc := -cid)).n AS n_equal
+         FROM eq GROUP BY 1""",
     // same SimHash candidate graph as d_simhash_pairs, closed transitively:
     // the recursive CTE enumerates reachable ids per node (fine at oracle
     // scale; the engine side never materializes reachability — it

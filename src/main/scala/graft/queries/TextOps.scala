@@ -300,21 +300,30 @@ object TextOps {
         d.filter(col("source") =!= "src18"), d.filter(col("source") === "src18"),
         "doc_id", "text", 3, 15, 3, minEqual = 9)
     }),
-    "d_dedup_clusters" -> ((s, dir) => {
-      // pairs -> groups: connected components over the SimHash candidate
-      // graph, then each doc labeled with its cluster's min doc_id (the
-      // canonical survivor) and the cluster size. Near-dup relations are
-      // not transitive, so group-then-keep-min is the correct delete set —
-      // pairwise keep-min can delete both ends of a chain a-b-c.
-      import org.apache.spark.sql.expressions.Window
-      val prs = TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 2)
-        .select("doc_a", "doc_b")
-      Components.connectedComponents(prs, "doc_a", "doc_b")
-        .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-    })
+    // pairs -> groups: connected components over the SimHash candidate
+    // graph, then each doc labeled with its cluster's min doc_id (the
+    // canonical survivor) and the cluster size. Near-dup relations are
+    // not transitive, so group-then-keep-min is the correct delete set —
+    // pairwise keep-min can delete both ends of a chain a-b-c. Declared
+    // twice — once per CC algorithm, both against the SAME oracle: the
+    // O(diameter) propagation and the O(log^2 n) star-rewriting must be
+    // indistinguishable in output.
+    "d_dedup_clusters" -> ((s, dir) =>
+      clustersVia(s, dir, Components.connectedComponents(_, _, _))),
+    "d_clusters_stars" -> ((s, dir) =>
+      clustersVia(s, dir, Components.connectedComponentsStars(_, _, _)))
   )
+
+  private def clustersVia(s: SparkSession, dir: String,
+      cc: (DataFrame, String, String) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prs = TextDedup.simhashPairs(docs(s, dir), "doc_id", "text", 2)
+      .select("doc_a", "doc_b")
+    cc(prs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
 
   private val shingleSql =
     """sh AS (
@@ -576,8 +585,14 @@ object TextOps {
     // same SimHash candidate graph as d_simhash_pairs, closed transitively:
     // the recursive CTE enumerates reachable ids per node (fine at oracle
     // scale; the engine side never materializes reachability — it
-    // min-label-propagates in O(diameter) joins)
-    "d_dedup_clusters" ->
+    // min-label-propagates in O(diameter) joins). d_clusters_stars runs
+    // the large/small-star algorithm against the identical oracle.
+    "d_dedup_clusters" -> clustersOracleSql,
+    "d_clusters_stars" -> clustersOracleSql
+  )
+
+  // lazy: referenced by the `oracles` map declared above it
+  private lazy val clustersOracleSql =
       """WITH RECURSIVE tok AS (SELECT doc_id, tok, count(*) AS cnt
                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
                       GROUP BY 1, 2),
@@ -598,5 +613,4 @@ object TextOps {
          labels AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1)
          SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM labels"""
-  )
 }

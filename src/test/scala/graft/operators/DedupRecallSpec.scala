@@ -51,6 +51,32 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall; found ${found.size} pairs")
   }
 
+  test("incremental LSH matching finds planted batch-vs-corpus near-dups with correct best match") {
+    val (base, _) = corpus(nBase = 50, nDup = 0, docLen = 40, mutations = 0)
+    // batch = 15 lightly-mutated copies of known corpus docs + 10 novel docs
+    val rnd = new Random(41)
+    val dupRows = (0 until 15).map { j =>
+      val src = base.collect()(j * 3)
+      val toks = src.getString(1).split(" ").toBuffer
+      toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+      (2000L + j, toks.mkString(" "), src.getLong(0))
+    }
+    val novel = (0 until 10).map { j =>
+      (3000L + j, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val spark2 = spark; import spark2.implicits._
+    val batch = (dupRows.map(t => (t._1, t._2)) ++ novel).toDF("doc_id", "text")
+    val got = TextDedup.incrementalLshMatches(base, batch,
+        "doc_id", "text", 3, 15, 3, minEqual = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = dupRows.map(t => t._1 -> t._3).toMap
+    val hit = expected.count { case (b, src) => got.get(b).contains(src) }
+    assert(hit >= 12, s"only $hit/15 planted dups matched to their source: $got")
+    // novel docs may band-collide by chance but must not pass the 9/15 bar
+    assert(novel.map(_._1).count(got.contains) == 0,
+      s"novel docs spuriously matched: $got")
+  }
+
   test("exact copies always collide in every band and have identical simhash") {
     val (docs, _) = corpus(nBase = 30, nDup = 0, docLen = 30, mutations = 0)
     val copies = docs.withColumn("doc_id", col("doc_id") + 500L)

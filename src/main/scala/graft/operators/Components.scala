@@ -101,13 +101,14 @@ object Components {
         .union(edges.select(col("dst").as("c"), col("src").as("u")))
         .distinct()
 
-    // large-star: every strictly-larger neighbor of c re-points to m(c)
+    // large-star: every strictly-larger neighbor of c re-points to m(c).
+    // No trailing distinct: the consumer (smallStar's undirected()) dedups
+    // anyway, so one exchange per round is saved.
     def largeStar(edges: DataFrame): DataFrame = {
       val und = undirected(edges)
       und.join(withMin(und), "c")
         .filter(col("u") > col("c"))
         .select(col("u").as("src"), col("m").as("dst"))
-        .distinct()
     }
 
     // small-star: c and its smaller neighbors all re-point to the minimum

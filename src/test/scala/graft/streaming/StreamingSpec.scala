@@ -51,6 +51,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("foreachBatch streaming curation drops corpus near-dups from arriving docs") {
+    import graft.operators.TextDedup
+    val db = "stream_curate_probe"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"""CREATE TABLE $db.admitted
+                  (doc_id BIGINT, text STRING, lang STRING, source STRING,
+                   n_chars BIGINT) USING parquet""")
+    try {
+      val all = Tables.load(spark, dir, "documents")
+      val corpus = all.filter(col("source") =!= "src18")
+      // the arriving stream: the src18 slice, read through the file source
+      val docSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val arriving = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("source") === "src18")
+      val q = arriving.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val dups = TextDedup.incrementalLshMatches(corpus, batch,
+            "doc_id", "text", 3, 15, 3, minEqual = 9).select("doc_id")
+          graft.pipeline.Loader.dedupAppend(batch.sparkSession,
+            batch.join(dups, Seq("doc_id"), "left_anti"),
+            s"$db.admitted", Seq("doc_id"))
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      // streaming admission must equal the batch computation end-to-end
+      val batchDocs = all.filter(col("source") === "src18")
+      val expectDropped = TextDedup.incrementalLshMatches(corpus, batchDocs,
+        "doc_id", "text", 3, 15, 3, minEqual = 9).count()
+      assert(expectDropped > 0, "probe corpus must contain planted cross-slice dups")
+      assert(spark.table(s"$db.admitted").count() == batchDocs.count() - expectDropped)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("flatMapGroupsWithState running totals: final state equals batch totals") {
     val running = EventsStream.runToMemory(spark,
       StatefulOps.runningUserTotals(spark, EventsStream.readEvents(spark, dir)).toDF(),

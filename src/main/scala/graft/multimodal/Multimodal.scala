@@ -67,6 +67,33 @@ object Multimodal {
       }(enc)
   }
 
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("orig_len", IntegerType, nullable = false),
+    StructField("new_len", IntegerType, nullable = false),
+    StructField("resized", BinaryType, nullable = false)))
+
+  /** STUB resize/transcode: keep every `factor`-th payload byte — the
+    * deterministic stand-in for an image resize / audio downsample. What
+    * this exercises is the Spark-side shape of a transcode pass: binary in,
+    * smaller binary out, per-partition codec work, new size metadata riding
+    * along for downstream pruning. */
+  def resizeAssets(assets: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val enc = ExpressionEncoder(resizeSchema)
+    assets.select("asset_id", "modality", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val out = Array.ofDim[Byte]((payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+          Row(r.getLong(0), r.getString(1), payload.length, out.length, out)
+        }
+      }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

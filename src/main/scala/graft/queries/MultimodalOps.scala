@@ -37,6 +37,16 @@ object MultimodalOps {
         .agg(count(lit(1)).cast("int").as("n_frames"),
           sum(length(col("frame_bytes"))).cast("bigint").as("total_bytes"))
     }),
+    "m_resize" -> ((s, dir) => {
+      // stub resize/transcode: every-4th-byte downsample; the digest of the
+      // resized payload is oracle-checkable because the corpus is pure
+      // ASCII (payload bytes == text chars, see m_decode's note)
+      Multimodal.resizeAssets(
+        Multimodal.assetsFromDocuments(Tables.load(s, dir, "documents"), "doc_id", "text"),
+        factor = 4)
+        .select(col("asset_id"), col("orig_len"), col("new_len"),
+          md5(col("resized")).as("digest"))
+    }),
     "m_embed_knn" -> ((s, dir) => {
       // full media pipeline shape: payload → stub embedding → exact kNN
       val assets = Multimodal.assetsFromDocuments(
@@ -48,6 +58,14 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "m_resize" ->
+      """SELECT doc_id AS asset_id,
+                CAST(length(text) AS INTEGER) AS orig_len,
+                CAST((length(text) + 3) // 4 AS INTEGER) AS new_len,
+                md5(array_to_string(list_transform(
+                      generate_series(1, (length(text) + 3) // 4),
+                      i -> substr(text, (i - 1) * 4 + 1, 1)), '')) AS digest
+         FROM documents""",
     "m_decode" ->
       // replays decodeStub's byte fold: acc = (acc*31 + byte) % 1000003,
       // seeded 0 — list_reduce's first-element seed is identical because

@@ -114,8 +114,14 @@ object TextOps {
       // doc's tokens (rare-token-heavy docs score low) — the shape of
       // frequency-based LLM data filters. Corpus stats join back to docs;
       // ratios go through DECIMAL(28,18) so the mean is order-independent.
+      // `toks` fans out to TWO consumers (the corpus aggregate and the join
+      // probe side); without a barrier Catalyst inlines the tokenize+explode
+      // into both subtrees and runs it twice. The repartition exchange is a
+      // materialization point ReuseExchange shares across both consumers —
+      // the same idiom as TextDedup.scala (shingle fan-out).
       val toks = docs(s, dir)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .repartition(col("doc_id"))
       val corpus = toks.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
       // corpus-total derived FROM the corpus aggregate (broadcast 1-row
       // frame), not a separate full pass over toks — one less corpus scan

@@ -23,16 +23,35 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
   */
 object RestExtract {
 
+  /** Request credential, applied as an `Authorization` header on EVERY
+    * request — the driver probe and every executor page/detail fetch alike
+    * (the reference authenticates each `requests.get` with
+    * `auth=(user, pass)`, airflow_to_gcs.py:77-80,130-140). Serializable so
+    * the closure ships it to executors; the header value is precomputed
+    * once per instance. */
+  sealed trait Auth extends Serializable { def header: String }
+  /** HTTP basic — the reference's `airflow_user`/`airflow_pass` pair. */
+  final case class BasicAuth(user: String, pass: String) extends Auth {
+    override val header: String = "Basic " + java.util.Base64.getEncoder
+      .encodeToString(s"$user:$pass".getBytes("UTF-8"))
+  }
+  /** Bearer token — the modern Airflow (2.7+) / generic-REST form. */
+  final case class BearerAuth(token: String) extends Auth {
+    override val header: String = s"Bearer $token"
+  }
+
   final case class Api(baseUrl: String, batchSize: Int = 1000,
-                       watermarkParam: String = "start_date_gte")
+                       watermarkParam: String = "start_date_gte",
+                       auth: Option[Auth] = None)
 
   // one client per JVM (driver or executor) — each HttpClient owns selector
   // threads and a connection pool; per-request construction churns both
   @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  private def get(url: String): String = {
-    val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
-    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+  private def get(url: String, auth: Option[Auth]): String = {
+    val b = HttpRequest.newBuilder(URI.create(url)).GET()
+    auth.foreach(a => b.header("Authorization", a.header))
+    val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     require(res.statusCode() == 200, s"GET $url -> ${res.statusCode()}")
     res.body()
   }
@@ -48,11 +67,11 @@ object RestExtract {
 
   /** One page's raw body — shared with the DSv2 connector (sources.RestDataSource). */
   def getPage(api: Api, entity: String, offset: Long, wm: Option[String]): String =
-    get(pageUrl(api, entity, offset, wm))
+    get(pageUrl(api, entity, offset, wm), api.auth)
 
   /** Driver-side probe: total row count for the (watermarked) extraction. */
   def totalEntries(api: Api, entity: String, wm: Option[String]): Long = {
-    val body = get(pageUrl(api, entity, 0, wm))
+    val body = get(pageUrl(api, entity, 0, wm), api.auth)
     new ObjectMapper().readTree(body).get("total_entries").asLong()
   }
 
@@ -61,19 +80,52 @@ object RestExtract {
             wm: Option[String] = None): DataFrame = {
     val total = totalEntries(api, entity, wm)
     val numPages = math.max(1L, (total + api.batchSize - 1) / api.batchSize)
-    val batch = api.batchSize
-    val (baseUrl, wmParam) = (api.baseUrl, api.watermarkParam)
-    val pages: Dataset[java.lang.Long] = spark.range(numPages)
-      .as(Encoders.LONG)
-    val rows: Dataset[String] = pages.mapPartitions { it =>
-      val mapper = new ObjectMapper()
-      it.flatMap { page =>
-        val url = pageUrl(Api(baseUrl, batch, wmParam), entity, page * batch, wm)
-        val items = mapper.readTree(get(url)).get("items")
-        (0 until items.size()).iterator.map(i => items.get(i).toString)
+    val apiB = api // case class: serializable, closure-captured whole
+    val rows: Dataset[String] = spark.range(numPages).as(Encoders.LONG)
+      .mapPartitions { it =>
+        val mapper = new ObjectMapper()
+        it.flatMap { page =>
+          val url = pageUrl(apiB, entity, page * apiB.batchSize, wm)
+          val items = mapper.readTree(get(url, apiB.auth)).get("items")
+          (0 until items.size()).iterator.map(i => items.get(i).toString)
+        }
+      }(Encoders.STRING)
+    spark.read.schema(Schemas.byEntity(entity)).json(rows)
+  }
+
+  /** O6 dags-mode list→detail fan-out (airflow_to_gcs.py:130-140): the
+    * reference GETs the `/dags` list, then one `/dags/{dag_id}` detail call
+    * per row — 1+N requests, serially, in one worker. Here the list pages
+    * distribute exactly like any entity fetch, and the per-id detail GETs
+    * run inside `mapPartitions` on executors — so the N detail calls fan
+    * out across the cluster and scale with executor count, while the
+    * driver still makes only the single `total_entries` probe. Detail
+    * bodies stage through the explicit 10-field dag schema (never
+    * inference), matching the reference's projected row dict. */
+  def fetchDags(spark: SparkSession, api: Api): DataFrame = {
+    val total = totalEntries(api, "dag", None)
+    val numPages = math.max(1L, (total + api.batchSize - 1) / api.batchSize)
+    val apiB = api
+    // stage 1: page the id list (only dag_id is consumed from list items)
+    val ids: Dataset[String] = spark.range(numPages).as(Encoders.LONG)
+      .mapPartitions { it =>
+        val mapper = new ObjectMapper()
+        it.flatMap { page =>
+          val url = pageUrl(apiB, "dag", page * apiB.batchSize, None)
+          val items = mapper.readTree(get(url, apiB.auth)).get("items")
+          (0 until items.size()).iterator
+            .map(i => items.get(i).get("dag_id").asText())
+        }
+      }(Encoders.STRING)
+    // stage 2: one detail GET per id, partition-parallel; ids are URL-path
+    // encoded (dag_ids are user-defined strings)
+    val rows: Dataset[String] = ids.mapPartitions { it =>
+      it.map { id =>
+        val enc = java.net.URLEncoder.encode(id, "UTF-8").replace("+", "%20")
+        get(s"${apiB.baseUrl}/dag/$enc", apiB.auth)
       }
     }(Encoders.STRING)
-    spark.read.schema(Schemas.byEntity(entity)).json(rows)
+    spark.read.schema(Schemas.dag).json(rows)
   }
 
   /** Full live path for one entity: extract → run-partitioned staging →
@@ -83,7 +135,11 @@ object RestExtract {
     val table = Catalog.tableName(entity)
     val wmCol = Schemas.watermarkOf(entity)
     val wm = wmCol.flatMap(c => Watermark.maxWatermark(spark, table, c))
-    val fetched = fetch(spark, api, entity, wm.map(_.toInstant.toString))
+    // dag is the reference's list→detail mode (no watermark, full refresh);
+    // dag_run/task_instance page a flat watermarked list
+    val fetched =
+      if (entity == "dag") fetchDags(spark, api)
+      else fetch(spark, api, entity, wm.map(_.toInstant.toString))
     val path = Staging.writeStaged(fetched, stagingBase, entity, runTs)
     val staged = Staging.readStaged(spark, entity, Seq(path), arrayForm = false)
     // the HTTP bound is inclusive (start_date_gte); re-apply the strict >

@@ -48,23 +48,41 @@ class RestDataSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new RestTable(schema, opts.get("baseUrl"), opts.get("entity"),
-      Option(opts.get("batchSize")).map(_.toInt).getOrElse(1000))
+      Option(opts.get("batchSize")).map(_.toInt).getOrElse(1000),
+      RestDataSource.authFrom(opts))
+  }
+}
+
+private[sources] object RestDataSource {
+  /** Credential options → RestExtract.Auth: `user`+`password` (basic, the
+    * reference's airflow_user/airflow_pass) or `token` (bearer). Both set
+    * is ambiguous → error rather than a silent precedence pick. */
+  def authFrom(opts: CaseInsensitiveStringMap): Option[RestExtract.Auth] = {
+    val basic = Option(opts.get("user")).map { u =>
+      RestExtract.BasicAuth(u, Option(opts.get("password")).getOrElse(""))
+    }
+    val bearer = Option(opts.get("token")).map(RestExtract.BearerAuth)
+    require(basic.isEmpty || bearer.isEmpty,
+      "options 'user' and 'token' are mutually exclusive")
+    basic.orElse(bearer)
   }
 }
 
 private[sources] class RestTable(schema: StructType, baseUrl: String,
-                                 entity: String, batchSize: Int)
+                                 entity: String, batchSize: Int,
+                                 auth: Option[RestExtract.Auth])
     extends Table with SupportsRead {
   override def name(): String = s"rest($entity)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(schema, baseUrl, entity, batchSize)
+    new RestScanBuilder(schema, baseUrl, entity, batchSize, auth)
 }
 
 private[sources] class RestScanBuilder(schema: StructType, baseUrl: String,
-                                       entity: String, batchSize: Int)
+                                       entity: String, batchSize: Int,
+                                       auth: Option[RestExtract.Auth])
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var watermark: Option[String] = None
@@ -89,7 +107,8 @@ private[sources] class RestScanBuilder(schema: StructType, baseUrl: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new RestScan(schema, RestExtract.Api(baseUrl, batchSize), entity, watermark)
+    new RestScan(schema, RestExtract.Api(baseUrl, batchSize, auth = auth),
+      entity, watermark)
 }
 
 private[sources] class RestScan(schema: StructType, api: RestExtract.Api,

@@ -19,6 +19,10 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var server: HttpServer = _
   private var base: String = _
+  private var secBase: String = _
+
+  private val listCalls = new java.util.concurrent.atomic.AtomicInteger
+  private val detailCalls = new java.util.concurrent.atomic.AtomicInteger
 
   // 25 dag_runs, start_date 2022-03-01T00:00:05Z + i hours
   private def runJson(i: Int): String = {
@@ -30,35 +34,85 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
         "start_date": "$start", "state": "success"}"""
   }
 
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.length == 0) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def dagRunPage(ex: HttpExchange): String = {
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    val limit = params.getOrElse("limit", "1000").toInt
+    val offset = params.getOrElse("offset", "0").toInt
+    val wm = params.get("start_date_gte").map(java.time.Instant.parse)
+    // INCLUSIVE >= semantics (the Airflow API contract): boundary rows
+    // are returned; the engine's residual strict > must drop them
+    val all = (0 until 25).filter { i =>
+      val start = java.time.Instant.parse("2022-03-01T00:00:05Z")
+        .plusSeconds(3600L * i)
+      wm.forall(w => !start.isBefore(w))
+    }
+    val page = all.slice(offset, offset + limit).map(runJson)
+    s"""{"items": [${page.mkString(",")}], "total_entries": ${all.size}}"""
+  }
+
+  private def dagDetailJson(id: String): String =
+    s"""{"dag_id": "$id", "is_paused": false, "is_subdag": false,
+        "is_active": true, "fileloc": "/dags/$id.py", "file_token": "tk_$id",
+        "owners": "airflow", "description": "stub dag $id",
+        "root_dag_id": null, "schedule_interval": "@daily"}"""
+
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress(0), 0)
     server.createContext("/api/dag_run", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, dagRunPage(ex))
+    })
+    // dags mode: list at /api/dag (summary items), detail at /api/dag/{id}
+    // — longest-prefix routing keeps /api/dag_run on its own context
+    server.createContext("/api/dag", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
-          .split("&").filter(_.contains("="))
-          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
-        val limit = params.getOrElse("limit", "1000").toInt
-        val offset = params.getOrElse("offset", "0").toInt
-        val wm = params.get("start_date_gte").map(java.time.Instant.parse)
-        // INCLUSIVE >= semantics (the Airflow API contract): boundary rows
-        // are returned; the engine's residual strict > must drop them
-        val all = (0 until 25).filter { i =>
-          val start = java.time.Instant.parse("2022-03-01T00:00:05Z")
-            .plusSeconds(3600L * i)
-          wm.forall(w => !start.isBefore(w))
+        val path = ex.getRequestURI.getPath
+        if (path == "/api/dag") {
+          listCalls.incrementAndGet()
+          val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+          val limit = params.getOrElse("limit", "1000").toInt
+          val offset = params.getOrElse("offset", "0").toInt
+          val all = (0 until 25).map(i => f"stub dag $i%02d")
+          val page = all.slice(offset, offset + limit)
+            .map(id => s"""{"dag_id": "$id"}""")
+          respond(ex, 200,
+            s"""{"items": [${page.mkString(",")}], "total_entries": ${all.size}}""")
+        } else {
+          detailCalls.incrementAndGet()
+          val id = java.net.URLDecoder.decode(
+            path.stripPrefix("/api/dag/"), "UTF-8")
+          respond(ex, 200, dagDetailJson(id))
         }
-        val page = all.slice(offset, offset + limit).map(runJson)
-        val body =
-          s"""{"items": [${page.mkString(",")}], "total_entries": ${all.size}}"""
-        val bytes = body.getBytes("UTF-8")
-        ex.getResponseHeaders.add("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length)
-        ex.getResponseBody.write(bytes)
-        ex.close()
+      }
+    })
+    // auth-gated mirror of /api/dag_run: 401 unless the request carries
+    // basic admin:admin or bearer secret123 — every page fetch must
+    // authenticate, not just the driver probe
+    val basicOk = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("admin:admin".getBytes("UTF-8"))
+    server.createContext("/sec/dag_run", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        if (auth.contains(basicOk) || auth.contains("Bearer secret123"))
+          respond(ex, 200, dagRunPage(ex))
+        else respond(ex, 401, "")
       }
     })
     server.start()
     base = s"http://localhost:${server.getAddress.getPort}/api"
+    secBase = s"http://localhost:${server.getAddress.getPort}/sec"
   }
 
   override def afterAll(): Unit = if (server != null) server.stop(0)
@@ -97,6 +151,67 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // residual filters still evaluate in Spark
     assert(df.filter(col("state") === "success").count() == 25)
     assert(df.filter(col("state") === "failed").count() == 0)
+  }
+
+  test("auth: unauthenticated requests 401; basic and bearer both succeed") {
+    val noAuth = RestExtract.Api(secBase, batchSize = 10)
+    val e = intercept[Exception] {
+      RestExtract.totalEntries(noAuth, "dag_run", None)
+    }
+    assert(e.getMessage.contains("401"), e.getMessage)
+    val basic = noAuth.copy(auth = Some(RestExtract.BasicAuth("admin", "admin")))
+    // full fetch: the header must ride along on EXECUTOR page fetches too,
+    // not just the driver probe
+    assert(RestExtract.fetch(spark, basic, "dag_run").count() == 25)
+    val bearer = noAuth.copy(auth = Some(RestExtract.BearerAuth("secret123")))
+    assert(RestExtract.fetch(spark, bearer, "dag_run").count() == 25)
+    val badPass = noAuth.copy(auth = Some(RestExtract.BasicAuth("admin", "wrong")))
+    assert(intercept[Exception] {
+      RestExtract.totalEntries(badPass, "dag_run", None)
+    }.getMessage.contains("401"))
+  }
+
+  test("DSv2 connector: credential options authenticate probe and pages") {
+    val df = spark.read.format("graft.sources.RestDataSource")
+      .option("baseUrl", secBase).option("entity", "dag_run")
+      .option("batchSize", "10")
+      .option("user", "admin").option("password", "admin")
+      .load()
+    assert(df.count() == 25)
+    val tok = spark.read.format("graft.sources.RestDataSource")
+      .option("baseUrl", secBase).option("entity", "dag_run")
+      .option("batchSize", "10").option("token", "secret123")
+      .load()
+    assert(tok.count() == 25)
+  }
+
+  test("dags mode: list→detail fan-out, 1+pages list calls, N detail calls") {
+    listCalls.set(0); detailCalls.set(0)
+    val api = RestExtract.Api(base, batchSize = 10)
+    val df = RestExtract.fetchDags(spark, api)
+    val rows = df.collect()
+    // one driver probe + ceil(25/10)=3 page fetches; one detail GET per dag
+    assert(listCalls.get() == 4, s"list calls = ${listCalls.get()}")
+    assert(detailCalls.get() == 25, s"detail calls = ${detailCalls.get()}")
+    assert(rows.length == 25)
+    // projected to the 10-field dag schema, typed (reference's row dict)
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Schemas.dag.fields.map(f => (f.name, f.dataType)).toSeq)
+    val r = rows.map(r => r.getString(0) -> r).toMap.apply("stub dag 07")
+    assert(r.getAs[Boolean]("is_active") && !r.getAs[Boolean]("is_paused"))
+    assert(r.getAs[String]("fileloc") == "/dags/stub dag 07.py")
+    assert(rows.forall(_.isNullAt(df.schema.fieldIndex("root_dag_id"))))
+  }
+
+  test("dag entity routes through the fan-out in extractStageLoad") {
+    Catalog.drop(spark); Catalog.ensure(spark)
+    val api = RestExtract.Api(base, batchSize = 10)
+    val stagingBase = java.nio.file.Files.createTempDirectory("graft-dags").toString
+    RestExtract.extractStageLoad(spark, api, "dag", stagingBase, "20220301T000000")
+    assert(spark.table("rpt.dag").count() == 25)
+    // full-refresh mode + PK dedup on dag_id → second run stays at 25
+    RestExtract.extractStageLoad(spark, api, "dag", stagingBase, "20220301T010000")
+    assert(spark.table("rpt.dag").count() == 25)
   }
 
   test("live extract→stage→load is incremental and idempotent") {

@@ -37,6 +37,57 @@ object IvfIndex {
     (assigned, centroids)
   }
 
+  /** Deterministic IVF with SAMPLED centroids — the Faiss `niter=0`
+    * construction (centroids are corpus rows, no Lloyd iterations): cell
+    * `i` is seeded by the embedding of `idCol = i` for `i < nCells`. Every
+    * stage — centroid assignment (per-row argmax of decimal-exact cosines),
+    * probe selection (an nCells-row sort), candidate pruning, exact
+    * rerank — is a relational op, so the driver's SQL oracle replays the
+    * WHOLE index bit-for-bit. The trained-KMeans variant (build/knn above)
+    * adapts cells to the data but its trainer is not SQL-expressible; it
+    * stays spec-gated (OperatorsSpec recall assertions) while this variant
+    * carries the driver-visible correctness gate.
+    *
+    * Scale shape is identical to trained IVF: centroids ride in the
+    * assignment expression (nCells driver-side vectors, the same scalar
+    * scale as the query vector), assignment is a narrow per-row map — at
+    * write time it is the bucketing column — probe selection is an
+    * nCells-row broadcast, and only nprobe cells' rows are exactly scored.
+    * No shuffle anywhere except the final top-k reduction. */
+  def knnSampled(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val seeds: Array[(Int, Seq[Float])] = emb.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int"), col(vecCol))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(seeds.length == nCells, s"need ids 0..${nCells - 1} as seeds, found ${seeds.length}")
+    val queryRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    require(queryRows.nonEmpty, s"query vector not found: $idCol = $queryId")
+    val query: Seq[Float] = queryRows.head.getSeq[Float](0)
+    // per-row assignment: cell = FIRST index of the max centroid cosine
+    // (array_position returns the first match → smallest cell wins ties,
+    // matching the oracle's max(struct(c, -cell)) tie-break)
+    val cellCos = array(seeds.map { case (_, c) =>
+      Similarity.cosineToQuery(col(vecCol), c) }: _*)
+    val assigned = emb
+      .withColumn("cell", (array_position(cellCos, array_max(cellCos)) - 1).cast("int"))
+    // probe selection stays IN-PLAN with the same decimal-exact cosine as
+    // the oracle — a driver-side double-math sort could flip near-tied
+    // centroids and silently probe different cells than the oracle
+    val seedDf = emb.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("cell"),
+        Similarity.cosineToQuery(col(vecCol), query).as("qc"))
+      .orderBy(col("qc").desc, col("cell").asc)
+      .limit(nprobe)
+      .select("cell")
+    assigned.join(broadcast(seedDf), "cell")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("vec_id"),
+        Similarity.cosineToQuery(col(vecCol), query).as("c_raw"))
+      .orderBy(col("c_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
+  }
+
   /** Top-k by exact cosine among the nprobe nearest cells to the query. */
   def knn(assigned: DataFrame, centroids: Array[Array[Float]],
           idCol: String, vecCol: String,

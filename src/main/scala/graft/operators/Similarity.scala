@@ -47,6 +47,12 @@ object Similarity {
     decDot(vec, q) / safeDenom(sqrt(decDot(vec, vec)) * sqrt(decDot(q, q)))
   }
 
+  /** Exact cosine between two embedding COLUMNS (both sides vary per row) —
+    * same decimal accumulation contract as cosineToQuery, for operators
+    * that score against a joined frame (e.g. IVF centroid assignment). */
+  def cosineCols(a: Column, b: Column): Column =
+    decDot(a, b) / safeDenom(sqrt(decDot(a, a)) * sqrt(decDot(b, b)))
+
   /** Exact top-k nearest neighbours of `queryId`'s embedding by cosine.
     * Fetching the query vector is a 1-row driver scalar (like a watermark);
     * the scan itself is a single projection + TakeOrderedAndProject. */

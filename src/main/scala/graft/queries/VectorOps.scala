@@ -39,16 +39,15 @@ object VectorOps {
         .limit(10)
         .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
     }),
-    "v_knn_ivf" -> ((s, dir) => {
-      // IVF scale path: seeded k-means cells, probe the 4 nearest of 16.
-      // K-means training is not SQL-expressible → rows-only check; recall
-      // and consistency invariants live in OperatorsSpec.
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
-      val (assigned, centroids) = IvfIndex.build(e, "vec_id", "embedding", k = 16)
-      IvfIndex.knn(assigned.filter(col("vec_id") =!= 0L), centroids,
-        "vec_id", "embedding", q, k = 10, nprobe = 4)
-    })
+    "v_knn_ivf" -> ((s, dir) =>
+      // IVF scale path, sampled-centroid construction (Faiss niter=0):
+      // cells seeded by vec_ids 0..15, probe the 4 nearest. Fully
+      // relational → the oracle replays assignment, probe selection, and
+      // rerank bit-for-bit (a REAL hash gate, unlike the trained-KMeans
+      // variant, which is spec-gated in OperatorsSpec because k-means
+      // training is not SQL-expressible).
+      IvfIndex.knnSampled(emb(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4))
   )
 
   /** Shared SQL fragment: exact decimal dot/norm accumulation per vec. */
@@ -98,6 +97,37 @@ object VectorOps {
          ${accumSql("cands")}
          SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
+         ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "v_knn_ivf" ->
+      // full IVF replay: decimal-exact cos(vec, centroid) for every pair,
+      // argmax assignment (ties → smallest cell, via max(struct(c, -cell))),
+      // probe = 4 cells nearest the query (vec 0's own cc rows), exact
+      // rerank over probed cells only
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                   FROM embeddings WHERE vec_id < 16),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                      FROM cc GROUP BY 1),
+         probes AS (SELECT cell FROM cc WHERE vec_id = 0
+                    ORDER BY c DESC, cell ASC LIMIT 4),
+         cand_emb AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                      JOIN assigned a ON e.vec_id = a.vec_id
+                      JOIN probes p ON a.cell = p.cell
+                      WHERE e.vec_id <> 0),
+         ${accumSql("cand_emb")}
+         SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
+         FROM d, qn
          ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
     "v_neardup" ->
       """WITH blocked AS (

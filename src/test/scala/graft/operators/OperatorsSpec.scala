@@ -130,6 +130,21 @@ class OperatorsSpec extends AnyFunSuite {
       "IVF hits must appear in the exhaustive ranking with identical scores")
   }
 
+  test("sampled-centroid IVF: valid cells, scores match brute, exhaustive probe = brute") {
+    val sampled = IvfIndex.knnSampled(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nCells = 16, nprobe = 4)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 1000)
+    assert(sampled.count() == 10)
+    // every hit appears in the exhaustive ranking with an identical score
+    assert(sampled.join(brute, Seq("vec_id", "cosine"), "left_anti").count() == 0)
+    // probing ALL cells degenerates to exact search: must equal brute top-10
+    val all = IvfIndex.knnSampled(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, nCells = 16, nprobe = 16).collect()
+    val b10 = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(all.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      b10.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("nearDupPairs is symmetric-free (a<b) and respects the threshold") {
     val p = Similarity.nearDupPairs(emb, "vec_id", "embedding", 8, 0.35)
     assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)

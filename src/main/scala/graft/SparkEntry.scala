@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Core => CoreQ, TextOps => TextQ, VectorOps => VecQ, MultimodalOps => MmQ, PipelineOps => PipeQ, StreamingOps => StreamQ}
+import graft.queries.{Core => CoreQ, TextOps => TextQ, VectorOps => VecQ, MultimodalOps => MmQ, PipelineOps => PipeQ, StreamingOps => StreamQ, GraphOps => GraphQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       (VecQ.defs, VecQ.oracles),
       (MmQ.defs, MmQ.oracles),
       (PipeQ.defs, PipeQ.oracles),
-      (StreamQ.defs, StreamQ.oracles)
+      (StreamQ.defs, StreamQ.oracles),
+      (GraphQ.defs, GraphQ.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

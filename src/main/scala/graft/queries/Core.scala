@@ -132,6 +132,19 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // Space-Saving frequent-items sketch (custom mergeable UDAF): bounded
+      // state regardless of key cardinality — the groupless-scan shape of
+      // heavy-hitter detection at 100 TB. k=64 >> |event_type|, so no
+      // eviction occurs and every (est, err=0) is exact; a plain GROUP BY
+      // oracle hash-checks the sketch output (the eviction regime's
+      // guarantees are property-tested in SpaceSavingSpec).
+      val ss = graft.functions.SpaceSaving.topK(64)
+      t(s, dir, "events").agg(ss(col("event_type")).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h._1").as("item"), col("h._2").as("est"),
+          col("h._3").as("err"))
+    }),
     "q_cube" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -755,6 +768,11 @@ object Core {
                      ELSE round((255.0 / x.v) * 281474976710656.0, 4) END AS kmv_estimate,
                 CAST(x.nd AS BIGINT) AS exact_distinct
          FROM kth x""",
+    "q_heavy_hitters" ->
+      // k=64 exceeds the event_type cardinality, so the Space-Saving sketch
+      // is in its exact regime: output == plain GROUP BY, all errors 0
+      """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
+         FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

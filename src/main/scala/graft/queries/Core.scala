@@ -132,6 +132,56 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_profile" -> ((s, dir) => {
+      // one-pass data profiling (null fraction / distinct / min / max per
+      // column) — the schema-drift sentry a reporting pipeline runs before
+      // every load. ONE scan computes all per-column aggregates; the wide
+      // 1-row result is then unpivoted driver-free via explode.
+      val cols = Seq("o_orderstatus", "o_custkey", "o_orderdate")
+      def stats(c: String) = Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      val exprs = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
+      t(s, dir, "orders").agg(exprs.head, exprs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"${c}_nn")).as("n_null"),
+          col(s"${c}_nd").as("n_distinct"),
+          col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))): _*))
+          .as("p"))
+        .select("p.*")
+    }),
+    "q_bucketed_join" -> ((s, dir) => {
+      // co-located join: both sides written bucketed on the join key, so the
+      // sort-merge join reads matching buckets with NO shuffle exchange —
+      // the 100 TB fact-dim co-location strategy (plan proven shuffle-free
+      // in ScaleSpec; here the result is hash-checked against a plain join).
+      // drop catalog entry AND any orphaned warehouse dir: the default
+      // catalog is per-JVM, so a table written by a previous process is
+      // unknown to DROP TABLE while its location still exists on disk —
+      // saveAsTable would refuse with LOCATION_ALREADY_EXISTS
+      Seq("graft_bucket_orders", "graft_bucket_customer").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable("graft_bucket_orders")
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable("graft_bucket_customer")
+      val bo = s.table("graft_bucket_orders")
+      val bc = s.table("graft_bucket_customer")
+      bo.hint("merge").join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    }),
     "q_heavy_hitters" -> ((s, dir) => {
       // Space-Saving frequent-items sketch (custom mergeable UDAF): bounded
       // state regardless of key cardinality — the groupless-scan shape of
@@ -773,6 +823,28 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_profile" ->
+      """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+                count(*) - count(o_orderstatus) AS n_null,
+                count(DISTINCT o_orderstatus) AS n_distinct,
+                CAST(min(o_orderstatus) AS VARCHAR) AS min_s,
+                CAST(max(o_orderstatus) AS VARCHAR) AS max_s
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                count(DISTINCT o_custkey),
+                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+                count(DISTINCT o_orderdate),
+                CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+         FROM orders""",
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

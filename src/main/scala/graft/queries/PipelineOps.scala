@@ -4,8 +4,10 @@ import java.sql.DriverManager
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lag, lead, not, row_number}
 
+import graft.Tables
 import graft.pipeline.{Catalog, Fixtures, JdbcSink, Loader, ReportingPipeline, Schemas, Staging}
 
 /** The reference pipeline itself as declared operators, each with a REAL
@@ -56,6 +58,28 @@ object PipelineOps {
         preference = Seq(col(Staging.srcFileCol).desc))
       s.table(table).select("dag_id", "dag_run_id", "state")
         .orderBy(col("dag_id"), col("dag_run_id"))
+    }),
+    "p_scd2" -> ((s, dir) => {
+      // slowly-changing-dimension type 2 build: collapse each user's event
+      // stream into validity intervals of their event_type "state" — change
+      // detection via lag, interval close via lead, open interval =
+      // is_current. The standard reporting-dimension history table the
+      // reference's Postgres consumers would maintain with triggers; here it
+      // is one declarative two-phase window plan: change detection (lag+rn,
+      // one sort) over the raw stream, then interval close (lead) over the
+      // much smaller change set — the second sort costs O(changes), and both
+      // phases keep user_id partitioning so only the first shuffles.
+      // Null-safe change test (<=>): a null state is a state, not a wildcard.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 || not(col("prev_type") <=> col("event_type")))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
     }),
     "p_jdbc_upsert" -> ((s, _) => {
       val dbName = "graft" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -112,6 +136,18 @@ object PipelineOps {
             FROM $src)
           SELECT $cols FROM staged WHERE rn = 1"""
     Map(
+      "p_scd2" ->
+        """WITH c AS (SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM events),
+           ch AS (SELECT user_id, ts, event_id, event_type FROM c
+                  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
+           SELECT user_id, event_type AS state, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                    AS is_current
+           FROM ch""",
       "p_reporting_e2e" -> replay("ASC",
         """dag_id, dag_run_id,
            CAST(CAST(execution_date AS TIMESTAMPTZ) AT TIME ZONE 'UTC' AS TIMESTAMP)

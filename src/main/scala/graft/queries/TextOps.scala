@@ -280,6 +280,39 @@ object TextOps {
         .withColumn("overlap",
           round(col("n_hit").cast("double") / col("n_sh"), 6))
     }),
+    "t_redact" -> ((s, dir) => {
+      // regex scrub pass — the PII-redaction shape (emails/ids/phone masks)
+      // over a denylist of word patterns, entirely per-row so it fuses into
+      // the scan's codegen stage. Both engines use RE2-compatible syntax
+      // (\b word boundaries, alternation) so the match sets are identical;
+      // the scrubbed text is carried as md5 + length, not re-emitted.
+      val pat = "\\b(customer|order|spark)\\b"
+      val red = regexp_replace(col("text"), pat, "<x>")
+      docs(s, dir).select(col("doc_id"),
+        regexp_count(col("text"), lit(pat)).as("n_hits"),
+        length(red).as("red_len"),
+        md5(red).as("red_hash"))
+    }),
+    "t_dup_spans" -> ((s, dir) => {
+      // cross-document duplicated-span profile: for each doc, the fraction
+      // of its distinct 8-gram spans that occur in at least one OTHER doc —
+      // the n-gram formulation of exact substring dedup (Lee et al.,
+      // "Deduplicating Training Data Makes Language Models Better", ACL'22,
+      // at fixed span length). Span df is a key-equality aggregate, never
+      // all-pairs; the span frame fans out to three consumers, so the
+      // repartition barrier + ReuseExchange computes the explode once.
+      val spans = TextDedup.shingleTable(docs(s, dir), "doc_id", "text", 8)
+        .repartition(col("doc_id"))
+      val dfreq = spans.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("df_cnt"))
+      val sizes = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val dups = spans.join(dfreq.filter(col("df_cnt") >= 2), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      sizes.join(dups, Seq("doc_id"), "left")
+        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+        .withColumn("dup_ratio",
+          round(col("n_dup").cast("double") / col("n_spans"), 6))
+    }),
     "d_exact" -> ((s, dir) =>
       TextDedup.exactGroups(docs(s, dir), "doc_id", "text")),
     "d_ngram_jaccard" -> ((s, dir) =>
@@ -481,6 +514,28 @@ object TextOps {
          SELECT doc_id, shard, n_tokens, tokens_before,
                 tokens_before // 2048 AS bin_id
          FROM w""",
+    "t_redact" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\b(customer|order|spark)\b')) AS INTEGER) AS n_hits,
+                CAST(length(regexp_replace(text, '\b(customer|order|spark)\b', '<x>', 'g')) AS INTEGER) AS red_len,
+                md5(regexp_replace(text, '\b(customer|order|spark)\b', '<x>', 'g')) AS red_hash
+         FROM documents""",
+    "t_dup_spans" ->
+      """WITH sp AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 7),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                         toks[i+6] || ' ' || toks[i+7]))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 8),
+         dfreq AS (SELECT sh, count(DISTINCT doc_id) AS df_cnt FROM sp GROUP BY 1),
+         sizes AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+         dups AS (SELECT doc_id, count(*) AS n_dup
+                  FROM sp JOIN dfreq USING (sh) WHERE df_cnt >= 2 GROUP BY 1)
+         SELECT s.doc_id, s.n_spans, COALESCE(d.n_dup, 0) AS n_dup,
+                round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / s.n_spans, 6) AS dup_ratio
+         FROM sizes s LEFT JOIN dups d USING (doc_id)""",
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",

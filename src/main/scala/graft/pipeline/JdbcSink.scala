@@ -68,6 +68,31 @@ object JdbcSink {
       props, batchSize)
   }
 
+  /** The remote table's Spark schema WITH its real DDL nullability.
+    * `spark.read.jdbc` deliberately reports every column nullable
+    * (JDBCRDD resolves with alwaysNullable — sound for reads, useless for
+    * constraint validation), so NOT NULL is recovered from the JDBC
+    * driver's ResultSetMetaData on a zero-row probe. Feed the result to
+    * [[Loader.conformToSchema]] to reject a batch missing a required
+    * column BEFORE any row ships to the remote, instead of failing
+    * mid-write on the database's constraint error. */
+  def constrainedSchema(spark: SparkSession, url: String, table: String,
+                        props: Properties = new Properties): StructType = {
+    val base = spark.read.jdbc(url, table, props).schema
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val md = conn.prepareStatement(s"SELECT * FROM $table WHERE 1=0")
+        .executeQuery().getMetaData
+      val noNulls = (1 to md.getColumnCount).collect {
+        case i if md.isNullable(i) == java.sql.ResultSetMetaData.columnNoNulls =>
+          md.getColumnLabel(i).toLowerCase
+      }.toSet
+      StructType(base.map(f =>
+        if (noNulls.contains(f.name.toLowerCase)) f.copy(nullable = false)
+        else f))
+    } finally conn.close()
+  }
+
   /** Project/cast to the remote table's schema (sink-side coercion, like
     * Loader.coerceToTable) — also drops loader-only columns such as the
     * staging-file preference. */

@@ -119,7 +119,14 @@ object Loader {
     * partition whose every row is superseded and that receives no new rows
     * stages zero rows — dynamic overwrite cannot delete it, so it is
     * dropped explicitly (partition lists are metadata-scale, so the
-    * driver-side collect is bounded like a watermark read). */
+    * driver-side collect is bounded like a watermark read).
+    *
+    * NULL partition values are first-class: the kept-rows semi join is
+    * null-SAFE (`<=>` per partition column — a plain equi-join would silently
+    * drop every surviving row of a null partition the batch writes into, and
+    * the dynamic overwrite would then destroy them), and an emptied null
+    * partition is dropped via Hive's default-partition sentinel, which is the
+    * value the catalog actually stores for it. */
   def upsertPartitioned(spark: SparkSession, incoming: DataFrame, table: String,
                         pkCols: Seq[String], partCols: Seq[String],
                         preference: Seq[Column] = Nil): Unit = {
@@ -130,8 +137,11 @@ object Loader {
       .select(partCols.map(col): _*)
     val touched = inc.select(partCols.map(col): _*)
       .union(stalePartitions).distinct().cache()
-    val kept = spark.table(table)
-      .join(broadcast(touched), partCols, "left_semi")
+    val target = spark.table(table).alias("t")
+    val keepCond = partCols
+      .map(c => col(s"t.$c") <=> col(s"p.$c")).reduce(_ && _)
+    val kept = target
+      .join(broadcast(touched.alias("p")), keepCond, "left_semi")
       .join(inc.select(pkCols.map(col): _*), pkCols, "left_anti")
     writeViaStage(spark, coerceToTable(spark, kept, table).unionByName(inc), table) {
       staged =>
@@ -145,18 +155,23 @@ object Loader {
           try staged.write.mode("overwrite").insertInto(table)
           finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
           emptied.foreach { r =>
-            // a null partition value has no expressible DROP PARTITION spec
-            // (Hive's default-partition sentinel); leave it for a manual
-            // sweep rather than fail a committed merge
-            if ((0 until partCols.length).forall(i => r.get(i) != null)) {
-              val spec = partCols.zipWithIndex
-                .map { case (c, i) => s"$c = ${sqlLiteral(r.get(i))}" }.mkString(", ")
-              spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
-            }
+            // a null partition value is addressed by Hive's default-partition
+            // sentinel — that string IS the stored partition value, so the
+            // spec matches exactly the rows the null wrote
+            val spec = partCols.zipWithIndex.map { case (c, i) =>
+              val lit = if (r.get(i) == null) s"'$nullPartitionName'"
+                        else sqlLiteral(r.get(i))
+              s"$c = $lit"
+            }.mkString(", ")
+            spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
           }
         } finally touched.unpersist()
     }
   }
+
+  /** Hive's sentinel directory/catalog value for a NULL partition value —
+    * public, stable across Hive/Spark/Trino ("__HIVE_DEFAULT_PARTITION__"). */
+  private val nullPartitionName = "__HIVE_DEFAULT_PARTITION__"
 
   /** Partition-spec literal: strings AND date/time values must be quoted
     * (an unquoted `day = 2024-01-01` is a ParseException); numerics and

@@ -155,6 +155,87 @@ class LoaderUpsertSpec extends AnyFunSuite {
     assert(out == Seq(("r1", "success", "d3"), ("r2", "queued", "d2")))
   }
 
+  test("upsertPartitioned null partition: surviving rows outlive a write into it") {
+    val t = freshTable(partitioned = true)
+    // r0 has no partition value yet (late-arriving dimension) and must
+    // SURVIVE a batch that writes other rows into the same null partition —
+    // a null-unsafe semi join would silently destroy it in the overwrite
+    Seq(("r0", "queued", 0.5, null: String), ("r2", "queued", 2.0, "d2"))
+      .toDF("run_id", "state", "score", "day")
+      .write.mode("append").insertInto(t)
+    val re = Seq(("r1", "running", 1.0, null: String))
+      .toDF("run_id", "state", "score", "day")
+    Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq
+    assert(out == Seq(("r0", "queued", null), ("r1", "running", null),
+      ("r2", "queued", "d2")))
+    // and updating a PK in place inside the null partition keeps the rest
+    val re2 = Seq(("r0", "success", 9.0, null: String))
+      .toDF("run_id", "state", "score", "day")
+    Loader.upsertPartitioned(spark, re2, t, Seq("run_id"), Seq("day"))
+    val out2 = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq
+    assert(out2 == Seq(("r0", "success", null), ("r1", "running", null),
+      ("r2", "queued", "d2")))
+  }
+
+  test("upsertPartitioned drops an emptied null partition via the Hive sentinel") {
+    val t = freshTable(partitioned = true)
+    Seq(("r1", "running", 1.0, null: String), ("r2", "queued", 2.0, "d2"))
+      .toDF("run_id", "state", "score", "day")
+      .write.mode("append").insertInto(t)
+    // r1 acquires a real partition value → the null partition empties and
+    // must be dropped (spec addresses it as '__HIVE_DEFAULT_PARTITION__'),
+    // not left holding the stale duplicate
+    val re = Seq(("r1", "success", 9.0, "d2"))
+      .toDF("run_id", "state", "score", "day")
+    Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq
+    assert(out == Seq(("r1", "success", "d2"), ("r2", "queued", "d2")))
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).toSet
+      == Set("day=d2"))
+  }
+
+  test("conformToSchema enforces JDBC DDL NOT NULL via constrainedSchema (Derby)") {
+    // the real-constraint sink case the conformToTable test can't cover:
+    // parquet tables report every column nullable, and spark.read.jdbc
+    // deliberately erases remote constraints too (alwaysNullable) — the
+    // DDL truth is recovered by JdbcSink.constrainedSchema from driver
+    // metadata, and conformToSchema then rejects bad batches pre-write
+    val db = "graft_conform" + System.nanoTime()
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE strict_sink (
+             run_id VARCHAR(50) NOT NULL, state VARCHAR(50) NOT NULL,
+             score DOUBLE)""")
+      // baseline: the plain JDBC read reports everything nullable
+      assert(spark.read.jdbc(url, "strict_sink", new java.util.Properties)
+        .schema.fields.forall(_.nullable))
+      val strict = JdbcSink.constrainedSchema(spark, url, "strict_sink")
+      val byName = strict.fields.map(f => f.name -> f.nullable).toMap
+      assert(byName == Map("RUN_ID" -> false, "STATE" -> false,
+        "SCORE" -> true), s"DDL nullability not recovered: $byName")
+      // batch missing the NOT NULL `state` column → rejected by name
+      val e = intercept[IllegalArgumentException] {
+        Loader.conformToSchema(Seq(("r1", 1.0)).toDF("RUN_ID", "SCORE"), strict)
+      }
+      assert(e.getMessage.contains("STATE"))
+      // batch missing only the nullable column conforms with a typed NULL
+      val ok = Loader.conformToSchema(
+        Seq(("r1", "running")).toDF("RUN_ID", "STATE"), strict)
+      assert(ok.columns.toSeq == Seq("RUN_ID", "STATE", "SCORE"))
+      assert(ok.first().isNullAt(2))
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLNonTransientConnectionException => () }
+    }
+  }
+
   test("upsertPartitioned drops a partition fully superseded with no new rows") {
     val t = freshTable(partitioned = true)
     Seq(("r1", "running", 1.0, "d1"), ("r1b", "running", 1.5, "d1"),

@@ -187,7 +187,7 @@ object Loader {
   /** Materialize `df` into a scratch table, run `write` on the
     * materialized copy, drop the scratch — the standard rewrite barrier for
     * overwriting a table that is also a plan input. */
-  private def writeViaStage(spark: SparkSession, df: DataFrame, table: String)
+  private[pipeline] def writeViaStage(spark: SparkSession, df: DataFrame, table: String)
                            (write: DataFrame => Unit): Unit = {
     val stage = table.replace('.', '_') + "_upsert_stage"
     df.write.mode("overwrite").format("parquet").saveAsTable(stage)

@@ -132,6 +132,44 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_funnel" -> ((s, dir) => {
+      // ordered conversion funnel (view -> click -> purchase): each stage is
+      // the per-user min event time STRICTLY AFTER the previous stage's —
+      // the sequential-pattern shape of product analytics, expressed as a
+      // chain of filtered aggregates + broadcastable per-user joins (the
+      // per-user frames are |users| rows, tiny next to the event stream).
+      val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+      def stage(typ: String, after: Option[DataFrame]): DataFrame = {
+        val base = ev.filter(col("event_type") === typ)
+        val gated = after match {
+          case None => base
+          case Some(prev) => base.join(broadcast(prev), "user_id")
+            .filter(col("ts") > col("prev_ts")).drop("prev_ts")
+        }
+        gated.groupBy("user_id").agg(min("ts").as("prev_ts"))
+      }
+      val s1 = stage("view", None)
+      val s2 = stage("click", Some(s1))
+      val s3 = stage("purchase", Some(s2))
+      def cnt(df: DataFrame, name: String, ord: Int) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(ord).as("stage_n"), lit(name).as("stage"), col("n_users"))
+      cnt(s1, "view", 1).union(cnt(s2, "click", 2)).union(cnt(s3, "purchase", 3))
+    }),
+    "q_cohort" -> ((s, dir) => {
+      // weekly cohort retention: users grouped by first-seen week, counted
+      // distinct in each subsequent activity week. Both frames aggregate the
+      // event stream down to |users|-scale before the join — at 100 TB the
+      // join inputs are user-cardinality, never event-cardinality.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast(IntegerType).as("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
     "q_profile" -> ((s, dir) => {
       // one-pass data profiling (null fraction / distinct / min / max per
       // column) — the schema-drift sentry a reporting pipeline runs before
@@ -823,6 +861,30 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS prev_ts FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS prev_ts
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.prev_ts GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS prev_ts
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.prev_ts GROUP BY 1)
+         SELECT 1 AS stage_n, 'view' AS stage, count(*) AS n_users FROM s1
+         UNION ALL
+         SELECT 2, 'click', count(*) FROM s2
+         UNION ALL
+         SELECT 3, 'purchase', count(*) FROM s3""",
+    "q_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+                     FROM events),
+         cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+         active AS (SELECT DISTINCT user_id, wk FROM ev)
+         SELECT c.cohort_week,
+                CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS INTEGER) AS week_n,
+                count(DISTINCT a.user_id) AS n_active
+         FROM active a JOIN cohort c ON a.user_id = c.user_id
+         GROUP BY 1, 2""",
     "q_profile" ->
       """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
                 count(*) - count(o_orderstatus) AS n_null,

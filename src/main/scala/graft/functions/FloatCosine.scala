@@ -96,13 +96,8 @@ object FloatCosine {
   def apply(a: Column, b: Column): Column = call_function(name, a, b)
 }
 
-/** Deployment-grade registration: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions` makes the function
-  * available in every session of the cluster. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction((
-      FunctionIdentifier(FloatCosine.name),
-      new ExpressionInfo(classOf[FloatCosine].getName, FloatCosine.name),
-      (args: Seq[Expression]) => FloatCosine(args.head, args(1))))
-}
+/** Deployment-grade registration moved to [[graft.GraftExtensions]], which
+  * injects this function plus the native text expressions and the custom
+  * planner strategy; this alias keeps the historical conf value
+  * `graft.functions.GraftExtensions` working. */
+class GraftExtensions extends graft.GraftExtensions

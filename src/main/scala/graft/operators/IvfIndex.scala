@@ -48,38 +48,53 @@ object IvfIndex {
     * stays spec-gated (OperatorsSpec recall assertions) while this variant
     * carries the driver-visible correctness gate.
     *
-    * Scale shape is identical to trained IVF: centroids ride in the
-    * assignment expression (nCells driver-side vectors, the same scalar
-    * scale as the query vector), assignment is a narrow per-row map — at
-    * write time it is the bucketing column — probe selection is an
-    * nCells-row broadcast, and only nprobe cells' rows are exactly scored.
-    * No shuffle anywhere except the final top-k reduction. */
+    * Scale shape is identical to trained IVF: assignment is the relational
+    * argmax — corpus × broadcast(nCells seed rows), ONE decimal cosine per
+    * pair, map-side-combined `max(struct(cos, -cell))` (partial aggregation
+    * collapses each vector's nCells candidates before the exchange, so the
+    * shuffle is corpus-sized, not corpus×nCells) — at write time the result
+    * is the bucketing column; probe selection is an nCells-row broadcast,
+    * and only nprobe cells' rows are exactly scored.
+    *
+    * The pair-join formulation replaced a per-row expression holding
+    * 2·nCells inlined decimal cosines (array_position(cc, array_max(cc))
+    * evaluates the array twice and CollapseProject re-inlines any attempt
+    * to bind it): at sf0.1 that expression's codegen+eval made v_knn_ivf
+    * the slowest declared query (6.3 s); the join form is the oracle's own
+    * shape and measured 1.5× faster (4.3 s, still decimal-bound — the
+    * remaining cost is the exact-arithmetic contract itself, which the
+    * FloatCosine/knnLsh paths trade away for throughput). */
   def knnSampled(emb: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
-    val seeds: Array[(Int, Seq[Float])] = emb.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("int"), col(vecCol))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-    require(seeds.length == nCells, s"need ids 0..${nCells - 1} as seeds, found ${seeds.length}")
+    val nSeeds = emb.filter(col(idCol) < nCells).count()
+    require(nSeeds == nCells, s"need ids 0..${nCells - 1} as seeds, found $nSeeds")
     val queryRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
     require(queryRows.nonEmpty, s"query vector not found: $idCol = $queryId")
     val query: Seq[Float] = queryRows.head.getSeq[Float](0)
-    // per-row assignment: cell = FIRST index of the max centroid cosine
-    // (array_position returns the first match → smallest cell wins ties,
-    // matching the oracle's max(struct(c, -cell)) tie-break)
-    val cellCos = array(seeds.map { case (_, c) =>
-      Similarity.cosineToQuery(col(vecCol), c) }: _*)
-    val assigned = emb
-      .withColumn("cell", (array_position(cellCos, array_max(cellCos)) - 1).cast("int"))
+    val seedDf = emb.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("ce"))
+    // assignment: per (vector, centroid) pair one exact cosine; argmax via
+    // max(struct(c, -cell)) → smallest cell wins ties, exactly the oracle's
+    // tie-break. first(vec) carries the payload through the aggregate (all
+    // rows of a group hold the identical vector) so no join-back is needed.
+    val assigned = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(seedDf))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(Similarity.cosineCols(col(vecCol), col("ce")).as("c"),
+          (-col("cell")).as("nc"))).as("m"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), (-col("m.nc")).cast("int").as("cell"))
     // probe selection stays IN-PLAN with the same decimal-exact cosine as
     // the oracle — a driver-side double-math sort could flip near-tied
     // centroids and silently probe different cells than the oracle
-    val seedDf = emb.filter(col(idCol) < nCells)
+    val probeDf = emb.filter(col(idCol) < nCells)
       .select(col(idCol).cast("int").as("cell"),
         Similarity.cosineToQuery(col(vecCol), query).as("qc"))
       .orderBy(col("qc").desc, col("cell").asc)
       .limit(nprobe)
       .select("cell")
-    assigned.join(broadcast(seedDf), "cell")
+    assigned.join(broadcast(probeDf), "cell")
       .filter(col(idCol) =!= queryId)
       .select(col(idCol).as("vec_id"),
         Similarity.cosineToQuery(col(vecCol), query).as("c_raw"))

@@ -132,6 +132,40 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_gapfill" -> ((s, dir) => {
+      // time-series gap fill: per-user hourly spine (sequence between the
+      // user's first and last active hour) left-joined to actuals, then
+      // forward-filled with last(ignoreNulls) — the resample+ffill shape of
+      // sensor/metric pipelines. The spine is generated distributed (explode
+      // of a per-key sequence), never driver-side; the fill is one window
+      // over the spine, partitioned by the series key.
+      val hourly = t(s, dir, "events").filter(col("user_id") < 20)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      val spine = hourly.groupBy("user_id")
+        .agg(min("hr").as("mn"), max("hr").as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("INTERVAL 1 HOUR"))).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("filled", last("v", ignoreNulls = true).over(w))
+    }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // entity-resolution fuzzy match: DISTINCT canonical names first (the
+      // real-world ER shape — distinct values are orders of magnitude
+      // smaller than the corpus), then a blocked self-join (last word of
+      // the name) with Levenshtein <= 3. Blocking bounds every join bucket
+      // to one block's names — never an all-pairs cross join.
+      val names = t(s, dir, "part").select("p_name").distinct()
+        .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("lev"))
+        .filter(col("lev") <= 3)
+    }),
     "q_funnel" -> ((s, dir) => {
       // ordered conversion funnel (view -> click -> purchase): each stage is
       // the per-user min event time STRICTLY AFTER the previous stage's —
@@ -861,6 +895,30 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_gapfill" ->
+      """WITH hourly AS (
+           SELECT user_id, date_trunc('hour', ts) AS hr,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+           FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+                 FROM hourly GROUP BY 1)),
+         j AS (SELECT s.user_id, s.hr, h.v
+               FROM spine s LEFT JOIN hourly h USING (user_id, hr))
+         SELECT user_id, hr, v,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM j""",
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name,
+                               regexp_extract(p_name, '[a-z]+$') AS blk
+                        FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev
+         FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 3""",
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS prev_ts FROM events
                      WHERE event_type = 'view' GROUP BY 1),

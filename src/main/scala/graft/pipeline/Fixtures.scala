@@ -9,7 +9,8 @@ import java.nio.file.{Files, Path, StandardCopyOption}
 object Fixtures {
 
   val files: Seq[String] =
-    Seq("dags.json", "dagRuns1.json", "dagRuns2.json", "taskInstances1.json")
+    Seq("dags.json", "dagRuns1.json", "dagRuns2.json", "taskInstances1.json",
+      "cdc.json")
 
   lazy val dir: String = {
     val tmp: Path = Files.createTempDirectory("graft-fixtures")

@@ -169,6 +169,32 @@ object Loader {
     }
   }
 
+  /** Apply a CDC change batch (insert/update/delete stream) to a managed
+    * table — the merge shape [[upsert]] cannot express because upsert has no
+    * delete. `changes` carries the full row payload plus `opCol`
+    * ('I'/'U'/'D') and a monotonically increasing `seqCol` (the change-log
+    * offset); per PK the HIGHEST seq wins, so I→D nets to absent and D→I
+    * nets to the re-inserted row, regardless of how the batch was split
+    * across files or partitions. Rows whose latest op is not 'D' upsert;
+    * a 'D' on an absent PK is a no-op (at-least-once change logs replay
+    * deletes). Same copy-on-write staging as [[upsert]];
+    * [[upsertPartitioned]]'s partition scoping applies if needed by
+    * filtering `changes` per partition first. */
+  def applyCdc(spark: SparkSession, changes: DataFrame, table: String,
+               pkCols: Seq[String], opCol: String = "op",
+               seqCol: String = "seq"): Unit = {
+    require(pkCols.nonEmpty, "applyCdc requires PK columns")
+    val latest = pickPerKey(changes, pkCols, Seq(col(seqCol).desc))
+    val kept = spark.table(table)
+      .join(latest.select(pkCols.map(col): _*), pkCols, "left_anti")
+    val upserts = coerceToTable(spark,
+      latest.filter(col(opCol) =!= "D").drop(opCol, seqCol), table)
+    writeViaStage(spark,
+      coerceToTable(spark, kept, table).unionByName(upserts), table) {
+      staged => staged.write.mode("overwrite").insertInto(table)
+    }
+  }
+
   /** Hive's sentinel directory/catalog value for a NULL partition value —
     * public, stable across Hive/Spark/Trino ("__HIVE_DEFAULT_PARTITION__"). */
   private val nullPartitionName = "__HIVE_DEFAULT_PARTITION__"

@@ -59,6 +59,30 @@ object PipelineOps {
       s.table(table).select("dag_id", "dag_run_id", "state")
         .orderBy(col("dag_id"), col("dag_run_id"))
     }),
+    "p_cdc" -> ((s, _) => {
+      // CDC apply: initial snapshot (page 1), then an I/U/D change batch
+      // with per-PK seq ordering — latest op wins, so in-batch I->D nets to
+      // absent and D->I to the re-inserted row. The delete is what upsert
+      // cannot express (SURVEY §2A O13's insert-only contract extended to
+      // the full change-stream merge).
+      Catalog.drop(s)
+      Catalog.ensure(s)
+      val table = Catalog.tableName("dag_run")
+      val snapshot = Staging.readStaged(s, "dag_run",
+        Seq(s"$fixtureDir/dagRuns1.json"))
+      Loader.dedupAppend(s, snapshot, table, dagRunPk)
+      val cdcSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType) +:
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType) +:
+        Schemas.byEntity("dag_run").fields.toSeq)
+      val changes = s.read.schema(cdcSchema).option("multiLine", "true")
+        .json(s"$fixtureDir/cdc.json")
+      Loader.applyCdc(s, changes, table, dagRunPk)
+      s.table(table).select("dag_id", "dag_run_id", "state")
+        .orderBy(col("dag_id"), col("dag_run_id"))
+    }),
     "p_scd2" -> ((s, dir) => {
       // slowly-changing-dimension type 2 build: collapse each user's event
       // stream into validity intervals of their event_type "state" — change
@@ -136,6 +160,27 @@ object PipelineOps {
             FROM $src)
           SELECT $cols FROM staged WHERE rn = 1"""
     Map(
+      "p_cdc" ->
+        s"""WITH snap AS (
+              SELECT dag_id, dag_run_id, state
+              FROM read_json('$fixtureDir/dagRuns1.json', format='array',
+                columns={dag_id:'VARCHAR', dag_run_id:'VARCHAR', state:'VARCHAR'})),
+            cdc AS (
+              SELECT op, seq, dag_id, dag_run_id, state
+              FROM read_json('$fixtureDir/cdc.json', format='array',
+                columns={op:'VARCHAR', seq:'BIGINT', dag_id:'VARCHAR',
+                         dag_run_id:'VARCHAR', state:'VARCHAR'})),
+            latest AS (
+              SELECT op, dag_id, dag_run_id, state FROM (
+                SELECT *, row_number() OVER (PARTITION BY dag_id, dag_run_id
+                           ORDER BY seq DESC) AS rn FROM cdc)
+              WHERE rn = 1)
+            SELECT s.dag_id, s.dag_run_id, s.state FROM snap s
+            WHERE NOT EXISTS (SELECT 1 FROM latest l
+                              WHERE l.dag_id = s.dag_id
+                                AND l.dag_run_id = s.dag_run_id)
+            UNION ALL
+            SELECT dag_id, dag_run_id, state FROM latest WHERE op <> 'D'""",
       "p_scd2" ->
         """WITH c AS (SELECT user_id, ts, event_id, event_type,
                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,

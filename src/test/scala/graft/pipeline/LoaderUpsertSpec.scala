@@ -236,6 +236,31 @@ class LoaderUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("applyCdc: latest-seq wins; I->D nets absent; D->I reinserts; D on absent no-op") {
+    val t = freshTable(partitioned = false)
+    Seq(("r1", "running", 1.0), ("r2", "queued", 2.0))
+      .toDF("run_id", "state", "score")
+      .write.mode("append").insertInto(t)
+    val changes = Seq(
+      ("U", 1L, "r1", "success", 9.0),   // plain update
+      ("D", 1L, "r2", null, 0.0),        // delete existing
+      ("I", 1L, "r3", "queued", 3.0),    // insert then update: seq 2 wins
+      ("U", 2L, "r3", "running", 3.5),
+      ("I", 1L, "r4", "queued", 4.0),    // insert then delete: nets absent
+      ("D", 2L, "r4", null, 0.0),
+      ("D", 1L, "r9", null, 0.0)         // delete of a PK never present
+    ).toDF("op", "seq", "run_id", "state", "score")
+    Loader.applyCdc(spark, changes, t, Seq("run_id"))
+    val out = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("r1", "success", 9.0), ("r3", "running", 3.5)))
+    // replaying the same batch is idempotent (at-least-once change log)
+    Loader.applyCdc(spark, changes, t, Seq("run_id"))
+    val out2 = spark.table(t).orderBy("run_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out2 == out)
+  }
+
   test("upsertPartitioned drops a partition fully superseded with no new rows") {
     val t = freshTable(partitioned = true)
     Seq(("r1", "running", 1.0, "d1"), ("r1b", "running", 1.5, "d1"),

@@ -132,6 +132,14 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_zorder" -> ((s, dir) =>
+      // Morton z-values for 2-D data clustering (functions.ZOrder): pure
+      // shift/mask Column arithmetic, hash-checked bit-for-bit against the
+      // oracle's identical spreading. The LAYOUT payoff — row-group pruning
+      // on z-sorted parquet for 2-D box predicates — is proven in ScaleSpec.
+      t(s, dir, "part").select(col("p_partkey"),
+        graft.functions.ZOrder.zValue(col("p_size"),
+          pmod(col("p_partkey"), lit(1024))).as("zval"))),
     "q_gapfill" -> ((s, dir) => {
       // time-series gap fill: per-user hourly spine (sequence between the
       // user's first and last active hour) left-joined to actuals, then
@@ -895,6 +903,7 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_zorder" -> zorderOracleSql,
     "q_gapfill" ->
       """WITH hourly AS (
            SELECT user_id, date_trunc('hour', ts) AS hr,
@@ -1327,4 +1336,23 @@ object Core {
          WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)
                                FROM orders)"""
   )
+
+  /** q_zorder oracle: the identical magic-number bit spreading as
+    * functions.ZOrder.spread16, unrolled as chained CTE steps (one per
+    * shift/mask round) for both dimensions. lazy: referenced from the
+    * `oracles` map declared above. */
+  private lazy val zorderOracleSql = {
+    val steps = Seq(
+      (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+    val chain = steps.zipWithIndex.map { case ((sh, mask), i) =>
+      s"""s${i + 2} AS (SELECT p_partkey,
+            (xa | (xa << $sh)) & $mask AS xa,
+            (xb | (xb << $sh)) & $mask AS xb FROM s${i + 1})"""
+    }.mkString(",\n         ")
+    s"""WITH d AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS a,
+                          CAST(p_partkey % 1024 AS BIGINT) AS b FROM part),
+         s1 AS (SELECT p_partkey, a & 65535 AS xa, b & 65535 AS xb FROM d),
+         $chain
+         SELECT p_partkey, CAST(xa | (xb << 1) AS BIGINT) AS zval FROM s5"""
+  }
 }

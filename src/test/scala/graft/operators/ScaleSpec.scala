@@ -47,6 +47,49 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("z-ordered layout prunes parquet row groups for 2-D box predicates") {
+    import graft.functions.ZOrder
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // deterministic pseudo-uniform 2-D points (no RNG — Knuth-style mixes)
+    val n = 200000L
+    val pts = spark.range(n).select(
+      (col("id") * 2654435761L % 1024).as("x"),
+      ((col("id") + 7) * 40503L % 1024).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.coalesce(1).write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(path)
+    write(pts, s"$dir/plain")
+    write(pts.sortWithinPartitions(ZOrder.zValue(col("x"), col("y"))),
+      s"$dir/zorder")
+    // AQE off for the probe: with AQE the df's executedPlan is an adaptive
+    // wrapper whose scan node (and metrics) only materialize inside the
+    // final plan of whichever action ran — a static plan makes the scan's
+    // numOutputRows directly attributable to the collect below
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def scannedRows(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path)
+        .filter(col("x") < 64 && col("y") < 64)
+      val matched = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }.head
+      (matched, scan.metrics("numOutputRows").value)
+    }
+    try {
+      val (matchPlain, scanPlain) = scannedRows(s"$dir/plain")
+      val (matchZ, scanZ) = scannedRows(s"$dir/zorder")
+      assert(matchPlain == matchZ, "layout must not change results")
+      // unsorted: every row group spans the full value range -> min/max
+      // prunes nothing and the scan emits ~all rows; z-sorted: the 1/256
+      // box touches few row groups. Demand at least 4x fewer scanned rows.
+      assert(scanPlain > n / 2,
+        s"unsorted scan should read ~everything, read $scanPlain")
+      assert(scanZ * 4 < scanPlain,
+        s"z-order should prune row groups: scanned $scanZ vs $scanPlain")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed tables sort-merge join without an exchange") {
     val db = "scale_probe"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -132,6 +132,54 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 analogue (shipping-priority revenue): selective dim filter
+      // broadcast into the fact-fact join, decimal-exact revenue, top-10
+      // with a unique tie-break. The canonical star-join + top-k shape.
+      val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 analogue (local-supplier volume): six-table snowflake with
+      // the region->nation->supplier chain pre-joined driver-free and
+      // broadcast into the fact side; customer joins on BOTH custkey and
+      // the supplier's nation (the Q5 locality condition).
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_nationkey", "n_name")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
     "q_zorder" -> ((s, dir) =>
       // Morton z-values for 2-D data clustering (functions.ZOrder): pure
       // shift/mask Column arithmetic, hash-checked bit-for-bit against the
@@ -903,6 +951,31 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1""",
     "q_zorder" -> zorderOracleSql,
     "q_gapfill" ->
       """WITH hourly AS (

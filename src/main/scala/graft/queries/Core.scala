@@ -132,6 +132,21 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_ntile" -> ((s, dir) =>
+      // exact equi-depth deciles (profiling companion to q_histogram's
+      // equi-width buckets). The global ntile sort is the exact
+      // formulation — at 100 TB the same report comes from
+      // approx_percentile cut points + a bucket join; this query IS the
+      // oracle-checkable exact contract those cuts approximate. Unique
+      // tie-break (orderkey) makes bucket membership deterministic.
+      t(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          dsum(col("o_totalprice")).as("sum_price"))),
     "q_tpch_q3" -> ((s, dir) => {
       // TPC-H Q3 analogue (shipping-priority revenue): selective dim filter
       // broadcast into the fact-fact join, decimal-exact revenue, top-10
@@ -951,6 +966,14 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_ntile" ->
+      """SELECT decile, count(*) AS n_orders, min(o_totalprice) AS lo,
+                max(o_totalprice) AS hi,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM (SELECT o_totalprice,
+                      ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+               FROM orders)
+         GROUP BY 1""",
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
                 CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

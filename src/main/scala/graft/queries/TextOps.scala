@@ -280,6 +280,24 @@ object TextOps {
         .withColumn("overlap",
           round(col("n_hit").cast("double") / col("n_sh"), 6))
     }),
+    "t_confusion" -> ((s, dir) => {
+      // classifier evaluation: confusion matrix of the langid vote vs the
+      // labeled language, with per-cell recall (row-normalized) and
+      // precision (column-normalized) fractions — the eval artifact every
+      // model-driven filter in a data pipeline reports. Two window sums
+      // over the tiny confusion frame; the heavy work is the same
+      // marker-count scan as t_langid.
+      import org.apache.spark.sql.expressions.Window
+      val cm = withMarkerCounts(docs(s, dir))
+        .select(col("lang"), predLang.as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      cm.withColumn("recall_frac",
+          round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("lang")), 6))
+        .withColumn("precision_frac",
+          round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("pred_lang")), 6))
+    }),
     "t_redact" -> ((s, dir) => {
       // regex scrub pass — the PII-redaction shape (emails/ids/phone masks)
       // over a denylist of word patterns, entirely per-row so it fuses into
@@ -514,6 +532,29 @@ object TextOps {
          SELECT doc_id, shard, n_tokens, tokens_before,
                 tokens_before // 2048 AS bin_id
          FROM w""",
+    "t_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, lang,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS n_en,
+                 len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) AS n_es,
+                 len(list_filter(toks, x -> x IN ('le','les','des','et','est'))) AS n_fr,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS n_de,
+                 len(list_filter(toks, x -> x IN ('de0','shi4','le0','zai4','wo3'))) AS n_zh
+               FROM t),
+         p AS (SELECT lang,
+                 CASE WHEN n_zh > greatest(n_en, n_es, n_fr, n_de) THEN 'zh'
+                      WHEN n_de > greatest(n_en, n_es, n_fr) THEN 'de'
+                      WHEN n_fr > greatest(n_en, n_es) THEN 'fr'
+                      WHEN n_es > n_en THEN 'es'
+                      ELSE 'en' END AS pred_lang
+               FROM c),
+         cm AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+         SELECT lang, pred_lang, n,
+                round(CAST(n AS DOUBLE) /
+                  sum(n) OVER (PARTITION BY lang), 6) AS recall_frac,
+                round(CAST(n AS DOUBLE) /
+                  sum(n) OVER (PARTITION BY pred_lang), 6) AS precision_frac
+         FROM cm""",
     "t_redact" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '\b(customer|order|spark)\b')) AS INTEGER) AS n_hits,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.FloatCosine
-import graft.operators.{IvfIndex, Similarity}
+import graft.operators.{IvfIndex, PqIndex, Similarity}
 
 /** Embedding similarity surface over the `embeddings` table (vec_id,
   * embedding array<float>, label): brute-force exact kNN (baseline),
@@ -47,7 +47,13 @@ object VectorOps {
       // variant, which is spec-gated in OperatorsSpec because k-means
       // training is not SQL-expressible).
       IvfIndex.knnSampled(emb(s, dir), "vec_id", "embedding",
-        queryId = 0L, k = 10, nCells = 16, nprobe = 4))
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4)),
+    "v_knn_pq" -> ((s, dir) =>
+      // product-quantization ADC path: 8 subspaces x 16 sampled codewords
+      // (vec_ids 0..15, Faiss niter=0 construction) — encode, LUT, and the
+      // asymmetric-distance top-k all replayed bit-for-bit by the oracle
+      PqIndex.knnPq(emb(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, m = 8, nCodes = 16))
   )
 
   /** Shared SQL fragment: exact decimal dot/norm accumulation per vec. */
@@ -129,6 +135,39 @@ object VectorOps {
          SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn
          ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "v_knn_pq" ->
+      // full PQ replay: per-subspace codebooks from vec_ids 0..15, encode =
+      // argmin decimal squared-L2 (ties → smallest code via min(struct)),
+      // ADC = decimal sum of the per-subspace query↔codeword distances
+      """WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cb AS (SELECT CAST(vec_id AS INTEGER) AS code, sub,
+                       embedding[sub*8+1 : sub*8+8] AS cv
+                FROM embeddings, subs WHERE vec_id < 16),
+         sl AS (SELECT vec_id AS vid, sub, embedding[sub*8+1 : sub*8+8] AS sv
+                FROM embeddings, subs),
+         pu AS (SELECT vid, sl.sub AS sub, code, unnest(sv) AS x, unnest(cv) AS y
+                FROM sl JOIN cb ON sl.sub = cb.sub),
+         pd AS (SELECT vid, sub, code,
+                  CAST(sum(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                                (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                AS DECIMAL(28,16))) AS DOUBLE) AS d
+                FROM pu GROUP BY 1, 2, 3),
+         enc AS (SELECT vid, sub, (min(struct_pack(d := d, c := code))).c AS code
+                 FROM pd GROUP BY 1, 2),
+         qsl AS (SELECT sub, qe[sub*8+1 : sub*8+8] AS qv FROM q, subs),
+         lu AS (SELECT cb.sub AS sub, code, unnest(cv) AS y, unnest(qv) AS x
+                FROM cb JOIN qsl ON cb.sub = qsl.sub),
+         lut AS (SELECT sub, code,
+                   CAST(sum(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                                 (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                 AS DECIMAL(28,16))) AS DOUBLE) AS qd
+                 FROM lu GROUP BY 1, 2),
+         est AS (SELECT vid, sum(CAST(qd AS DECIMAL(28,16))) AS est
+                 FROM enc JOIN lut USING (sub, code)
+                 WHERE vid <> 0 GROUP BY 1)
+         SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
+         FROM est ORDER BY est ASC, vid ASC LIMIT 10""",
     "v_neardup" ->
       """WITH blocked AS (
            SELECT vec_id, embedding,

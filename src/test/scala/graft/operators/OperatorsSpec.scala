@@ -145,6 +145,28 @@ class OperatorsSpec extends AnyFunSuite {
       b10.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("PQ ADC: non-negative estimates; a codebook-seed neighbor scores its LUT row") {
+    val pq = PqIndex.knnPq(emb, "vec_id", "embedding",
+      queryId = 0L, k = 1000, m = 8, nCodes = 16).collect()
+    assert(pq.forall(_.getDouble(1) >= 0.0), "squared distances must be >= 0")
+    // vec 1 is itself a codebook seed: every sub-slice quantizes to its own
+    // codeword with distance 0, so its ADC estimate is EXACTLY the summed
+    // query<->codeword LUT distances of code 1 — i.e. the exact decimal
+    // squared L2 between query and vec 1 (quantization error is zero).
+    val exact = {
+      val rows = emb.filter(col("vec_id").isin(0L, 1L))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      rows(0L).zip(rows(1L)).map { case (x, y) =>
+        val d = x.toDouble - y.toDouble
+        new java.math.BigDecimal(d * d).setScale(16, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    }
+    val got = pq.find(_.getLong(0) == 1L).get.getDouble(1)
+    assert(math.abs(got - exact.doubleValue()) < 1e-6,
+      s"seed vector must carry zero quantization error: $got vs $exact")
+  }
+
   test("nearDupPairs is symmetric-free (a<b) and respects the threshold") {
     val p = Similarity.nearDupPairs(emb, "vec_id", "embedding", 8, 0.35)
     assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)

@@ -64,20 +64,20 @@ object IvfIndex {
     * shape and measured 1.5× faster (4.3 s, still decimal-bound — the
     * remaining cost is the exact-arithmetic contract itself, which the
     * FloatCosine/knnLsh paths trade away for throughput). */
-  def knnSampled(emb: DataFrame, idCol: String, vecCol: String,
-                 queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+  /** Sampled-centroid cell assignment: (idCol, vecCol, cell) — the
+    * relational argmax over corpus × broadcast(seed) exact cosines; ties →
+    * smallest cell. Shared by [[knnSampled]] and [[PqIndex.knnIvfPq]]. */
+  def assignSampled(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int): DataFrame = {
     val nSeeds = emb.filter(col(idCol) < nCells).count()
     require(nSeeds == nCells, s"need ids 0..${nCells - 1} as seeds, found $nSeeds")
-    val queryRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
-    require(queryRows.nonEmpty, s"query vector not found: $idCol = $queryId")
-    val query: Seq[Float] = queryRows.head.getSeq[Float](0)
     val seedDf = emb.filter(col(idCol) < nCells)
       .select(col(idCol).cast("int").as("cell"), col(vecCol).as("ce"))
-    // assignment: per (vector, centroid) pair one exact cosine; argmax via
+    // per (vector, centroid) pair one exact cosine; argmax via
     // max(struct(c, -cell)) → smallest cell wins ties, exactly the oracle's
     // tie-break. first(vec) carries the payload through the aggregate (all
     // rows of a group hold the identical vector) so no join-back is needed.
-    val assigned = emb.select(col(idCol), col(vecCol))
+    emb.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(seedDf))
       .groupBy(col(idCol))
       .agg(
@@ -85,15 +85,28 @@ object IvfIndex {
           (-col("cell")).as("nc"))).as("m"),
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), (-col("m.nc")).cast("int").as("cell"))
-    // probe selection stays IN-PLAN with the same decimal-exact cosine as
-    // the oracle — a driver-side double-math sort could flip near-tied
-    // centroids and silently probe different cells than the oracle
-    val probeDf = emb.filter(col(idCol) < nCells)
+  }
+
+  /** The nprobe cells nearest the query, IN-PLAN with the same
+    * decimal-exact cosine as the oracle — a driver-side double-math sort
+    * could flip near-tied centroids and silently probe different cells
+    * than the oracle. */
+  def probeCells(emb: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Float], nCells: Int, nprobe: Int): DataFrame =
+    emb.filter(col(idCol) < nCells)
       .select(col(idCol).cast("int").as("cell"),
         Similarity.cosineToQuery(col(vecCol), query).as("qc"))
       .orderBy(col("qc").desc, col("cell").asc)
       .limit(nprobe)
       .select("cell")
+
+  def knnSampled(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, nCells: Int, nprobe: Int): DataFrame = {
+    val queryRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    require(queryRows.nonEmpty, s"query vector not found: $idCol = $queryId")
+    val query: Seq[Float] = queryRows.head.getSeq[Float](0)
+    val assigned = assignSampled(emb, idCol, vecCol, nCells)
+    val probeDf = probeCells(emb, idCol, vecCol, query, nCells, nprobe)
     assigned.join(broadcast(probeDf), "cell")
       .filter(col(idCol) =!= queryId)
       .select(col(idCol).as("vec_id"),

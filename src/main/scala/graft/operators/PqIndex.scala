@@ -42,44 +42,92 @@ object PqIndex {
       (acc, v) => (acc + v).cast(dec))
       .cast("double")
 
+  private def queryVec(emb: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long): Seq[Float] = {
+    val rows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
+    require(rows.nonEmpty, s"query vector not found: $idCol = $queryId")
+    rows.head.getSeq[Float](0)
+  }
+
+  private def slices(df: DataFrame, idCol: String, vecCol: String,
+                     idAs: String, m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as(idAs),
+        explode(array((0 until m).map(i => struct(
+          lit(i).as("sub"),
+          slice(col(vecCol), i * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col(idAs), col("s.sub").as("sub"), col("s.sv").as("sv"))
+
+  /** Per-subspace sampled codebooks: (code, sub, cv) from the sub-slices
+    * of rows idCol < nCodes. */
+  def codebook(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int, subDim: Int, nCodes: Int): DataFrame =
+    slices(emb.filter(col(idCol) < nCodes), idCol, vecCol, "code", m, subDim)
+      .select(col("code").cast("int").as("code"), col("sub"),
+        col("sv").as("cv"))
+
+  /** PQ code table: (vid, sub, code) — per (vector, subspace) the nearest
+    * codeword by decimal squared L2; min(struct(d, code)) → ties take the
+    * smallest code. The only corpus-sized PQ artifact. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    slices(emb, idCol, vecCol, "vid", m, subDim).join(broadcast(cb), "sub")
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(decL2(col("sv"), col("cv")).as("d"),
+        col("code").as("code"))).as("mn"))
+      .select(col("vid"), col("sub"), col("mn.code").as("code"))
+
+  /** ADC lookup table: exact query-subvector ↔ codeword distances. */
+  def adcLut(cb: DataFrame, query: Seq[Float], subDim: Int): DataFrame = {
+    val qslices = typedLit(query.grouped(subDim).map(_.toSeq).toSeq)
+    cb.select(col("sub"), col("code"),
+      decL2(col("cv"), element_at(qslices, col("sub") + 1)).as("qd"))
+  }
+
+  /** (vid, est): ADC-estimated squared L2 per encoded vector. */
+  private def adcEstimates(enc: DataFrame, lut: DataFrame,
+                           queryId: Long): DataFrame =
+    enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vid") =!= queryId)
+      .groupBy(col("vid"))
+      .agg(sum(col("qd").cast(dec)).as("est"))
+
+  private def topK(est: DataFrame, k: Int): DataFrame =
+    est.orderBy(col("est").asc, col("vid").asc)
+      .limit(k)
+      .select(col("vid").as("vec_id"),
+        round(col("est").cast("double"), 6).as("dist_est"))
+
   /** Top-k by ADC-estimated squared L2 (ascending; ties → smaller id).
     * `m` subspaces × `nCodes` codewords; embedding length must divide
     * evenly by `m`. */
   def knnPq(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
             k: Int, m: Int, nCodes: Int): DataFrame = {
-    val queryRows = emb.filter(col(idCol) === queryId).select(col(vecCol)).take(1)
-    require(queryRows.nonEmpty, s"query vector not found: $idCol = $queryId")
-    val query: Seq[Float] = queryRows.head.getSeq[Float](0)
-    require(query.length % m == 0,
-      s"dim ${query.length} not divisible by m=$m")
+    val query = queryVec(emb, idCol, vecCol, queryId)
+    require(query.length % m == 0, s"dim ${query.length} not divisible by m=$m")
     val subDim = query.length / m
-    def slices(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-          explode(array((0 until m).map(i => struct(
-            lit(i).as("sub"),
-            slice(col(vecCol), i * subDim + 1, subDim).as("sv"))): _*)).as("s"))
-        .select(col(idAs), col("s.sub").as("sub"), col("s.sv").as("sv"))
-    val codebook = slices(emb.filter(col(idCol) < nCodes), "code")
-      .select(col("code").cast("int").as("code"), col("sub"),
-        col("sv").as("cv"))
-    // encode: per (vector, subspace) the nearest codeword by decimal
-    // squared L2; min(struct(d, code)) → ties take the smallest code
-    val enc = slices(emb, "vid").join(broadcast(codebook), "sub")
-      .groupBy(col("vid"), col("sub"))
-      .agg(min(struct(decL2(col("sv"), col("cv")).as("d"),
-        col("code").as("code"))).as("mn"))
-      .select(col("vid"), col("sub"), col("mn.code").as("code"))
-    // ADC lookup table: exact query-subvector ↔ codeword distances
-    val qslices = typedLit(query.grouped(subDim).map(_.toSeq).toSeq)
-    val lut = codebook.select(col("sub"), col("code"),
-      decL2(col("cv"), element_at(qslices, col("sub") + 1)).as("qd"))
-    enc.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vid") =!= queryId)
-      .groupBy(col("vid"))
-      .agg(sum(col("qd").cast(dec)).as("est"))
-      .orderBy(col("est").asc, col("vid").asc)
-      .limit(k)
-      .select(col("vid").as("vec_id"),
-        round(col("est").cast("double"), 6).as("dist_est"))
+    val cb = codebook(emb, idCol, vecCol, m, subDim, nCodes)
+    val enc = encode(emb, idCol, vecCol, cb, m, subDim)
+    topK(adcEstimates(enc, adcLut(cb, query, subDim), queryId), k)
+  }
+
+  /** IVF-PQ composition — the production billion-scale layout: IVF cells
+    * prune WHICH vectors are scored (only the nprobe cells nearest the
+    * query), PQ codes compress HOW each survivor is scored (ADC lookups,
+    * never the raw embedding). At write time the corpus is bucketed by
+    * `cell` carrying only its m-byte code — a probe touches nprobe/nCells
+    * of the data and never shuffles at embedding width. */
+  def knnIvfPq(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+               k: Int, nCells: Int, nprobe: Int, m: Int,
+               nCodes: Int): DataFrame = {
+    val query = queryVec(emb, idCol, vecCol, queryId)
+    require(query.length % m == 0, s"dim ${query.length} not divisible by m=$m")
+    val subDim = query.length / m
+    val probed = IvfIndex.assignSampled(emb, idCol, vecCol, nCells)
+      .join(broadcast(
+        IvfIndex.probeCells(emb, idCol, vecCol, query, nCells, nprobe)), "cell")
+      .select(col(idCol), col(vecCol))
+    val cb = codebook(emb, idCol, vecCol, m, subDim, nCodes)
+    val enc = encode(probed, idCol, vecCol, cb, m, subDim)
+    topK(adcEstimates(enc, adcLut(cb, query, subDim), queryId), k)
   }
 }

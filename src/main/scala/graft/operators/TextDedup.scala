@@ -85,6 +85,52 @@ object TextDedup {
         round(col("inter_cnt").cast("double") / col("union_cnt"), 6).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder, "On the Resemblance and
+    * Containment of Documents", SEQUENCES'97): c(a in b) = |A∩B| / |A| over
+    * distinct shingles — the primitive resemblance (Jaccard) misses: a
+    * quote or snippet wholly contained in a larger doc scores low Jaccard
+    * (the union is large) but containment ~1. Directed output (doc_a
+    * contained in doc_b, a≠b, both directions emitted when both clear the
+    * threshold).
+    *
+    * Same two-phase 100 TB plan as [[ngramJaccardPairs]]: candidates from
+    * the rare-shingle (df <= maxShingleDf) equality self-join, exact
+    * intersection recomputed over full shingle sets, rational threshold
+    * `inter * den >= n_a * num`. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, thresholdNum: Int, thresholdDen: Int,
+                       maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+    val rare = sh.join(dfreq.filter(col("df_cnt") <= maxShingleDf).select("sh"), "sh")
+    // unordered candidate pairs + rare-intersection count (a < b halves the
+    // join; both directions are emitted from the one count afterwards)
+    val interRare = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val common = sh.join(dfreq.filter(col("df_cnt") > maxShingleDf).select("sh"), "sh")
+    val interCommon = interRare.select("doc_a", "doc_b")
+      .join(common.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(common.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter_common"))
+    val inter = interRare.join(interCommon, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_cnt",
+        col("inter_rare") + coalesce(col("inter_common"), lit(0L)))
+      .select("doc_a", "doc_b", "inter_cnt")
+    // both directions from the single unordered intersection
+    val directed = inter.union(inter.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b"), col("inter_cnt")))
+    directed
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .filter(col("inter_cnt") * thresholdDen >= col("n_a") * thresholdNum)
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt").cast(LongType),
+        col("n_a").cast(LongType),
+        round(col("inter_cnt").cast("double") / col("n_a"), 6).as("containment"))
+  }
+
   private def registerNative(df: DataFrame): Unit =
     graft.functions.NativeTextFunctions.register(df.sparkSession)
 

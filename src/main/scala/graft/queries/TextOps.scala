@@ -340,6 +340,12 @@ object TextOps {
       // ones where no shingle exceeds the cap
       TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 3, 10,
         maxShingleDf = 1000)),
+    "d_containment" -> ((s, dir) =>
+      // asymmetric containment >= 7/10 (Broder SEQUENCES'97): catches
+      // snippets/quotes swallowed by larger docs that Jaccard's union
+      // denominator hides; directed pairs, rational threshold
+      TextDedup.containmentPairs(docs(s, dir), "doc_id", "text", 3, 7, 10,
+        maxShingleDf = 1000)),
     "d_minhash_lsh" -> ((s, dir) =>
       // 15 hashes, 5 bands × 3 rows — candidates from band collisions
       TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 15, 3)),
@@ -621,6 +627,30 @@ object TextOps {
                 round(CAST(inter_cnt AS DOUBLE)/(sa.n + sb.n - inter_cnt), 6) AS jaccard
          FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
          WHERE inter_cnt * 10 >= (sa.n + sb.n - inter_cnt) * 3""",
+    "d_containment" ->
+      // same candidate discipline as the engine: rare-shingle (df <= 1000)
+      // candidates, exact intersection over full sets, then BOTH directions
+      // scored against the source doc's own shingle count
+      s"""WITH $shingleSql,
+         dfreq AS (SELECT sh, count(*) AS df_cnt FROM sh GROUP BY 1),
+         rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq USING (sh)
+                  WHERE df_cnt <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         p AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
+               FROM cand
+               JOIN sh a ON a.doc_id = cand.doc_a
+               JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+               GROUP BY 1, 2),
+         directed AS (SELECT doc_a, doc_b, inter_cnt FROM p
+                      UNION ALL
+                      SELECT doc_b AS doc_a, doc_a AS doc_b, inter_cnt FROM p)
+         SELECT d.doc_a, d.doc_b, CAST(d.inter_cnt AS BIGINT) AS inter_cnt,
+                CAST(sa.n AS BIGINT) AS n_a,
+                round(CAST(d.inter_cnt AS DOUBLE) / sa.n, 6) AS containment
+         FROM directed d JOIN sz sa ON d.doc_a = sa.doc_id
+         WHERE d.inter_cnt * 10 >= sa.n * 7""",
     "d_minhash_lsh" ->
       s"""WITH $shingleSql,
          sigs AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS sig

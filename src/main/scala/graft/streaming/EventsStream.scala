@@ -66,11 +66,18 @@ object EventsStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
-  /** Stream-stream inner join: each click joined to the same user's errors
+  /** Stream-stream join: each click joined to the same user's errors
     * within the following `windowSec` seconds. Both sides carry watermarks
     * so join state is evicted by event time — the unbounded-input-safe form
-    * of the batch range join. */
-  def clickErrorJoin(clicks: DataFrame, errors: DataFrame, windowSec: Long): DataFrame = {
+    * of the batch range join.
+    *
+    * `joinType` "left_outer" additionally emits clicks that found NO error,
+    * with a null error_id — but only once the joint watermark passes the
+    * click's match window (the row might still match until then), so
+    * unmatched results trail the stream by watermark delay + windowSec:
+    * exactly-once outer semantics on unbounded input (LeftOuterJoinSpec). */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame, windowSec: Long,
+                     joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -81,7 +88,8 @@ object EventsStream {
     c.join(e,
       col("user_id") === col("e_user_id")
         && col("error_ts") >= col("click_ts")
-        && col("error_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        && col("error_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("error_id"))
   }
 

@@ -154,6 +154,34 @@ object TextOps {
         TextFunctions.fingerprint(col("text")).as("fp"),
         substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp_prefix"))
     }),
+    "t_weighted_sample" -> ((s, dir) => {
+      // deterministic IMPORTANCE sampling: keep probability proportional to
+      // a per-doc quality weight (token count capped at 1.0), decided by
+      // comparing the doc's stable md5-fraction to its weight — the
+      // quality-weighted data-mixing primitive (DoReMi-style reweighting),
+      // reproducible across runs/engines and stable under corpus growth.
+      // The 48-bit md5 prefix is exact in a double (KMV precedent).
+      val toks = size(TextFunctions.tokens(col("text")))
+      val weight = least(lit(1.0), toks.cast("double") / 100.0)
+      val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long").cast("double") / 281474976710656.0
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("n_tokens"),
+          round(weight, 6).as("weight"))
+        .filter(frac < weight)
+    }),
+    "t_upsample" -> ((s, dir) => {
+      // integer replication by quality tier ("repeat good data"): high-tier
+      // docs emit 3 copies, mid 2, rest 1, each tagged with its copy index
+      // — the epoch-mixing primitive. explode(sequence(...)) keeps the
+      // replication distributed and shuffle-free.
+      val toks = size(TextFunctions.tokens(col("text")))
+      val copies = when(toks >= 60, 3).when(toks >= 30, 2).otherwise(1)
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("n_tokens"), copies.as("n_copies"))
+        .select(col("doc_id"), col("n_tokens"), col("n_copies"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy_n"))
+    }),
     "t_sample_split" -> ((s, dir) => {
       // deterministic train/val/test split (~90/5/5) on a hash of the
       // stable id: reproducible across runs and engines, and a doc's split
@@ -481,6 +509,27 @@ object TextOps {
                      WHEN n_es > n_en THEN 'es'
                      ELSE 'en' END) = 'en'
            AND n_tokens BETWEEN 20 AND 80""",
+    "t_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         FROM documents)
+         SELECT doc_id, n_tokens,
+                round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS weight
+         FROM t
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               / 281474976710656.0
+               < least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)""",
+    "t_upsample" ->
+      """WITH t AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      CASE WHEN n_tokens >= 60 THEN 3
+                           WHEN n_tokens >= 30 THEN 2 ELSE 1 END AS n_copies
+               FROM t)
+         SELECT doc_id, n_tokens, CAST(n_copies AS INTEGER) AS n_copies,
+                CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_n
+         FROM c""",
     "t_sample_split" ->
       """SELECT doc_id,
                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'

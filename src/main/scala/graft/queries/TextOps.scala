@@ -274,6 +274,30 @@ object TextOps {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("tokens_before"), expr("tokens_before div 2048").as("bin_id"))
     }),
+    "t_ngram_lm" -> ((s, dir) => {
+      // bigram LM statistics with add-one smoothing: P(w2|w1) =
+      // (c(w1,w2)+1)/(c(w1·)+V) — the conditional-probability table a
+      // statistical language model materializes (c(w1·) = w1's total count
+      // as a left context, so probabilities per context sum correctly).
+      // Counts absorb map-side; V is a broadcast 1-row scalar; the
+      // probability is one IEEE division of exact integers. Top-50 with a
+      // total order for a deterministic cut.
+      val grams = docs(s, dir)
+        .select(explode(TextFunctions.ngrams(
+          TextFunctions.tokens(col("text")), 2)).as("pair"))
+      val bi = grams.groupBy("pair").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("pair"), " ", 1))
+      val ctx = bi.groupBy("w1").agg(sum("c12").as("c1"))
+      val vocab = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      bi.join(ctx, "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("pair"), col("c12"), col("c1"),
+          round((col("c12") + lit(1.0)) / (col("c1") + col("v")), 9).as("p"))
+        .orderBy(col("c12").desc, col("pair").asc)
+        .limit(50)
+    }),
     "t_bpe_pairs" -> ((s, dir) =>
       // corpus-global adjacent-pair frequencies — the merge-candidate
       // statistic a BPE/WordPiece tokenizer trainer recomputes each round
@@ -635,6 +659,21 @@ object TextOps {
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "t_ngram_lm" ->
+      """WITH grams AS (
+           SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+           FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 2),
+         bi AS (SELECT pair, count(*) AS c12 FROM grams GROUP BY 1),
+         sp AS (SELECT pair, c12, string_split(pair, ' ')[1] AS w1 FROM bi),
+         ctx AS (SELECT w1, sum(c12) AS c1 FROM sp GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+         SELECT sp.pair, CAST(sp.c12 AS BIGINT) AS c12, CAST(ctx.c1 AS BIGINT) AS c1,
+                round((sp.c12 + 1.0) / (ctx.c1 + v.v), 9) AS p
+         FROM sp JOIN ctx USING (w1), v
+         ORDER BY c12 DESC, pair ASC LIMIT 50""",
     "t_bpe_pairs" ->
       """WITH grams AS (
            SELECT unnest(list_transform(generate_series(1, len(toks) - 1),

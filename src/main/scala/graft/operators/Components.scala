@@ -44,30 +44,43 @@ object Components {
       .select(col("src").as("node"),
         least(col("src"), col("min_nb")).as("comp"))
       .localCheckpoint()
-    // per-node labels only ever decrease (new = min(old, neighbors)), so the
-    // global label sum is strictly monotone until fixpoint: an unchanged sum
-    // IS convergence — one 1-row aggregate per round instead of a
-    // change-detection join
+    // Convergence probe, by label type:
+    //  - numeric ids: per-node labels only ever decrease (new = min(old,
+    //    neighbors)), so the global label sum is strictly monotone until
+    //    fixpoint — an unchanged decimal(38,0) sum IS convergence, one
+    //    1-row aggregate per round (a long sum could overflow on huge
+    //    graphs with large ids, silently faking (non-)convergence);
+    //  - any other orderable type (string entities from ER, composite
+    //    keys): no arithmetic exists, so convergence is an exact per-node
+    //    change-detection join — one extra bounded job per round, same
+    //    asymptotics.
+    val numericIds = labels.schema("comp").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // decimal(38,0) accumulation: a long sum could overflow on huge
-      // graphs with large ids, silently faking (non-)convergence
       import org.apache.spark.sql.types.DecimalType
       df.agg(coalesce(sum(col("comp").cast(DecimalType(38, 0))),
         lit(java.math.BigDecimal.ZERO))).first().getDecimal(0)
     }
-    var prevSum = labelSum(labels)
+    def unchanged(cur: DataFrame, next: DataFrame): Boolean =
+      next.as("n").join(cur.as("p"), "node")
+        .filter(!(col("n.comp") <=> col("p.comp")))
+        .head(1).isEmpty
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      labels = edges
+      val next = edges
         .join(labels.select(col("node").as("src"), col("comp")), "src")
         .select(col("dst").as("node"), col("comp"))
         .union(labels)
         .groupBy("node").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
+      } else converged = unchanged(labels, next)
+      labels = next
       iter += 1
     }
     require(converged,

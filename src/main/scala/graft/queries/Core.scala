@@ -132,6 +132,42 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_outliers" -> ((s, dir) => {
+      // z-score anomaly detection per event type: |value - mean| > 3σ
+      // (population σ). Mean/variance from exact decimal sums (value is
+      // 2-decimal, its square exact at scale 4) so the cut is identical in
+      // both engines; z rounds for output, the predicate uses the
+      // unrounded value.
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+      val stats = ev.groupBy("event_type").agg(
+        (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("mu"),
+        (sum((col("value") * col("value")).cast(DecimalType(28, 4)))
+          .cast("double") / count(lit(1))).as("musq"))
+        .withColumn("sigma", sqrt(col("musq") - col("mu") * col("mu")))
+        .select("event_type", "mu", "sigma")
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+    }),
+    "q_er_clusters" -> ((s, dir) => {
+      // entity-resolution end-to-end: fuzzy name pairs (the q_fuzzy_join
+      // plan) closed into entity GROUPS via connected components — matches
+      // are not transitive, so grouping (not pairwise pick-one) is the
+      // correct canonicalization, same argument as near-dup clustering.
+      val names = t(s, dir, "part").select("p_name").distinct()
+        .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+      val pairs = names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      graft.operators.Components
+        .connectedComponents(pairs, "name_a", "name_b")
+        .select(col("node").as("name"), col("comp").as("canonical_name"))
+    }),
     "q_ntile" -> ((s, dir) =>
       // exact equi-depth deciles (profiling companion to q_histogram's
       // equi-width buckets). The global ntile sort is the exact
@@ -966,6 +1002,36 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_outliers" ->
+      """WITH s AS (
+           SELECT event_type,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mu,
+                  CAST(sum(CAST(value*value AS DECIMAL(28,4))) AS DOUBLE)/count(*) AS musq
+           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+                round((e.value - s.mu) / sqrt(s.musq - s.mu*s.mu), 6) AS z
+         FROM events e JOIN s USING (event_type)
+         WHERE e.value IS NOT NULL
+           AND abs((e.value - s.mu) / sqrt(s.musq - s.mu*s.mu)) > 3.0""",
+    "q_er_clusters" ->
+      // the fuzzy-pair graph closed transitively (recursive CTE at oracle
+      // scale; the engine min-label-propagates distributed)
+      """WITH RECURSIVE names AS (
+           SELECT DISTINCT p_name, regexp_extract(p_name, '[a-z]+$') AS blk
+           FROM part),
+         prs AS (SELECT a.p_name AS name_a, b.p_name AS name_b
+                 FROM names a JOIN names b
+                   ON a.blk = b.blk AND a.p_name < b.p_name
+                 WHERE levenshtein(a.p_name, b.p_name) <= 3),
+         edges AS (SELECT name_a AS src, name_b AS dst FROM prs
+                   UNION SELECT name_b, name_a FROM prs),
+         reach AS (SELECT src AS node, src AS comp FROM edges
+                   UNION
+                   SELECT r.node, e.dst AS comp FROM reach r
+                   JOIN edges e ON e.src = r.comp)
+         SELECT node AS name, min(comp) AS canonical_name
+         FROM reach GROUP BY 1""",
     "q_ntile" ->
       """SELECT decile, count(*) AS n_orders, min(o_totalprice) AS lo,
                 max(o_totalprice) AS hi,

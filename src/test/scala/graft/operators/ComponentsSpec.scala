@@ -44,6 +44,19 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labels.size == 20)
   }
 
+  test("string node ids: chain collapses to the lexicographic minimum") {
+    // non-numeric labels exercise the change-detection convergence probe
+    // (no decimal sum exists for strings) — added for the ER use case
+    val pairs = Seq(("delta", "bravo"), ("bravo", "echo"), ("echo", "alpha"),
+      ("zulu", "yankee"))
+    val labels = Components.connectedComponents(
+      pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("delta" -> "alpha", "bravo" -> "alpha",
+      "echo" -> "alpha", "alpha" -> "alpha",
+      "zulu" -> "yankee", "yankee" -> "yankee"))
+  }
+
   /** Local union-find ground truth: node -> min id of its component. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()

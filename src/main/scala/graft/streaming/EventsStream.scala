@@ -122,6 +122,21 @@ object EventsStream {
       }
       .start()
 
+  /** Stream into a JDBC reporting database with at-least-once-safe
+    * idempotence — the reference's end state (Postgres reporting tables)
+    * fed continuously instead of by batch DAG runs: every micro-batch
+    * insert-if-absents on the PK via [[graft.pipeline.JdbcSink.dedupAppend]],
+    * so source replays and batch retries cannot duplicate rows. */
+  def streamIntoJdbc(events: DataFrame, url: String, table: String,
+                     pkCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.JdbcSink.dedupAppend(batch.sparkSession, batch, url,
+          table, pkCols)
+      }
+      .start()
+
   /** Drain a (bounded) streaming DataFrame through a memory sink and return
     * the sink contents as a batch DataFrame. Deterministic for file sources:
     * processAllAvailable blocks until every input file is consumed.

@@ -23,6 +23,18 @@ object Catalog {
     }
   }
 
+  /** Drop a managed table AND its warehouse location: the default catalog
+    * is per-JVM, so a table written by a previous process is unknown to
+    * DROP TABLE while its directory still exists on disk — a subsequent
+    * CREATE/saveAsTable would refuse with LOCATION_ALREADY_EXISTS. */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.replace('.', '/'))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Test/teardown helper — not part of the reference surface. Also removes
     * the physical warehouse location: a fresh session's in-memory catalog
     * does not know tables a previous JVM created, so a leftover

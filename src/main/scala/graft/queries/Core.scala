@@ -132,6 +132,28 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_skyline" -> ((s, dir) => {
+      // 2-D Pareto skyline (Borzsonyi et al., "The Skyline Operator",
+      // ICDE'01): orders not strictly dominated on (lower price, later
+      // date). The O(n log n) cummax formulation instead of the naive
+      // all-pairs anti-join: per distinct price the max date, then the
+      // running max over strictly-cheaper prices (rows frame over the
+      // UNIQUE-price frame = strict-cheaper prefix); a row survives iff no
+      // strictly cheaper order has a strictly later date.
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      val perPrice = o.groupBy("o_totalprice")
+        .agg(max("o_orderdate").as("pmax"))
+      val w = Window.orderBy(col("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = perPrice
+        .withColumn("cheaper_max", max("pmax").over(w))
+        .select("o_totalprice", "cheaper_max")
+      o.join(cum, "o_totalprice")
+        .filter(col("cheaper_max").isNull ||
+          !(col("cheaper_max") > col("o_orderdate")))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    }),
     "q_outliers" -> ((s, dir) => {
       // z-score anomaly detection per event type: |value - mean| > 3σ
       // (population σ). Mean/variance from exact decimal sums (value is
@@ -337,17 +359,10 @@ object Core {
       // sort-merge join reads matching buckets with NO shuffle exchange —
       // the 100 TB fact-dim co-location strategy (plan proven shuffle-free
       // in ScaleSpec; here the result is hash-checked against a plain join).
-      // drop catalog entry AND any orphaned warehouse dir: the default
-      // catalog is per-JVM, so a table written by a previous process is
-      // unknown to DROP TABLE while its location still exists on disk —
-      // saveAsTable would refuse with LOCATION_ALREADY_EXISTS
-      Seq("graft_bucket_orders", "graft_bucket_customer").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tbl)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      // drop catalog entry AND any orphaned warehouse dir (cross-JVM
+      // leftover) — see Catalog.dropManaged
+      Seq("graft_bucket_orders", "graft_bucket_customer")
+        .foreach(graft.pipeline.Catalog.dropManaged(s, _))
       t(s, dir, "orders").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .format("parquet").saveAsTable("graft_bucket_orders")
@@ -1002,6 +1017,18 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_skyline" ->
+      """WITH pp AS (SELECT o_totalprice, max(o_orderdate) AS pmax
+                     FROM orders GROUP BY 1),
+         cum AS (SELECT o_totalprice,
+                        max(pmax) OVER (ORDER BY o_totalprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS cheaper_max
+                 FROM pp)
+         SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+         FROM orders o JOIN cum USING (o_totalprice)
+         WHERE cum.cheaper_max IS NULL
+            OR NOT (cum.cheaper_max > o.o_orderdate)""",
     "q_outliers" ->
       """WITH s AS (
            SELECT event_type,

@@ -59,6 +59,48 @@ object PipelineOps {
       s.table(table).select("dag_id", "dag_run_id", "state")
         .orderBy(col("dag_id"), col("dag_run_id"))
     }),
+    "p_incr_rollup" -> ((s, dir) => {
+      // incremental materialized-view maintenance: a daily rollup table is
+      // maintained by merging each batch's PARTIAL aggregates additively
+      // (existing + delta per day, then PK upsert on day) — three batches
+      // whose boundaries deliberately split days, so correctness requires
+      // the additive merge, not row replacement. The oracle is the full
+      // recompute: incremental maintenance must be indistinguishable from
+      // it. Decimal sums keep the additive path exact; at 100 TB each
+      // batch aggregates map-side to days-cardinality before touching the
+      // rollup.
+      import org.apache.spark.sql.functions.{coalesce => coal, count => cnt, lit => l, sum => sm}
+      val table = "rpt_incr_rollup"
+      Catalog.dropManaged(s, table)
+      s.sql(s"""CREATE TABLE $table (day TIMESTAMP, n_events BIGINT,
+                sum_value DECIMAL(18,2)) USING parquet""")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"),
+          org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("day"),
+          col("value"))
+      // batch boundaries at MID-day so days are split across batches —
+      // row-replacement upserts would silently drop the earlier half
+      def applyDelta(lo: String, hi: String): Unit = {
+        val batch = ev.filter(col("ts") >= lo && col("ts") < hi)
+        val partial = batch.groupBy("day").agg(
+          cnt(l(1)).as("n_events"),
+          sm(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("sum_value"))
+        val e = s.table(table)
+        val combined = partial.as("d")
+          .join(e.as("e"), Seq("day"), "left")
+          .select(col("day"),
+            (col("d.n_events") + coal(col("e.n_events"), l(0L))).as("n_events"),
+            (col("d.sum_value") + coal(col("e.sum_value"),
+              l(java.math.BigDecimal.ZERO))).as("sum_value"))
+        Loader.upsert(s, combined, table, Seq("day"))
+      }
+      applyDelta("1900-01-01 00:00:00", "2024-01-10 12:00:00")
+      applyDelta("2024-01-10 12:00:00", "2024-01-20 18:30:00")
+      applyDelta("2024-01-20 18:30:00", "2100-01-01 00:00:00")
+      s.table(table).select(col("day"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+    }),
     "p_cdc" -> ((s, _) => {
       // CDC apply: initial snapshot (page 1), then an I/U/D change batch
       // with per-PK seq ordering — latest op wins, so in-batch I->D nets to
@@ -160,6 +202,11 @@ object PipelineOps {
             FROM $src)
           SELECT $cols FROM staged WHERE rn = 1"""
     Map(
+      "p_incr_rollup" ->
+        // the full recompute the incremental maintenance must equal
+        """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1""",
       "p_cdc" ->
         s"""WITH snap AS (
               SELECT dag_id, dag_run_id, state

@@ -40,20 +40,47 @@ object RestExtract {
     override val header: String = s"Bearer $token"
   }
 
+  /** `maxAttempts`/`retryBaseMs`: transient-failure policy for EVERY
+    * request (driver probe and executor fetches). 429 and 5xx responses
+    * and connection-level IOExceptions retry with deterministic
+    * exponential backoff (base, 2x, 4x, ... — no jitter, so tests are
+    * exact); other 4xx fail immediately — an auth or contract error does
+    * not heal by retrying. A live Airflow behind a proxy throws 502/503
+    * during deploys and 429 under burst pagination; without this policy
+    * one blip fails a whole extraction task. */
   final case class Api(baseUrl: String, batchSize: Int = 1000,
                        watermarkParam: String = "start_date_gte",
-                       auth: Option[Auth] = None)
+                       auth: Option[Auth] = None,
+                       maxAttempts: Int = 4, retryBaseMs: Long = 250L)
 
   // one client per JVM (driver or executor) — each HttpClient owns selector
   // threads and a connection pool; per-request construction churns both
   @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  private def get(url: String, auth: Option[Auth]): String = {
-    val b = HttpRequest.newBuilder(URI.create(url)).GET()
-    auth.foreach(a => b.header("Authorization", a.header))
-    val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    require(res.statusCode() == 200, s"GET $url -> ${res.statusCode()}")
-    res.body()
+  private def get(url: String, auth: Option[Auth], maxAttempts: Int = 1,
+                  retryBaseMs: Long = 0L): String = {
+    var attempt = 1
+    var lastErr = ""
+    while (attempt <= maxAttempts) {
+      try {
+        val b = HttpRequest.newBuilder(URI.create(url)).GET()
+        auth.foreach(a => b.header("Authorization", a.header))
+        val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        val sc = res.statusCode()
+        if (sc == 200) return res.body()
+        // non-retryable client errors fail fast (429 is the rate-limit
+        // exception — it IS the retry case)
+        require(sc == 429 || sc >= 500, s"GET $url -> $sc")
+        lastErr = s"GET $url -> $sc"
+      } catch {
+        case e: java.io.IOException => lastErr = s"GET $url failed: ${e.getMessage}"
+      }
+      if (attempt < maxAttempts)
+        Thread.sleep(retryBaseMs << (attempt - 1))
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"$lastErr (after $maxAttempts attempts)")
   }
 
   private def pageUrl(api: Api, entity: String, offset: Long,
@@ -67,11 +94,11 @@ object RestExtract {
 
   /** One page's raw body — shared with the DSv2 connector (sources.RestDataSource). */
   def getPage(api: Api, entity: String, offset: Long, wm: Option[String]): String =
-    get(pageUrl(api, entity, offset, wm), api.auth)
+    get(pageUrl(api, entity, offset, wm), api.auth, api.maxAttempts, api.retryBaseMs)
 
   /** Driver-side probe: total row count for the (watermarked) extraction. */
   def totalEntries(api: Api, entity: String, wm: Option[String]): Long = {
-    val body = get(pageUrl(api, entity, 0, wm), api.auth)
+    val body = get(pageUrl(api, entity, 0, wm), api.auth, api.maxAttempts, api.retryBaseMs)
     new ObjectMapper().readTree(body).get("total_entries").asLong()
   }
 
@@ -86,7 +113,7 @@ object RestExtract {
         val mapper = new ObjectMapper()
         it.flatMap { page =>
           val url = pageUrl(apiB, entity, page * apiB.batchSize, wm)
-          val items = mapper.readTree(get(url, apiB.auth)).get("items")
+          val items = mapper.readTree(get(url, apiB.auth, apiB.maxAttempts, apiB.retryBaseMs)).get("items")
           (0 until items.size()).iterator.map(i => items.get(i).toString)
         }
       }(Encoders.STRING)
@@ -112,7 +139,7 @@ object RestExtract {
         val mapper = new ObjectMapper()
         it.flatMap { page =>
           val url = pageUrl(apiB, "dag", page * apiB.batchSize, None)
-          val items = mapper.readTree(get(url, apiB.auth)).get("items")
+          val items = mapper.readTree(get(url, apiB.auth, apiB.maxAttempts, apiB.retryBaseMs)).get("items")
           (0 until items.size()).iterator
             .map(i => items.get(i).get("dag_id").asText())
         }
@@ -122,7 +149,7 @@ object RestExtract {
     val rows: Dataset[String] = ids.mapPartitions { it =>
       it.map { id =>
         val enc = java.net.URLEncoder.encode(id, "UTF-8").replace("+", "%20")
-        get(s"${apiB.baseUrl}/dag/$enc", apiB.auth)
+        get(s"${apiB.baseUrl}/dag/$enc", apiB.auth, apiB.maxAttempts, apiB.retryBaseMs)
       }
     }(Encoders.STRING)
     spark.read.schema(Schemas.dag).json(rows)

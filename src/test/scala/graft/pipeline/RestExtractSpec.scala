@@ -23,6 +23,12 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val listCalls = new java.util.concurrent.atomic.AtomicInteger
   private val detailCalls = new java.util.concurrent.atomic.AtomicInteger
+  private val flakyCalls = new java.util.concurrent.atomic.AtomicInteger
+  private val downCalls = new java.util.concurrent.atomic.AtomicInteger
+  private val flakySeen =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+  private var flakyBase: String = _
+  private var downBase: String = _
 
   // 25 dag_runs, start_date 2022-03-01T00:00:05Z + i hours
   private def runJson(i: Int): String = {
@@ -110,9 +116,29 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
         else respond(ex, 401, "")
       }
     })
+    // flaky mirror: each distinct URI 503s twice, then serves — the
+    // transient-proxy-failure case the retry policy exists for
+    server.createContext("/flaky/dag_run", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        flakyCalls.incrementAndGet()
+        val uri = ex.getRequestURI.toString
+        val n = flakySeen.merge(uri, 1, (a, b) => a + b)
+        if (n <= 2) respond(ex, 503, "")
+        else respond(ex, 200, dagRunPage(ex))
+      }
+    })
+    // hard-down mirror: always 503
+    server.createContext("/down/dag_run", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        downCalls.incrementAndGet()
+        respond(ex, 503, "")
+      }
+    })
     server.start()
     base = s"http://localhost:${server.getAddress.getPort}/api"
     secBase = s"http://localhost:${server.getAddress.getPort}/sec"
+    flakyBase = s"http://localhost:${server.getAddress.getPort}/flaky"
+    downBase = s"http://localhost:${server.getAddress.getPort}/down"
   }
 
   override def afterAll(): Unit = if (server != null) server.stop(0)
@@ -223,5 +249,42 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // second run: watermark = max(start_date) → server returns nothing new
     RestExtract.extractStageLoad(spark, api, "dag_run", stagingBase, "20220301T010000")
     assert(spark.table("rpt.dag_run").count() == 25)
+  }
+
+  test("transient 503s are retried with backoff; extraction still succeeds") {
+    flakyCalls.set(0); flakySeen.clear()
+    val api = RestExtract.Api(flakyBase, batchSize = 10,
+      maxAttempts = 4, retryBaseMs = 1L)
+    val out = RestExtract.fetch(spark, api, "dag_run")
+    assert(out.count() == 25)
+    // 3 distinct URIs (probe shares page-0's). Probe: 2 fails + success;
+    // page 0 re-fetches the now-warm URI (1 call); pages 1-2: 3 calls each
+    assert(flakySeen.size() == 3, s"URIs: $flakySeen")
+    assert(flakyCalls.get() == 3 + 1 + 3 + 3, s"calls: ${flakyCalls.get()}")
+  }
+
+  test("a hard-down endpoint fails after maxAttempts, not infinitely") {
+    downCalls.set(0)
+    val api = RestExtract.Api(downBase, batchSize = 10,
+      maxAttempts = 3, retryBaseMs = 1L)
+    val e = intercept[java.io.IOException] {
+      RestExtract.totalEntries(api, "dag_run", None)
+    }
+    assert(e.getMessage.contains("503") && e.getMessage.contains("3 attempts"))
+    assert(downCalls.get() == 3)
+  }
+
+  test("non-retryable 4xx fails immediately (single request, no backoff)") {
+    // the secured context 401s without credentials; auth errors must not
+    // burn retry attempts
+    val api = RestExtract.Api(secBase, batchSize = 10,
+      maxAttempts = 4, retryBaseMs = 1000L)
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException] {
+      RestExtract.totalEntries(api, "dag_run", None)
+    }
+    // with retries this would sleep >= 1s + 2s + 4s; fail-fast is instant
+    assert((System.nanoTime() - t0) / 1e9 < 0.9,
+      "401 must not be retried/backed off")
   }
 }

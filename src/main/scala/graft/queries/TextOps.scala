@@ -415,6 +415,26 @@ object TextOps {
         d.filter(col("source") =!= "src18"), d.filter(col("source") === "src18"),
         "doc_id", "text", 3, 15, 3, minEqual = 9)
     }),
+    "t_fuzzy_curate" -> ((s, dir) => {
+      // FUZZY curation flagship — the near-dup generalization of t_curate's
+      // exact chain, composing three operator families in one declarative
+      // plan: SimHash candidate pairs → connected components → keep each
+      // cluster's canonical minimum (plus every unclustered doc) → token
+      // quality window. Near-dup relations are not transitive, so the
+      // cluster-then-keep-min step is what makes the deletion set correct.
+      val d = docs(s, dir)
+      val prs = TextDedup.simhashPairs(d, "doc_id", "text", 2)
+        .select("doc_a", "doc_b")
+      val cc = Components.connectedComponents(prs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("comp"))
+      val survivors = d.select("doc_id")
+        .join(cc.select("doc_id"), Seq("doc_id"), "left_anti")
+        .union(cc.filter(col("doc_id") === col("comp")).select("doc_id"))
+      d.join(survivors, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+        .filter(col("n_tokens").between(20, 400))
+        .select("doc_id", "lang", "n_tokens")
+    }),
     // pairs -> groups: connected components over the SimHash candidate
     // graph, then each doc labeled with its cluster's min doc_id (the
     // canonical survivor) and the cluster size. Near-dup relations are
@@ -808,12 +828,28 @@ object TextOps {
     // min-label-propagates in O(diameter) joins). d_clusters_stars runs
     // the large/small-star algorithm against the identical oracle.
     "d_dedup_clusters" -> clustersOracleSql,
-    "d_clusters_stars" -> clustersOracleSql
+    "d_clusters_stars" -> clustersOracleSql,
+    "t_fuzzy_curate" ->
+      // the same transitive-closure labels, then: survivors = unclustered
+      // docs + per-cluster minimum, quality-windowed
+      s"""WITH $clustersCteSql,
+         survivors AS (
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+           UNION ALL
+           SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+         t AS (SELECT d.doc_id, d.lang,
+                      CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens
+               FROM documents d JOIN survivors USING (doc_id))
+         SELECT doc_id, lang, n_tokens FROM t
+         WHERE n_tokens BETWEEN 20 AND 400"""
   )
 
-  // lazy: referenced by the `oracles` map declared above it
-  private lazy val clustersOracleSql =
-      """WITH RECURSIVE tok AS (SELECT doc_id, tok, count(*) AS cnt
+  /** Shared WITH-chain: SimHash candidate pairs closed transitively into
+    * per-doc cluster labels (`labels(doc_id, cluster_id)`). Used by the
+    * clusters oracles AND the fuzzy-curation oracle. */
+  private lazy val clustersCteSql =
+      """RECURSIVE tok AS (SELECT doc_id, tok, count(*) AS cnt
                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
                       GROUP BY 1, 2),
          bits AS (SELECT doc_id, j,
@@ -830,7 +866,11 @@ object TextOps {
          reach AS (SELECT src AS node, src AS comp FROM edges
                    UNION
                    SELECT r.node, e.dst AS comp FROM reach r JOIN edges e ON e.src = r.comp),
-         labels AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1)
+         labels AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1)"""
+
+  // lazy: referenced by the `oracles` map declared above it
+  private lazy val clustersOracleSql =
+    s"""WITH $clustersCteSql
          SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM labels"""
 }

@@ -68,6 +68,66 @@ object JdbcSink {
       props, batchSize)
   }
 
+  /** Apply a CDC change batch to a JDBC table — [[Loader.applyCdc]]'s
+    * semantics against the remote sink: per PK the highest `seqCol` wins
+    * (I→D nets absent, D→I reinserts), latest non-D rows upsert, latest-D
+    * PKs issue batched DELETEs. Deletes of absent PKs are no-ops (the
+    * at-least-once replay case), so re-applying a batch is idempotent. */
+  def applyCdc(spark: SparkSession, changes: DataFrame, url: String,
+               table: String, pkCols: Seq[String],
+               props: Properties = new Properties,
+               batchSize: Int = 10000,
+               opCol: String = "op", seqCol: String = "seq"): Unit = {
+    require(pkCols.nonEmpty, "applyCdc requires PK columns")
+    val latest = Loader.pickPerKey(changes, pkCols,
+      Seq(col(seqCol).desc))
+    upsert(spark, latest.filter(col(opCol) =!= "D").drop(opCol, seqCol),
+      url, table, pkCols, props, batchSize)
+    val sql = s"DELETE FROM $table WHERE " +
+      pkCols.map(c => s"$c = ?").mkString(" AND ")
+    executeKeyedDml(latest.filter(col(opCol) === "D")
+      .select(pkCols.map(col): _*), url, sql, props, batchSize)
+  }
+
+  /** Distributed batched keyed DML (DELETE and friends): each partition
+    * opens one connection and flushes `batchSize` statements per round
+    * trip — the same per-partition imperative JDBC shape as
+    * [[writeUpdates]]. */
+  private def executeKeyedDml(keys: DataFrame, url: String, sql: String,
+                              props: Properties, batchSize: Int): Unit = {
+    val sqlTypes = keys.schema.fields.map(f => jdbcType(f.dataType))
+    val propsMap = {
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+    keys.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val p = new Properties()
+        propsMap.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = DriverManager.getConnection(url, p)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < sqlTypes.length) {
+              val v = r.get(i)
+              if (v == null) ps.setNull(i + 1, sqlTypes(i))
+              else ps.setObject(i + 1, v, sqlTypes(i))
+              i += 1
+            }
+            ps.addBatch()
+            n += 1
+            if (n % batchSize == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
   /** The remote table's Spark schema WITH its real DDL nullability.
     * `spark.read.jdbc` deliberately reports every column nullable
     * (JDBCRDD resolves with alwaysNullable — sound for reads, useless for

@@ -95,4 +95,23 @@ class JdbcSinkSpec extends AnyFunSuite {
     val r = readBack(url).first()
     assert(r.getAs[String]("state") == "new")
   }
+
+  test("applyCdc: upserts non-D latest, batch-DELETEs D latest, idempotent") {
+    val url = freshDb()
+    JdbcSink.dedupAppend(spark, df(("r1", "running", 1.0), ("r2", "queued", 2.0)),
+      url, "runs", Seq("run_id"))
+    val ts = java.sql.Timestamp.valueOf("2022-03-02 00:00:00")
+    val changes = Seq(
+      ("U", 1L, "r1", "success", 9.0, ts),  // update existing
+      ("D", 1L, "r2", null, 0.0, ts),       // delete existing
+      ("I", 1L, "r3", "queued", 3.0, ts),   // insert then delete: absent
+      ("D", 2L, "r3", null, 0.0, ts),
+      ("D", 1L, "r9", null, 0.0, ts)        // delete of absent PK: no-op
+    ).toDF("op", "seq", "run_id", "state", "score", "seen_at")
+    JdbcSink.applyCdc(spark, changes, url, "runs", Seq("run_id"))
+    JdbcSink.applyCdc(spark, changes, url, "runs", Seq("run_id")) // replay
+    val out = readBack(url).collect()
+      .map(r => r.getAs[String]("run_id") -> r.getAs[String]("state")).toMap
+    assert(out == Map("r1" -> "success"))
+  }
 }

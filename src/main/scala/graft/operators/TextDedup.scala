@@ -85,6 +85,55 @@ object TextDedup {
         round(col("inter_cnt").cast("double") / col("union_cnt"), 6).as("jaccard"))
   }
 
+  /** Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. ICDE'06 / Xiao
+    * et al. PPJoin, WWW'08): order every doc's shingles by global rarity
+    * (df asc, shingle asc — one total order in both engines), index only
+    * each doc's first `n - ceil(t*n) + 1` shingles, and generate candidates
+    * from prefix∩prefix. PROVABLY complete for Jaccard >= t (two sets above
+    * the threshold must collide inside their prefixes under any shared
+    * global order) — the exact-guarantee alternative to
+    * [[ngramJaccardPairs]]'s df-cap heuristic; both return identical pairs
+    * at the same threshold (cross-checked by the d_ppjoin/d_ngram_jaccard
+    * oracles).
+    *
+    * Scale shape: the rarity order needs NO global rank — the per-doc
+    * prefix is a doc-partitioned window over (df, shingle), and the
+    * candidate join only ever sees prefix tokens, which by construction
+    * are the rare end of each doc. Verification recomputes the exact
+    * intersection over full shingle sets, as everywhere else. */
+  def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df_cnt"), col("sh"))
+    // prefix size: n - ceil(t*n) + 1, all-integer (ceil(a/b) = (a+b-1) div b)
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      .filter(col("rn") <=
+        col("n_sh") - ((col("n_sh") * thresholdNum + thresholdDen - 1)
+          .divide(thresholdDen).cast(LongType)) + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("union_cnt", col("n_a") + col("n_b") - col("inter_cnt"))
+      .filter(col("inter_cnt") * thresholdDen >= col("union_cnt") * thresholdNum)
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt").cast(LongType),
+        round(col("inter_cnt").cast("double") / col("union_cnt"), 6).as("jaccard"))
+  }
+
   /** Asymmetric CONTAINMENT pairs (Broder, "On the Resemblance and
     * Containment of Documents", SEQUENCES'97): c(a in b) = |A∩B| / |A| over
     * distinct shingles — the primitive resemblance (Jaccard) misses: a

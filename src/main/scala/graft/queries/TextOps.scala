@@ -392,6 +392,12 @@ object TextOps {
       // ones where no shingle exceeds the cap
       TextDedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 3, 10,
         maxShingleDf = 1000)),
+    "d_ppjoin" -> ((s, dir) =>
+      // prefix-filtered Jaccard join (PPJoin candidate rule) at the SAME
+      // 3/10 threshold as d_ngram_jaccard: provably complete candidates,
+      // so both queries must return identical pairs — two independent
+      // algorithms cross-checking each other through their oracles
+      TextDedup.ppjoinPairs(docs(s, dir), "doc_id", "text", 3, 3, 10)),
     "d_containment" -> ((s, dir) =>
       // asymmetric containment >= 7/10 (Broder SEQUENCES'97): catches
       // snippets/quotes swallowed by larger docs that Jaccard's union
@@ -726,6 +732,30 @@ object TextOps {
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         p AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
+               FROM cand
+               JOIN sh a ON a.doc_id = cand.doc_a
+               JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
+                round(CAST(inter_cnt AS DOUBLE)/(sa.n + sb.n - inter_cnt), 6) AS jaccard
+         FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+         WHERE inter_cnt * 10 >= (sa.n + sb.n - inter_cnt) * 3""",
+    "d_ppjoin" ->
+      // mirrors the engine's prefix rule: per-doc (df, shingle) order,
+      // prefix size n - ceil(3n/10) + 1, exact intersection over full sets
+      s"""WITH $shingleSql,
+         dfreq AS (SELECT sh, count(*) AS df_cnt FROM sh GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pre AS (SELECT doc_id, sh FROM (
+                   SELECT s.doc_id, s.sh,
+                          row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df_cnt, s.sh) AS rn,
+                          z.n
+                   FROM sh s JOIN dfreq d USING (sh) JOIN sz z USING (doc_id))
+                 WHERE rn <= n - ((3 * n + 9) // 10) + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          p AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
                FROM cand
                JOIN sh a ON a.doc_id = cand.doc_a

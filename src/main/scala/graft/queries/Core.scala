@@ -132,6 +132,22 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_mad" -> ((s, dir) => {
+      // robust dispersion: median absolute deviation per group — the
+      // outlier-resistant complement to q_outliers' mean/sigma z-score
+      // (one wild value shifts mean AND sigma; the median pair shrugs).
+      // Two grouped exact percentiles; the deviations join back on the
+      // group key, so both aggregations are key-equality shuffles.
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
+      ev.join(med, "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(first(col("med")), 4).as("med"),
+          round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"),
+          first(col("n")).as("n"))
+    }),
     "q_skyline" -> ((s, dir) => {
       // 2-D Pareto skyline (Borzsonyi et al., "The Skyline Operator",
       // ICDE'01): orders not strictly dominated on (lower price, later
@@ -1017,6 +1033,18 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+                             count(*) AS n
+                      FROM events
+                      WHERE event_type IS NOT NULL AND value IS NOT NULL
+                      GROUP BY 1)
+         SELECT e.event_type, round(any_value(m.med), 4) AS med,
+                round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+                any_value(m.n) AS n
+         FROM events e JOIN med m USING (event_type)
+         WHERE e.value IS NOT NULL
+         GROUP BY e.event_type""",
     "q_skyline" ->
       """WITH pp AS (SELECT o_totalprice, max(o_orderdate) AS pmax
                      FROM orders GROUP BY 1),

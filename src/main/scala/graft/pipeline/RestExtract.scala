@@ -48,10 +48,18 @@ object RestExtract {
     * not heal by retrying. A live Airflow behind a proxy throws 502/503
     * during deploys and 429 under burst pagination; without this policy
     * one blip fails a whole extraction task. */
+  /** `postList = true` selects the Airflow *batch-list* protocol
+    * (airflow_to_gcs.py:174,225,268): POST to `dags/~/dagRuns/list` /
+    * `dags/~/dagRuns/~/taskInstances/list` with a JSON body
+    * `{"page_limit": N, "page_offset": M[, "start_date_gte": wm]}` — these
+    * cross-dag endpoints have no GET equivalent, so a live run against a
+    * real Airflow requires this mode. The default (GET + query params)
+    * remains for per-entity list endpoints and the DSv2 connector. */
   final case class Api(baseUrl: String, batchSize: Int = 1000,
                        watermarkParam: String = "start_date_gte",
                        auth: Option[Auth] = None,
-                       maxAttempts: Int = 4, retryBaseMs: Long = 250L)
+                       maxAttempts: Int = 4, retryBaseMs: Long = 250L,
+                       postList: Boolean = false)
 
   // one client per JVM (driver or executor) — each HttpClient owns selector
   // threads and a connection pool; per-request construction churns both
@@ -83,6 +91,56 @@ object RestExtract {
       s"$lastErr (after $maxAttempts attempts)")
   }
 
+  /** POST with a JSON body; same status/retry policy as [[get]]. Shares the
+    * per-JVM client. The reference authenticates and sets
+    * `Content-Type: application/json` on each batch-list POST
+    * (airflow_to_gcs.py:75-80,174). */
+  private def post(url: String, body: String, auth: Option[Auth],
+                   maxAttempts: Int = 1, retryBaseMs: Long = 0L): String = {
+    var attempt = 1
+    var lastErr = ""
+    while (attempt <= maxAttempts) {
+      try {
+        val b = HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body, java.nio.charset.StandardCharsets.UTF_8))
+        auth.foreach(a => b.header("Authorization", a.header))
+        val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        val sc = res.statusCode()
+        if (sc == 200) return res.body()
+        require(sc == 429 || sc >= 500, s"POST $url -> $sc")
+        lastErr = s"POST $url -> $sc"
+      } catch {
+        case e: java.io.IOException => lastErr = s"POST $url failed: ${e.getMessage}"
+      }
+      if (attempt < maxAttempts)
+        Thread.sleep(retryBaseMs << (attempt - 1))
+      attempt += 1
+    }
+    throw new java.io.IOException(s"$lastErr (after $maxAttempts attempts)")
+  }
+
+  /** Batch-list endpoints: entity → (URL path, response items key).
+    * The Airflow cross-dag batch lists key their items by entity —
+    * `"dag_runs"` / `"task_instances"` — not `"items"`
+    * (airflow_to_gcs.py:182,242). */
+  private val batchList: Map[String, (String, String)] = Map(
+    "dag_run" -> ("dags/~/dagRuns/list", "dag_runs"),
+    "task_instance" -> ("dags/~/dagRuns/~/taskInstances/list", "task_instances"))
+
+  /** The batch-list page body. INTENDED semantics, not the reference's
+    * literal loop: the reference drops `start_date_gte` from every page
+    * after the first (airflow_to_gcs.py:268-270 rebuilds `data` without it)
+    * and never paginates taskInstances at all (:173-211 fetches one page) —
+    * both documented reference bugs (SURVEY.md §4). Here every page carries
+    * the same watermark, so a row landing between page fetches can't shift
+    * the offset window mid-extraction. */
+  private def postBody(api: Api, offset: Long, wm: Option[String]): String = {
+    val wmField = wm.map(w =>
+      s""","${api.watermarkParam}":${new ObjectMapper().writeValueAsString(w)}""").getOrElse("")
+    s"""{"page_limit":${api.batchSize},"page_offset":$offset$wmField}"""
+  }
+
   private def pageUrl(api: Api, entity: String, offset: Long,
                       wm: Option[String]): String = {
     // URL-encode the watermark: Instant.toString is URL-safe, but an
@@ -92,28 +150,42 @@ object RestExtract {
     s"${api.baseUrl}/$entity?limit=${api.batchSize}&offset=$offset$wmQ"
   }
 
-  /** One page's raw body — shared with the DSv2 connector (sources.RestDataSource). */
+  /** One page's raw body — shared with the DSv2 connector (sources.RestDataSource).
+    * Dispatches on the Api's protocol; the response's items key differs
+    * between the two (`items` vs entity-keyed), so callers should use
+    * [[itemsKey]] rather than hard-coding it. */
   def getPage(api: Api, entity: String, offset: Long, wm: Option[String]): String =
-    get(pageUrl(api, entity, offset, wm), api.auth, api.maxAttempts, api.retryBaseMs)
+    if (api.postList)
+      post(s"${api.baseUrl}/${batchList(entity)._1}", postBody(api, offset, wm),
+        api.auth, api.maxAttempts, api.retryBaseMs)
+    else
+      get(pageUrl(api, entity, offset, wm), api.auth, api.maxAttempts, api.retryBaseMs)
+
+  /** Response array key for a page fetched via [[getPage]]. */
+  def itemsKey(api: Api, entity: String): String =
+    if (api.postList) batchList(entity)._2 else "items"
 
   /** Driver-side probe: total row count for the (watermarked) extraction. */
   def totalEntries(api: Api, entity: String, wm: Option[String]): Long = {
-    val body = get(pageUrl(api, entity, 0, wm), api.auth, api.maxAttempts, api.retryBaseMs)
+    val body = getPage(api, entity, 0, wm)
     new ObjectMapper().readTree(body).get("total_entries").asLong()
   }
 
-  /** Distributed paged fetch → DataFrame with the entity's schema. */
+  /** Distributed paged fetch → DataFrame with the entity's schema. Works
+    * for both protocols: one page = one task either way, so batch-list
+    * POST extraction fans out exactly like GET extraction. */
   def fetch(spark: SparkSession, api: Api, entity: String,
             wm: Option[String] = None): DataFrame = {
     val total = totalEntries(api, entity, wm)
     val numPages = math.max(1L, (total + api.batchSize - 1) / api.batchSize)
     val apiB = api // case class: serializable, closure-captured whole
+    val key = itemsKey(api, entity)
     val rows: Dataset[String] = spark.range(numPages).as(Encoders.LONG)
       .mapPartitions { it =>
         val mapper = new ObjectMapper()
         it.flatMap { page =>
-          val url = pageUrl(apiB, entity, page * apiB.batchSize, wm)
-          val items = mapper.readTree(get(url, apiB.auth, apiB.maxAttempts, apiB.retryBaseMs)).get("items")
+          val body = getPage(apiB, entity, page * apiB.batchSize, wm)
+          val items = mapper.readTree(body).get(key)
           (0 until items.size()).iterator.map(i => items.get(i).toString)
         }
       }(Encoders.STRING)

@@ -29,6 +29,7 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     new java.util.concurrent.ConcurrentHashMap[String, Integer]
   private var flakyBase: String = _
   private var downBase: String = _
+  private var postBase: String = _
 
   // 25 dag_runs, start_date 2022-03-01T00:00:05Z + i hours
   private def runJson(i: Int): String = {
@@ -64,6 +65,41 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val page = all.slice(offset, offset + limit).map(runJson)
     s"""{"items": [${page.mkString(",")}], "total_entries": ${all.size}}"""
+  }
+
+  // batch-list POST protocol (airflow_to_gcs.py:174,225,268): record every
+  // (method, path, body) so tests can assert the paging rides in the body
+  private val postReqs =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]
+
+  private def tiJson(i: Int): String = {
+    val start = java.time.Instant.parse("2022-03-01T00:00:05Z")
+      .plusSeconds(3600L * i)
+    s"""{"dag_id": "live_dag", "task_id": "task_$i",
+        "execution_date": "$start", "start_date": "$start",
+        "end_date": null, "duration": ${i * 1.5}, "state": "success",
+        "try_number": 1, "max_tries": 2, "hostname": "h$i",
+        "unixname": "airflow", "pool": "default_pool", "pool_slots": 1,
+        "queue": "default", "priority_weight": 1, "operator": "BashOperator",
+        "queued_when": "$start", "pid": ${1000 + i}, "executor_config": "{}"}"""
+  }
+
+  private def batchListPage(ex: HttpExchange, itemsKey: String,
+                            rowJson: Int => String): String = {
+    val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+    postReqs.add((ex.getRequestMethod, ex.getRequestURI.getPath, body))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val limit = node.get("page_limit").asInt
+    val offset = node.get("page_offset").asInt
+    val wm = Option(node.get("start_date_gte")).map(n =>
+      java.time.Instant.parse(n.asText))
+    val all = (0 until 25).filter { i =>
+      val start = java.time.Instant.parse("2022-03-01T00:00:05Z")
+        .plusSeconds(3600L * i)
+      wm.forall(w => !start.isBefore(w)) // inclusive >=, like the GET stub
+    }
+    val page = all.slice(offset, offset + limit).map(rowJson)
+    s"""{"$itemsKey": [${page.mkString(",")}], "total_entries": ${all.size}}"""
   }
 
   private def dagDetailJson(id: String): String =
@@ -103,6 +139,20 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }
     })
+    // Airflow batch-list endpoints: POST-only, JSON body paging, items
+    // keyed by entity. 405 on GET — a real Airflow rejects GET here, which
+    // is exactly why the engine needs the POST mode.
+    server.createContext("/post/dags/~/dagRuns/~/taskInstances/list",
+      new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          if (ex.getRequestMethod != "POST") respond(ex, 405, "")
+          else respond(ex, 200, batchListPage(ex, "task_instances", tiJson))
+      })
+    server.createContext("/post/dags/~/dagRuns/list", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod != "POST") respond(ex, 405, "")
+        else respond(ex, 200, batchListPage(ex, "dag_runs", runJson))
+    })
     // auth-gated mirror of /api/dag_run: 401 unless the request carries
     // basic admin:admin or bearer secret123 — every page fetch must
     // authenticate, not just the driver probe
@@ -136,6 +186,7 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
     server.start()
     base = s"http://localhost:${server.getAddress.getPort}/api"
+    postBase = s"http://localhost:${server.getAddress.getPort}/post"
     secBase = s"http://localhost:${server.getAddress.getPort}/sec"
     flakyBase = s"http://localhost:${server.getAddress.getPort}/flaky"
     downBase = s"http://localhost:${server.getAddress.getPort}/down"
@@ -247,6 +298,53 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     RestExtract.extractStageLoad(spark, api, "dag_run", stagingBase, "20220301T000000")
     assert(spark.table("rpt.dag_run").count() == 25)
     // second run: watermark = max(start_date) → server returns nothing new
+    RestExtract.extractStageLoad(spark, api, "dag_run", stagingBase, "20220301T010000")
+    assert(spark.table("rpt.dag_run").count() == 25)
+  }
+
+  test("batch-list POST: offset advances in the body, watermark rides every page") {
+    postReqs.clear()
+    val api = RestExtract.Api(postBase, batchSize = 10, postList = true)
+    val wm = java.time.Instant.parse("2022-03-01T00:00:05Z").plusSeconds(3600L * 4)
+    val df = RestExtract.fetch(spark, api, "dag_run", Some(wm.toString))
+    assert(df.count() == 21) // runs 4..24, inclusive >= boundary
+    assert(df.schema("start_date").dataType.typeName == "timestamp")
+    val reqs = postReqs.toArray(Array.empty[(String, String, String)])
+    assert(reqs.forall(_._1 == "POST"), "every batch-list request must POST")
+    assert(reqs.forall(_._2 == "/post/dags/~/dagRuns/list"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bodies = reqs.map(r => mapper.readTree(r._3))
+    // probe (offset 0) + ceil(21/10)=3 pages → offsets {0, 0, 10, 20}
+    assert(bodies.map(_.get("page_offset").asInt).sorted.toSeq == Seq(0, 0, 10, 20))
+    assert(bodies.forall(_.get("page_limit").asInt == 10))
+    // intended semantics: the watermark is in EVERY page body, not only the
+    // first (the reference drops it after page 1 — a documented bug we fix)
+    assert(bodies.forall(b => Option(b.get("start_date_gte"))
+      .exists(_.asText == wm.toString)))
+  }
+
+  test("batch-list POST: taskInstances path, entity items key, full pagination") {
+    postReqs.clear()
+    val api = RestExtract.Api(postBase, batchSize = 7, postList = true)
+    val rows = RestExtract.fetch(spark, api, "task_instance").collect()
+    assert(rows.length == 25) // the reference stops after one page; we don't
+    assert(rows.map(_.getAs[String]("task_id")).distinct.length == 25)
+    val reqs = postReqs.toArray(Array.empty[(String, String, String)])
+    assert(reqs.forall(_._2 == "/post/dags/~/dagRuns/~/taskInstances/list"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // probe at 0, then ceil(25/7)=4 pages — every page window requested
+    assert(reqs.map(r => mapper.readTree(r._3).get("page_offset").asInt)
+      .distinct.sorted.toSeq == Seq(0, 7, 14, 21))
+  }
+
+  test("batch-list POST mode runs the full extract→stage→load incrementally") {
+    Catalog.drop(spark); Catalog.ensure(spark)
+    val api = RestExtract.Api(postBase, batchSize = 10, postList = true)
+    val stagingBase = java.nio.file.Files.createTempDirectory("graft-post").toString
+    RestExtract.extractStageLoad(spark, api, "dag_run", stagingBase, "20220301T000000")
+    assert(spark.table("rpt.dag_run").count() == 25)
+    // second run: watermark = max(start_date); server-side >= returns only
+    // the boundary row, residual strict > drops it → still 25
     RestExtract.extractStageLoad(spark, api, "dag_run", stagingBase, "20220301T010000")
     assert(spark.table("rpt.dag_run").count() == 25)
   }

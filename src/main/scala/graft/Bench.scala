@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{IvfIndex, PqIndex}
 object Bench {
 
   /** Median of an odd-or-even sized sample (lower-middle for even n):
@@ -43,6 +47,65 @@ object Bench {
     val results: Map[String, Double] = samples.map { case (name, ts) =>
       name -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
     }
+
+    // ANN build-vs-probe split: the declared v_knn_{ivf,pq,ivfpq} queries
+    // rebuild their index every run (the price of the decimal-exact oracle
+    // contract — DESIGN.md); a deployment builds once (assignment = the
+    // corpus bucketing column, codes stored alongside) and pays only the
+    // probe. Timing the phases separately makes the steady-state probe cost
+    // visible to the 2× gate instead of being buried in rebuild time.
+    val annSplit: Map[String, (Double, Double)] = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      val (m, nCells, nprobe, k) = (8, 16, 4, 10)
+      val subDim = query.length / m
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def phases(name: String)(rep: () => (Double, Double)): (String, (Double, Double)) = {
+        val bp = (1 to reps).map(_ => rep())
+        name -> (median(bp.map(_._1)), median(bp.map(_._2)))
+      }
+      try Map(
+        phases("v_knn_ivf") { () =>
+          val assigned = IvfIndex.assignSampled(emb, "vec_id", "embedding", nCells)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val b = timed(assigned.count())
+          val p = timed(IvfIndex.probeSampled(assigned, emb, "vec_id",
+            "embedding", query, 0L, k, nCells, nprobe).count())
+          assigned.unpersist(true); (b, p)
+        },
+        phases("v_knn_pq") { () =>
+          val cb = PqIndex.codebook(emb, "vec_id", "embedding", m, subDim, nCells)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val enc = PqIndex.encode(emb, "vec_id", "embedding", cb, m, subDim)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val b = timed { cb.count(); enc.count() }
+          val p = timed(PqIndex.probePq(enc, cb, query, subDim, 0L, k).count())
+          cb.unpersist(true); enc.unpersist(true); (b, p)
+        },
+        phases("v_knn_ivfpq") { () =>
+          val assigned = IvfIndex.assignSampled(emb, "vec_id", "embedding", nCells)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val cb = PqIndex.codebook(emb, "vec_id", "embedding", m, subDim, nCells)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // deployment layout: the FULL corpus is encoded at build time;
+          // a probe touches only the nprobe cells' codes
+          val enc = PqIndex.encode(emb, "vec_id", "embedding", cb, m, subDim)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val b = timed { assigned.count(); cb.count(); enc.count() }
+          val p = timed(PqIndex.probeIvfPq(assigned, enc, cb, emb, "vec_id",
+            "embedding", query, 0L, k, nCells, nprobe, subDim).count())
+          assigned.unpersist(true); cb.unpersist(true); enc.unpersist(true)
+          (b, p)
+        })
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ann split failed: ${e.getMessage}")
+          Map.empty
+      }
+    }
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -54,13 +117,26 @@ object Bench {
     val spreads = samples.values.filter(_.forall(_ > 0))
       .map(ts => ts.max / math.max(ts.min, 1e-9))
     val spreadMax = if (spreads.isEmpty) 1.0 else spreads.max
+    // the 5 widest per-query spreads, [min,med,max] each — names the
+    // unstable queries instead of hiding them behind one aggregate ratio
+    val spreadTop = samples.toSeq.filter(_._2.forall(_ > 0))
+      .map { case (k, ts) => (k, ts.min, median(ts), ts.max) }
+      .sortBy { case (_, mn, _, mx) => mn - mx }
+      .take(5)
+      .map { case (k, mn, md, mx) =>
+        s"\"" + k + s"""":[${fmt(mn)},${fmt(md)},${fmt(mx)}]""" }
+      .mkString("{", ",", "}")
+    val annJson = annSplit.toSeq.sortBy(_._1)
+      .map { case (k, (b, p)) =>
+        s"\"" + k + s"""":{"build":${fmt(b)},"probe":${fmt(p)}}""" }
+      .mkString("{", ",", "}")
     val slowest = ok.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"per_query_median","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${results.size - ok.size},"reps":$reps,"spread_max":${fmt(spreadMax)},"slowest":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${results.size - ok.size},"reps":$reps,"spread_max":${fmt(spreadMax)},"spread_top":$spreadTop,"ann_split":$annJson,"slowest":$slowest,"sf":"$sfDir"}"""
     // stop FIRST so no Spark shutdown logging can land after the JSON: the
     // driver parses the bench from the TAIL of the captured output, and the
     // 105-entry per-query line alone overflowed that window four rounds

@@ -97,6 +97,14 @@ object PqIndex {
       .select(col("vid").as("vec_id"),
         round(col("est").cast("double"), 6).as("dist_est"))
 
+  /** Steady-state PQ probe over a prebuilt code table + codebook: LUT
+    * (m·nCodes broadcast rows) + one key-equality join + per-vector decimal
+    * sum + top-k. The phase a deployment pays per query once codes are
+    * stored; the bench's build/probe split times exactly this. */
+  def probePq(enc: DataFrame, cb: DataFrame, query: Seq[Float],
+              subDim: Int, queryId: Long, k: Int): DataFrame =
+    topK(adcEstimates(enc, adcLut(cb, query, subDim), queryId), k)
+
   /** Top-k by ADC-estimated squared L2 (ascending; ties → smaller id).
     * `m` subspaces × `nCodes` codewords; embedding length must divide
     * evenly by `m`. */
@@ -107,7 +115,25 @@ object PqIndex {
     val subDim = query.length / m
     val cb = codebook(emb, idCol, vecCol, m, subDim, nCodes)
     val enc = encode(emb, idCol, vecCol, cb, m, subDim)
-    topK(adcEstimates(enc, adcLut(cb, query, subDim), queryId), k)
+    probePq(enc, cb, query, subDim, queryId, k)
+  }
+
+  /** Steady-state IVF-PQ probe over prebuilt artifacts (cell assignment,
+    * FULL-corpus code table, codebook): probe-cell selection prunes the
+    * assignment, a semi join restricts the code table to probed cells, and
+    * ADC scores the survivors. This is the deployment phase — unlike
+    * [[knnIvfPq]], which (to stay bit-replayable by a single oracle query)
+    * encodes only the probed vectors per call. */
+  def probeIvfPq(assigned: DataFrame, enc: DataFrame, cb: DataFrame,
+                 emb: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Float], queryId: Long, k: Int,
+                 nCells: Int, nprobe: Int, subDim: Int): DataFrame = {
+    val probedIds = assigned
+      .join(broadcast(
+        IvfIndex.probeCells(emb, idCol, vecCol, query, nCells, nprobe)), "cell")
+      .select(col(idCol).as("vid"))
+    topK(adcEstimates(enc.join(probedIds, Seq("vid"), "left_semi"),
+      adcLut(cb, query, subDim), queryId), k)
   }
 
   /** IVF-PQ composition — the production billion-scale layout: IVF cells

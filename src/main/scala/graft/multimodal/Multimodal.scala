@@ -38,6 +38,61 @@ object Multimodal {
       element_at(lit(Array("jpeg", "wav", "mp4")),
         (col(idCol) % 3 + 1).cast(IntegerType)).as("format"))
 
+  /** Deterministic P6 PPM asset per document — REAL image payloads for the
+    * pluggable-[[Codec]] path: width = 1 + len%16, height = 1 + (len/16)%16,
+    * pixel bytes cycled from the text's ASCII codes (empty docs → 1×1
+    * black). Every byte is arithmetic on (doc_id, length, text), so the
+    * DuckDB oracle replays the decoded output without parsing PPM. */
+  def ppmAssetsFromDocuments(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val len = text.length
+          val w = 1 + len % 16
+          val h = 1 + (len / 16) % 16
+          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val pixels = Array.tabulate(w * h * 3)(i =>
+            if (len == 0) 0.toByte else text.charAt(i % len).toByte)
+          val payload = header ++ pixels
+          Row(id, "image", payload, payload.length, "ppm")
+        }
+      }(enc)
+  }
+
+  /** Decoded-image schema produced by a real [[Codec]]: raster dims plus
+    * `px_sum` (the decoder's sample checksum — exact integer arithmetic,
+    * so it oracle-checks) and the raster itself for downstream stages. */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  /** The pluggable-codec decode pass: assets whose `format` the codec
+    * claims are decoded per partition; other formats are excluded by the
+    * upfront filter (route them to another codec's pass — at scale each
+    * pass's filter prunes on the partition/bucketing column `format`). */
+  def decodeImages(assets: DataFrame, codec: Codec): DataFrame = {
+    val enc = ExpressionEncoder(imageSchema)
+    assets
+      .filter(lower(col("format")).isin(codec.formats.toSeq: _*))
+      .select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = codec.decode(r.getAs[Array[Byte]](1))
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xff))
+          Row(r.getLong(0), img.width, img.height, img.channels, sum, img.pixels)
+        }
+      }(enc)
+  }
+
   /** Decoded-feature schema produced by the (stubbed) codec. */
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

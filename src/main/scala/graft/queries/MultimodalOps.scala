@@ -47,6 +47,18 @@ object MultimodalOps {
         .select(col("asset_id"), col("orig_len"), col("new_len"),
           md5(col("resized")).as("digest"))
     }),
+    "m_codec" -> ((s, dir) => {
+      // the pluggable-Codec seam with a REAL decoder: deterministic P6 PPM
+      // payloads (header + pixel raster) → PpmCodec parse → raster dims +
+      // pixel checksum. Proves decoded pixels flow through the seam — the
+      // oracle replays the construction arithmetic, the engine replays the
+      // actual parse, and the hash gate requires them to agree.
+      Multimodal.decodeImages(
+        Multimodal.ppmAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.PpmCodec)
+        .select("asset_id", "width", "height", "channels", "px_sum")
+    }),
     "m_embed_knn" -> ((s, dir) => {
       // full media pipeline shape: payload → stub embedding → exact kNN
       val assets = Multimodal.assetsFromDocuments(
@@ -110,6 +122,22 @@ object MultimodalOps {
          SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
          ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "m_codec" ->
+      // replays ppmAssetsFromDocuments' construction: dims from the text
+      // length, px_sum = sum of w*h*3 ASCII codes cycled through the text
+      // (pure integer arithmetic — exact in both engines); empty docs are
+      // the 1x1 black image
+      """SELECT doc_id AS asset_id,
+                CAST(1 + length(text) % 16 AS INTEGER) AS width,
+                CAST(1 + (length(text) // 16) % 16 AS INTEGER) AS height,
+                3 AS channels,
+                CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+                  list_reduce(
+                    list_transform(
+                      range(0, (1 + length(text) % 16) * (1 + (length(text) // 16) % 16) * 3),
+                      i -> unicode(text[(i % length(text)) + 1])),
+                    (a, b) -> a + b) END AS BIGINT) AS px_sum
+         FROM documents""",
     "m_frames" ->
       """SELECT doc_id AS asset_id,
                 CAST(greatest(1, (octet_length(encode(text)) + 63) // 64) AS INTEGER) AS n_frames,

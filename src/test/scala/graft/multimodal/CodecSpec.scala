@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The pluggable-Codec seam with the pure-JVM netpbm implementation: the
+  * parser handles real headers (comments, P5/P6, malformed input) and the
+  * decode pass carries actual raster bytes through the DataFrame plumbing. */
+class CodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def p6(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+
+  test("P6 parse: dims, channels, raster bytes") {
+    val px = Array.tabulate(2 * 3 * 3)(i => (i * 7).toByte)
+    val img = PpmCodec.decode(p6(2, 3, px))
+    assert(img.width == 2 && img.height == 3 && img.channels == 3)
+    assert(img.pixels.toSeq == px.toSeq)
+  }
+
+  test("P5 parse with comments and tab/space separators") {
+    val payload = "P5 # grayscale\n# a comment line\n4\t2 # dims\n255\n"
+      .getBytes("US-ASCII") ++ Array.tabulate(8)(_.toByte)
+    val img = PpmCodec.decode(payload)
+    assert(img.width == 4 && img.height == 2 && img.channels == 1)
+    assert(img.pixels.length == 8)
+  }
+
+  test("trailing bytes beyond the raster are ignored, truncation is fatal") {
+    val px = Array.fill(3)(1.toByte)
+    assert(PpmCodec.decode(p6(1, 1, px ++ Array[Byte](9, 9))).pixels.toSeq == px.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      PpmCodec.decode(p6(2, 2, px)) // needs 12 bytes, has 3
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("non-netpbm payloads fail with a clear error") {
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.decode("JFIF....".getBytes("US-ASCII"))
+    }.getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.decode("P3\n1 1\n255\n1 2 3".getBytes("US-ASCII")) // ASCII ppm
+    }.getMessage.contains("P5/P6"))
+  }
+
+  test("maxval > 255 (16-bit samples) is rejected, not silently misread") {
+    val bad = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array.fill(6)(0.toByte)
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.decode(bad)
+    }.getMessage.contains("maxval"))
+  }
+
+  test("generator → decodeImages roundtrip: real pixels flow through the seam") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, ""), // 1x1 black
+      (1L, "abc"), // w=4, h=1, pixels cycle a,b,c,a,...
+      (2L, "x" * 20) // w=5, h=2
+    )).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeImages(
+      Multimodal.ppmAssetsFromDocuments(docs, "doc_id", "text"), PpmCodec)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r0 = decoded(0L)
+    assert(r0.getInt(1) == 1 && r0.getInt(2) == 1 && r0.getInt(3) == 3)
+    assert(r0.getLong(4) == 0L)
+
+    val r1 = decoded(1L)
+    assert(r1.getInt(1) == 4 && r1.getInt(2) == 1)
+    val expected1 = Array.tabulate(12)(i => "abc".charAt(i % 3).toByte)
+    assert(r1.getAs[Array[Byte]](5).toSeq == expected1.toSeq)
+    assert(r1.getLong(4) == expected1.map(_ & 0xff).sum.toLong)
+
+    val r2 = decoded(2L)
+    assert(r2.getInt(1) == 5 && r2.getInt(2) == 2)
+    assert(r2.getLong(4) == 5L * 2 * 3 * 'x'.toInt)
+  }
+
+  test("formats the codec does not claim are excluded before decode") {
+    val docs = spark.createDataFrame(Seq((0L, "abc"))).toDF("doc_id", "text")
+    // assetsFromDocuments emits jpeg/wav/mp4 formats — PpmCodec claims none
+    val mixed = Multimodal.assetsFromDocuments(docs, "doc_id", "text")
+    assert(Multimodal.decodeImages(mixed, PpmCodec).count() == 0)
+  }
+}

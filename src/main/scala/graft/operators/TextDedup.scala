@@ -101,21 +101,33 @@ object TextDedup {
     * candidate join only ever sees prefix tokens, which by construction
     * are the rare end of each doc. Verification recomputes the exact
     * intersection over full shingle sets, as everywhere else. */
-  def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+  /** The PPJoin prefix table (doc_id, sh): each doc's rarest
+    * n_sh - ceil(t·n_sh) + 1 shingles by (df, sh) order. Exposed so
+    * ScaleSpec can probe the prefix-KEY frequency distribution — the
+    * quantity that bounds the candidate join's per-key fan-out (a key
+    * appearing in f prefixes contributes ~f²/2 candidate pairs). */
+  def ppjoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
     val w = Window.partitionBy("doc_id").orderBy(col("df_cnt"), col("sh"))
     // prefix size: n - ceil(t*n) + 1, all-integer (ceil(a/b) = (a+b-1) div b)
-    val prefix = sh.join(dfreq, "sh")
+    sh.join(dfreq, "sh")
       .withColumn("rn", row_number().over(w))
       .join(sz, "doc_id")
       .filter(col("rn") <=
         col("n_sh") - ((col("n_sh") * thresholdNum + thresholdDen - 1)
           .divide(thresholdDen).cast(LongType)) + 1)
       .select("doc_id", "sh")
+  }
+
+  def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val prefix = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -26,11 +26,34 @@ object Catalog {
   /** Drop a managed table AND its warehouse location: the default catalog
     * is per-JVM, so a table written by a previous process is unknown to
     * DROP TABLE while its directory still exists on disk — a subsequent
-    * CREATE/saveAsTable would refuse with LOCATION_ALREADY_EXISTS. */
+    * CREATE/saveAsTable would refuse with LOCATION_ALREADY_EXISTS.
+    *
+    * The location is resolved from the catalog while the table is still
+    * registered (qualified names live under `<warehouse>/<db>.db/<table>`,
+    * NOT `<db>/<table>`, and a table may carry an explicit LOCATION); only
+    * for a table this catalog has never seen — the stale-directory case
+    * this helper exists for — does it fall back to the managed-layout
+    * default path. */
   def dropManaged(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+    val p: org.apache.hadoop.fs.Path =
+      if (catalog.tableExists(ident))
+        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+      else if (catalog.databaseExists(db))
+        // db registered but table unknown: the catalog still knows where a
+        // managed table of this name WOULD live (db location may be custom)
+        new org.apache.hadoop.fs.Path(
+          catalog.defaultTablePath(ident.copy(database = Some(db))))
+      else {
+        // neither registered (fresh JVM, stale directory on disk): the
+        // managed layout is <warehouse>/<db>.db/<table>, default db at root
+        val rel = if (db == "default") ident.table else s"$db.db/${ident.table}"
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), rel)
+      }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.replace('.', '/'))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }

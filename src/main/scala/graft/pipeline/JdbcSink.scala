@@ -72,7 +72,19 @@ object JdbcSink {
     * semantics against the remote sink: per PK the highest `seqCol` wins
     * (I→D nets absent, D→I reinserts), latest non-D rows upsert, latest-D
     * PKs issue batched DELETEs. Deletes of absent PKs are no-ops (the
-    * at-least-once replay case), so re-applying a batch is idempotent. */
+    * at-least-once replay case), so re-applying a batch is idempotent.
+    *
+    * Atomicity contract — EVENTUAL, not batch-atomic: each partition
+    * commits its own transaction (a distributed sink has no cross-
+    * partition transaction without XA/2PC, which plain JDBC sinks don't
+    * offer), and upserts commit before deletes start. A failure mid-apply
+    * therefore leaves a visibility window in which some upserted rows are
+    * live while their batch's deletes have not yet landed; readers see a
+    * MIXED batch until the batch is replayed to completion (replay is safe
+    * by the idempotence above — this is exactly Kafka-Connect-style
+    * at-least-once CDC apply). If readers must not observe partial
+    * batches, write a batch-complete marker row (batch id + max seq) to a
+    * sidecar table AFTER applyCdc returns and have readers filter on it. */
   def applyCdc(spark: SparkSession, changes: DataFrame, url: String,
                table: String, pkCols: Seq[String],
                props: Properties = new Properties,

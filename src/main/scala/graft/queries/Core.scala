@@ -136,16 +136,38 @@ object Core {
       // robust dispersion: median absolute deviation per group — the
       // outlier-resistant complement to q_outliers' mean/sigma z-score
       // (one wild value shifts mean AND sigma; the median pair shrugs).
-      // Two grouped exact percentiles; the deviations join back on the
-      // group key, so both aggregations are key-equality shuffles.
+      // Medians via the EXACT-RANK formulation, not percentile(): Spark's
+      // percentile() and DuckDB's quantile_cont interpolate with different
+      // FP forms ((1-f)*lo+f*hi vs lo+f*(hi-lo)) that can differ by an ulp
+      // on even-count groups. Here the median is (v@⌈n/2⌉ + v@⌊n/2⌋+1)/2 —
+      // the value AT a rank is engine-independent (the sorted multiset is
+      // unique even when row_number ties are not), and one IEEE add + one
+      // division of identical operands are bit-identical by contract.
+      // Shape: per-group window rank (key-partitioned sort), join back on
+      // the group key for deviations, second window — all key-equality.
       val ev = t(s, dir, "events")
         .filter(col("event_type").isNotNull && col("value").isNotNull)
-      val med = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
-      ev.join(med, "event_type")
-        .groupBy(col("event_type"))
+        .select("event_type", "value")
+      def rankMedian(df: org.apache.spark.sql.DataFrame, vCol: String): Column = {
+        // caller supplies rn (rank by vCol) and n (group size) columns
+        (min(when(col("rn") === expr("(n + 1) DIV 2"), col(vCol))) +
+          min(when(col("rn") === expr("n DIV 2 + 1"), col(vCol)))) / 2.0
+      }
+      val wOrd = Window.partitionBy("event_type").orderBy("value")
+      val wAll = Window.partitionBy("event_type")
+      val ranked = ev
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val med = ranked.groupBy("event_type")
+        .agg(rankMedian(ranked, "value").as("med"), first(col("n")).as("n"))
+      val wDev = Window.partitionBy("event_type").orderBy("d")
+      val dev = ev.join(med, "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("d"),
+          col("med"), col("n"))
+        .withColumn("rn", row_number().over(wDev))
+      dev.groupBy("event_type")
         .agg(round(first(col("med")), 4).as("med"),
-          round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"),
+          round(rankMedian(dev, "d"), 4).as("mad"),
           first(col("n")).as("n"))
     }),
     "q_skyline" -> ((s, dir) => {
@@ -1034,17 +1056,29 @@ object Core {
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
     "q_mad" ->
-      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
-                             count(*) AS n
-                      FROM events
-                      WHERE event_type IS NOT NULL AND value IS NOT NULL
-                      GROUP BY 1)
-         SELECT e.event_type, round(any_value(m.med), 4) AS med,
-                round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
-                any_value(m.n) AS n
-         FROM events e JOIN med m USING (event_type)
-         WHERE e.value IS NOT NULL
-         GROUP BY e.event_type""",
+      // exact-rank medians (see the query comment): value at ranks
+      // ⌈n/2⌉ / ⌊n/2⌋+1, one IEEE add + /2.0 — no quantile interpolation
+      """WITH ev AS (SELECT event_type, value FROM events
+                     WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM ev),
+         m AS (SELECT event_type,
+                      (min(CASE WHEN rn = (n + 1) // 2 THEN value END) +
+                       min(CASE WHEN rn = n // 2 + 1 THEN value END)) / 2.0 AS med,
+                      max(n) AS n
+               FROM r GROUP BY 1),
+         d AS (SELECT ev.event_type, abs(ev.value - m.med) AS d, m.med, m.n
+               FROM ev JOIN m USING (event_type)),
+         rd AS (SELECT event_type, d, med, n,
+                       row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+                FROM d)
+         SELECT event_type, round(max(med), 4) AS med,
+                round((min(CASE WHEN rn = (n + 1) // 2 THEN d END) +
+                       min(CASE WHEN rn = n // 2 + 1 THEN d END)) / 2.0, 4) AS mad,
+                max(n) AS n
+         FROM rd GROUP BY 1""",
     "q_skyline" ->
       """WITH pp AS (SELECT o_totalprice, max(o_orderdate) AS pmax
                      FROM orders GROUP BY 1),

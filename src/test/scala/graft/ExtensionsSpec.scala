@@ -43,6 +43,29 @@ class ExtensionsSpec extends AnyFunSuite {
       // the custom strategy is part of the session's planner, not just
       // lazily patched into experimental methods by GraftPlanBridge
       assert(s2.sessionState.planner.strategies.contains(TopKPerKeyStrategy))
+      // misuse surfaces as clean AnalysisExceptions naming the function —
+      // never IndexOutOfBounds (arity) or NPE (non-literal k)
+      val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT graft_minhash_sigs(array('x'))").collect()
+      }
+      assert(wrongArity.getMessage.contains("graft_minhash_sigs"))
+      assert(wrongArity.getCondition.startsWith("WRONG_NUM_ARGS"))
+      val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT graft_winnow(array('a','b'), length('ab'), cast(rand() * 4 AS INT))")
+          .collect()
+      }
+      assert(nonFoldable.getCondition == "NON_FOLDABLE_ARGUMENT",
+        nonFoldable.getMessage)
+      val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT graft_minhash_sigs(array('x'), 'five')").collect()
+      }
+      assert(wrongType.getCondition == "NON_FOLDABLE_ARGUMENT")
+      assert(intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT float_cosine(array(1.0F))").collect()
+      }.getCondition.startsWith("WRONG_NUM_ARGS"))
+      assert(intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT graft_simhash32(array('a'), 2)").collect()
+      }.getCondition.startsWith("WRONG_NUM_ARGS"))
       // and the legacy alias class injects identically
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -121,4 +121,31 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("ppjoin prefix keys stay rare: the candidate join has no hot keys") {
+    // The df-distribution probe behind DESIGN.md's df-cap vs prefix-filter
+    // note: PPJoin has no df cap, so its scale safety rests on the CLAIM
+    // that per-doc rarity ranking keeps corpus-common shingles out of
+    // prefixes. Measure it on the real corpus at d_ppjoin's parameters
+    // (n=5, t=7/10): a prefix key appearing in f prefixes contributes
+    // ~f²/2 candidate pairs, so the worst f — not the average — bounds the
+    // join's hottest reducer.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val nDocs = docs.count()
+    val prefix = TextDedup.ppjoinPrefix(docs, "doc_id", "text", 5, 7, 10)
+    val byKey = prefix.groupBy("sh").agg(count(lit(1)).as("f")).cache()
+    try {
+      val maxF = byKey.agg(max(col("f"))).first().getLong(0)
+      val candPairs = byKey.agg(sum(col("f") * (col("f") - 1) / 2))
+        .first().getDouble(0)
+      // hot-key bound: no single prefix key lands in more than ~1% of
+      // docs' prefixes (a df-capped join would enforce <= maxShingleDf
+      // globally; the prefix filter must achieve rarity WITHOUT the cap)
+      assert(maxF <= math.max(8L, nDocs / 100),
+        s"hottest prefix key in $maxF of $nDocs docs' prefixes")
+      // aggregate bound: total candidate pairs stay far under all-pairs
+      assert(candPairs <= nDocs.toDouble * nDocs / 100,
+        s"candidate pairs $candPairs vs all-pairs ${nDocs.toDouble * nDocs / 2}")
+    } finally byKey.unpersist()
+  }
 }

@@ -20,7 +20,64 @@ object Plans {
       // one PageRank round's join+agg shape, and the funnel's broadcast
       // per-user gates
       "t_freq_quality", "q_bucketed_join", "t_dup_spans", "g_degree_dist",
-      "q_funnel")
+      "q_funnel",
+      // round 6: the 10 slowest bench queries — the expensive tail is
+      // exactly where plan evidence matters most
+      "d_ppjoin", "d_incremental", "v_knn_ivf", "v_knn_ivfpq",
+      "p_incr_rollup", "d_clusters_stars", "g_pagerank", "t_curate",
+      "q_tpch_q3", "q_tpch_q5")
+
+    // per-query "why this is the 100× plan" — rendered above the plan block
+    val notes: Map[String, String] = Map(
+      "d_ppjoin" -> ("100× plan: the candidate join's keys are each doc's " +
+        "RAREST prefix shingles (per-doc window over (df, sh) — no global " +
+        "rank, no driver state), so per-key fan-out is bounded by " +
+        "construction (measured: ScaleSpec's prefix-key probe); the exact " +
+        "verify recomputes intersections only for candidate pairs. The " +
+        "repeated shingle subtree below AdaptiveSparkPlan is one exchange " +
+        "at runtime (ReusedExchange on the doc_id repartition barrier)."),
+      "d_incremental" -> ("100× plan: the arriving batch joins a " +
+        "PERSISTENT band-key index — a key-equality join sized by the " +
+        "batch, never batch×corpus; the corpus-side index is loaded, not " +
+        "recomputed, so incremental admission cost tracks batch size."),
+      "v_knn_ivf" -> ("100× plan: assignment = corpus × broadcast(nCells " +
+        "seed rows) with map-side-combined max(struct(cos,-cell)) — the " +
+        "exchange carries ONE row per vector, not corpus×nCells; probe = " +
+        "an nCells-row sort broadcast into a key-equality join. At write " +
+        "time `cell` is the bucketing column: a probe scans nprobe/nCells " +
+        "of the corpus and Catalyst prunes the rest. Bench ann_split " +
+        "separates this rebuild from the steady-state probe."),
+      "v_knn_ivfpq" -> ("100× plan: IVF prunes WHICH vectors are scored " +
+        "(broadcast probe cells), PQ compresses HOW (m-byte codes + " +
+        "broadcast ADC LUT of m·nCodes rows); the code table is the only " +
+        "corpus-sized artifact and nothing shuffles at embedding width."),
+      "p_incr_rollup" -> ("100× plan: each arriving batch is aggregated " +
+        "map-side to day cardinality BEFORE touching the rollup table, and " +
+        "the merge is an additive decimal upsert — maintenance cost is " +
+        "O(batch), the rollup's history is never re-read. Wall time is " +
+        "managed-table write overhead × 3 sequential batches, inherent to " +
+        "the incremental-maintenance semantics under test."),
+      "d_clusters_stars" -> ("100× plan: Kiveris large/small-star rounds " +
+        "are each a key-equality join + min-aggregate (map-side combined); " +
+        "localCheckpoint truncates lineage so the plan below is one " +
+        "round's shape, not iterations² — memory and plan size stay O(1) " +
+        "in round count."),
+      "g_pagerank" -> ("100× plan: one iteration = contributions join " +
+        "(key-equality on src) + decimal-exact sum by dst + broadcast " +
+        "teleport scalar; ranks are localCheckpointed per round (lineage " +
+        "O(1)); the plan below is the final iteration's shape."),
+      "t_curate" -> ("100× plan: exact-dedup survivors (hash groupBy " +
+        "argmin), language vote, and the token-window filter compose into " +
+        "ONE declarative plan — every stage shuffles on the same doc key " +
+        "or a group key derived from it, no driver-side loop, no collect."),
+      "q_tpch_q3" -> ("100× plan: the classic star shape — selective dim " +
+        "filters reach the scans (PushedFilters), small sides broadcast, " +
+        "the single fact-key shuffle carries partial aggregates " +
+        "(partial_sum before Exchange)."),
+      "q_tpch_q5" -> ("100× plan: 6-table star — region/nation broadcast, " +
+        "the lineitem fact shuffles once on its join key, revenue " +
+        "partial-aggregates before the exchange; join order leaves the " +
+        "fact table unreplicated."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical plan audit (generated by graft.Plans)\n\n")
     sb.append("What to look for: `PushedFilters`/`ReadSchema` on scans, " +
@@ -33,7 +90,9 @@ object Plans {
       "an `AdaptiveSparkPlan` do not imply repeated execution.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      sb.append(s"\n## $name\n\n```\n")
+      sb.append(s"\n## $name\n\n")
+      notes.get(name).foreach(n => sb.append(n + "\n\n"))
+      sb.append("```\n")
       // elide embedded binary literals (the bloom sketch is ~100 KB of hex;
       // the audit cares about the plan shape, not the sketch bytes)
       sb.append(df.queryExecution.explainString(

@@ -72,6 +72,31 @@ object Similarity {
       .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
   }
 
+  /** Batched multi-query exact kNN — the SERVING shape (one query at a
+    * time is a benchmark fiction; retrieval serves batches). The query
+    * TABLE broadcasts against the corpus (serving batches are tiny next to
+    * the corpus), each (vector, query) pair costs one decimal cosine, and
+    * the per-query top-k runs through the custom TopKPerKey operator — its
+    * map-side partial pass means the exchange carries at most
+    * partitions·queries·k scored triples (id, query_id, cosine), never the
+    * corpus and never embeddings. Corpus rows sharing an id with a query
+    * are excluded (self-match), mirroring [[knnBrute]]. */
+  def knnBatch(emb: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(qvecCol).as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("vec_id"),
+        cosineCols(col(vecCol), col("qv")).as("c_raw"))
+    org.apache.spark.sql.GraftPlanBridge.topKPerKey(scored,
+        Seq("query_id"), Seq("c_raw" -> false, "vec_id" -> true), k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("c_raw"), 6).as("cosine"))
+  }
+
   /** Sign-block LSH key over the first nBits dimensions: '1'/'0' per sign. */
   def signBlock(vec: Column, nBits: Int): Column =
     concat((1 to nBits).map(i =>

@@ -291,6 +291,27 @@ object Core {
         .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     }),
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 analogue (large-volume customers): the classic
+      // IN (SELECT ... GROUP BY ... HAVING) decorrelated by hand — one
+      // fact-side aggregation whose few survivors broadcast back into the
+      // fact/dim joins (Q18's threshold keeps survivors tiny by design;
+      // AQE reaches the same join pick from runtime stats). No correlated
+      // re-scan of lineitem; exact decimal quantity sums.
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
     "q_zorder" -> ((s, dir) =>
       // Morton z-values for 2-D data clustering (functions.ZOrder): pure
       // shift/mask Column arithmetic, hash-checked bit-for-bit against the
@@ -1154,6 +1175,18 @@ object Core {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1""",
+    "q_tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM big
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
     "q_zorder" -> zorderOracleSql,
     "q_gapfill" ->
       """WITH hourly AS (

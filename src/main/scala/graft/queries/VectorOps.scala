@@ -58,7 +58,17 @@ object VectorOps {
       // the production composition: IVF prunes WHICH vectors get scored
       // (4 of 16 cells), PQ ADC compresses HOW (m-byte codes + LUT)
       PqIndex.knnIvfPq(emb(s, dir), "vec_id", "embedding",
-        queryId = 0L, k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16))
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16)),
+    "v_knn_batch" -> ((s, dir) => {
+      // the serving shape: 8 queries answered in ONE pass over the corpus —
+      // broadcast query table, decimal cosine per pair, per-query top-5 via
+      // the two-phase TopKPerKey operator (shuffle = scored triples capped
+      // at partitions·queries·k, not corpus·queries). Output ordered by the
+      // driver compare's canonical sort; rank is recoverable from cosine.
+      val e = emb(s, dir)
+      Similarity.knnBatch(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    })
   )
 
   /** Shared SQL fragment: exact decimal dot/norm accumulation per vec. */
@@ -225,6 +235,28 @@ object VectorOps {
                  GROUP BY 1)
          SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
          FROM est ORDER BY est ASC, vid ASC LIMIT 10""",
+    "v_knn_batch" ->
+      // per-query replay of the v_knn_brute accumulation with the query
+      // table inlined; rank via row_number over the unrounded cosine with
+      // the vec_id tie-break — identical to the heap operator's total order
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id < 8),
+         u AS (SELECT q.query_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         d AS (SELECT query_id, vec_id,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+               FROM u GROUP BY 1, 2),
+         qn AS (SELECT query_id,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS q2
+                FROM (SELECT query_id, unnest(qe) AS y FROM q) GROUP BY 1),
+         sc AS (SELECT d.query_id, vec_id,
+                  dot/greatest(sqrt(n2)*sqrt(q2), 1e-12) AS c,
+                  row_number() OVER (PARTITION BY d.query_id
+                    ORDER BY dot/greatest(sqrt(n2)*sqrt(q2), 1e-12) DESC, vec_id ASC) AS rn
+                FROM d JOIN qn USING (query_id))
+         SELECT query_id, vec_id, round(c, 6) AS cosine
+         FROM sc WHERE rn <= 5""",
     "v_neardup" ->
       """WITH blocked AS (
            SELECT vec_id, embedding,

@@ -42,6 +42,32 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(custom.count() > 0)
   }
 
+  test("two-phase: a map-side partial heap runs BELOW the exchange") {
+    val orders = Tables.load(spark, dir, "orders")
+    val custom = GraftPlanBridge.topKPerKey(orders,
+      Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+    val plan = custom.queryExecution.executedPlan
+    // exactly one partial and one final, with the exchange between them —
+    // the aggregation-style shape that caps the shuffle at keys·k per
+    // partition instead of every input row
+    val s = plan.toString
+    assert(s.contains("TopKPerKeyPartial"), s.take(800))
+    val partialIdx = s.indexOf("TopKPerKeyPartial")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "partial must sit below the exchange:\n" + s.take(800))
+    // and the partial pass must not change results (monoid property):
+    // compared against the window formulation like the equality test
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val got = custom.select("o_custkey", "o_orderkey", "o_totalprice")
+    assert(got.except(viaWindow).count() == 0 && viaWindow.except(got).count() == 0)
+  }
+
   test("descending order returns the top, not the bottom") {
     val orders = Tables.load(spark, dir, "orders")
     val top1 = GraftPlanBridge.topKPerKey(orders,

@@ -154,6 +154,22 @@ object TextOps {
         TextFunctions.fingerprint(col("text")).as("fp"),
         substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp_prefix"))
     }),
+    "t_source_quota" -> ((s, dir) => {
+      // per-source document cap — the web-pipeline "domain quota": no
+      // single source/domain may contribute more than K docs to the
+      // training mix; survivors are the source's best by token count
+      // (doc_id tie-break → total order). Runs through the two-phase
+      // TopKPerKey operator, so the quota is enforced with bounded heaps —
+      // the exchange carries at most partitions·sources·K rows and no
+      // source's full document list is ever sorted (the row_number window
+      // formulation sorts every group; the oracle replays exactly that,
+      // proving the heap operator equal on a total order).
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      org.apache.spark.sql.GraftPlanBridge.topKPerKey(d,
+          Seq("source"), Seq("n_tokens" -> false, "doc_id" -> true), k = 5)
+        .select("source", "doc_id", "n_tokens")
+    }),
     "t_weighted_sample" -> ((s, dir) => {
       // deterministic IMPORTANCE sampling: keep probability proportional to
       // a per-doc quality weight (token count capped at 1.0), decided by
@@ -559,6 +575,15 @@ object TextOps {
                      WHEN n_es > n_en THEN 'es'
                      ELSE 'en' END) = 'en'
            AND n_tokens BETWEEN 20 AND 80""",
+    "t_source_quota" ->
+      """WITH d AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+                    FROM documents),
+         r AS (SELECT source, doc_id, n_tokens,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_tokens DESC, doc_id ASC) AS rn
+               FROM d)
+         SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5""",
     "t_weighted_sample" ->
       """WITH t AS (SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 import graft.Tables
 import graft.functions.TextFunctions
@@ -366,6 +366,31 @@ object TextOps {
           round(col("n").cast("double") /
             sum("n").over(Window.partitionBy("pred_lang")), 6))
     }),
+    "t_calibration" -> ((s, dir) => {
+      // classifier calibration curve (reliability diagram): bin the langid
+      // vote's confidence (winning marker count / tokens) and report per-bin
+      // observed accuracy — THE artifact that tells a pipeline whether its
+      // quality/filter model's scores mean what they claim before it gates
+      // terabytes on them. The bin index is ALL-INTEGER ((win*20) DIV toks
+      // — no float bin edges to straddle an ulp); accuracy and mean
+      // confidence are a single division of exact operands each (decimal
+      // sum for the mean, per the determinism contract).
+      val mc = withMarkerCounts(docs(s, dir))
+      val winC = greatest(col("n_en"), col("n_es"), col("n_fr"),
+        col("n_de"), col("n_zh"))
+      val toks = size(TextFunctions.tokens(col("text")))
+      mc.select(col("lang"), predLang.as("pred_lang"),
+          winC.as("win"), toks.as("n_toks"))
+        .withColumn("bin", expr("(win * 20) DIV n_toks").cast(IntegerType))
+        .withColumn("conf",
+          col("win").cast("double") / col("n_toks").cast("double"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("conf").cast(DecimalType(28, 16))).cast("double")
+            / count(lit(1)), 6).as("mean_conf"),
+          round(sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("accuracy"))
+    }),
     "t_redact" -> ((s, dir) => {
       // regex scrub pass — the PII-redaction shape (emails/ids/phone masks)
       // over a denylist of word patterns, entirely per-row so it fuses into
@@ -685,6 +710,33 @@ object TextOps {
                 round(CAST(n AS DOUBLE) /
                   sum(n) OVER (PARTITION BY pred_lang), 6) AS precision_frac
          FROM cm""",
+    "t_calibration" ->
+      // all-integer bin; mean_conf via exact decimal sum over identical
+      // IEEE divisions; accuracy one division of exact integers
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT lang,
+                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS n_en,
+                 CAST(len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) AS INTEGER) AS n_es,
+                 CAST(len(list_filter(toks, x -> x IN ('le','les','des','et','est'))) AS INTEGER) AS n_fr,
+                 CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS n_de,
+                 CAST(len(list_filter(toks, x -> x IN ('de0','shi4','le0','zai4','wo3'))) AS INTEGER) AS n_zh,
+                 CAST(len(toks) AS INTEGER) AS n_toks
+               FROM t),
+         s AS (SELECT lang,
+                 CASE WHEN n_zh > greatest(n_en, n_es, n_fr, n_de) THEN 'zh'
+                      WHEN n_de > greatest(n_en, n_es, n_fr) THEN 'de'
+                      WHEN n_fr > greatest(n_en, n_es) THEN 'fr'
+                      WHEN n_es > n_en THEN 'es'
+                      ELSE 'en' END AS pred_lang,
+                 greatest(n_en, n_es, n_fr, n_de, n_zh) AS win, n_toks
+               FROM c)
+         SELECT CAST((win * 20) // n_toks AS INTEGER) AS bin,
+                count(*) AS n_docs,
+                round(CAST(sum(CAST(CAST(win AS DOUBLE) / CAST(n_toks AS DOUBLE)
+                                    AS DECIMAL(28,16))) AS DOUBLE) / count(*), 6) AS mean_conf,
+                round(CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS accuracy
+         FROM s GROUP BY 1""",
     "t_redact" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '\b(customer|order|spark)\b')) AS INTEGER) AS n_hits,

@@ -40,7 +40,24 @@ object GraphOps {
       // sizes every downstream graph join (skew detection at 100 TB)
       edges(s, dir).groupBy("src").agg(count(lit(1)).as("deg"))
         .groupBy(substring(col("src"), 1, 1).as("side"), col("deg"))
-        .agg(count(lit(1)).as("n_nodes")))
+        .agg(count(lit(1)).as("n_nodes"))),
+    "g_triangles" -> ((s, dir) => {
+      // triangle census of the part–part co-order graph (parts appearing in
+      // the same order; the supplier–part graph is bipartite = triangle-
+      // free). Engine counts via degree orientation (skew-proof wedge
+      // fan-out, operators.Triangles); the oracle counts via the plain
+      // id-ordered 3-way join — orientation is a performance trick, the
+      // count is orientation-invariant, so agreement checks both the
+      // algorithm and its implementation.
+      val pp = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.operators.Triangles.census(e, "u", "v")
+    })
   )
 
   private val edgesSql =
@@ -82,6 +99,25 @@ object GraphOps {
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
          SELECT substr(src, 1, 1) AS side, CAST(deg AS BIGINT) AS deg,
                 count(*) AS n_nodes
-         FROM deg GROUP BY 1, 2"""
+         FROM deg GROUP BY 1, 2""",
+    "g_triangles" ->
+      // id-ordered 3-way join (a<b<c): e1=(a,b), e2=(b,c), e3=(a,c) —
+      // the orientation-free formulation; counts match the engine's
+      // degree-oriented wedge+close exactly
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM pp a JOIN pp b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT n, count(*) AS d
+                 FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+                 GROUP BY 1),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+         SELECT (SELECT count(*) FROM e) AS n_edges,
+                w.n_wedges, tri.n_triangles,
+                round(3.0 * tri.n_triangles / w.n_wedges, 6) AS global_cc
+         FROM tri, w"""
   )
 }

@@ -87,5 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt("graft_winnow", "w", args(2)))
     }))
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // rewrite the stock row_number()<=k window idiom into the two-phase
+    // bounded-heap operator (see WindowTopKRewrite's safety conditions)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

@@ -722,6 +722,21 @@ object Core {
         Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     }),
+    "q_topk_rewrite" -> ((s, dir) => {
+      // the SAME query as q_topk_perkey but written in the stock
+      // row_number-window idiom — the WindowTopKRewrite optimizer rule
+      // (installed lazily, like the strategy) rewrites it into the
+      // two-phase TopKPerKey operator. Declared separately so the driver
+      // gate proves the REWRITTEN plan produces oracle-exact rows; the
+      // plan shape itself is asserted in WindowTopKRewriteSpec.
+      org.apache.spark.sql.GraftPlanBridge.installTopK(s)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
     "q_topk" -> ((s, dir) => {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1424,6 +1439,12 @@ object Core {
                 CAST(max(us) - min(us) AS BIGINT) AS dur_us
          FROM sess GROUP BY user_id, session_id""",
     "q_topk_perkey" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 2""",
+    "q_topk_rewrite" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey

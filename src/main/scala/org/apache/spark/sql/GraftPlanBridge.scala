@@ -20,6 +20,20 @@ object GraftPlanBridge {
   private def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDF].logicalPlan
 
+  /** Idempotently install the TopKPerKey strategy AND the window-top-k
+    * optimizer rewrite into a session built without GraftExtensions (the
+    * extensions path injects both at session build). After this, the stock
+    * `row_number().over(W) <= k` idiom in ANY query on the session plans as
+    * the two-phase bounded-heap operator. */
+  def installTopK(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.WindowTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
+  }
+
   /** Per-key top-k via the custom TopKPerKey operator (graft.plans). Order
     * entries are (columnName, ascending); include a unique tie-break column
     * for deterministic output. */
@@ -29,9 +43,7 @@ object GraftPlanBridge {
     require(keyCols.nonEmpty, "at least one key column is required")
     require(order.nonEmpty, "at least one order column is required")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    installTopK(spark)
     // .quoted: names are literal column names, never nested-field paths
     val sortOrders = order.map { case (name, asc) =>
       SortOrder(UnresolvedAttribute.quoted(name), if (asc) Ascending else Descending)

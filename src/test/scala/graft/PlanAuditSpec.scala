@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical scale-anti-pattern lint over EVERY declared query's physical
+  * plan — the round-5 verdict's hand audit ("all crossJoins broadcast
+  * tiny frames, no non-broadcast cartesians") as a permanent test, so a
+  * future query can't silently reintroduce an all-pairs join.
+  *
+  * Excluded: `p_*` (pipelines execute eagerly and return a table read —
+  * their interesting plans are inside the pipeline) and `s_*` (streams
+  * run to completion at build; the returned frame is a memory-sink read).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is the DESIGN: a broadcast of a
+    * provably tiny frame (1-row scalar aggregates, an nCells seed table, a
+    * serving batch), never a data×data product. */
+  private val bnljByDesign = Set(
+    "q_cross", // the declared cross-join query itself (25-row dim side)
+    "q_scalar_subquery", // 1-row scalar aggregate broadcast
+    "t_freq_quality", // 1-row corpus-size frame broadcast
+    "t_ngram_lm", // 1-row vocab-total broadcast
+    "g_triangles", // three 1-row census aggregates composed
+    "v_knn_batch", // corpus x broadcast(8-query serving batch)
+    "v_knn_ivf", "v_knn_ivfpq") // corpus x broadcast(nCells=16 seeds)
+
+  test("no declared query plans a cartesian or an unsanctioned nested loop") {
+    val audited = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => n.startsWith("p_") || n.startsWith("s_") }
+    assert(audited.size > 100, "audit must cover the bulk of the inventory")
+    val violations = audited.flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct"))
+        Some(s"$name: CartesianProduct (non-broadcast all-pairs)") else None
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin")
+        && !bnljByDesign(name))
+        Some(s"$name: BroadcastNestedLoopJoin outside the sanctioned set") else None
+      cart.toSeq ++ bnlj.toSeq
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("the sanctioned nested-loop set stays minimal and current") {
+    // every sanctioned name must still exist AND still plan a BNLJ —
+    // stale whitelist entries hide future regressions
+    bnljByDesign.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        fail(s"whitelisted $name is no longer a declared query"))
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name no longer plans a BNLJ — remove it from the whitelist")
+    }
+  }
+}

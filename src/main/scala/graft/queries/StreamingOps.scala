@@ -61,6 +61,16 @@ object StreamingOps {
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("sum_value"))
     }),
+    "s_topk" -> ((s, dir) => {
+      // streaming bounded-state top-k: events.parquet is ONE file, so the
+      // file source delivers one batch and each key emits its final top-5
+      // exactly once — oracle = the batch row_number formulation. The
+      // incremental multi-batch merge (state stays k rows/key) is
+      // spec-gated in StreamingSpec.
+      val ev = EventsStream.readEvents(s, dir)
+      val top = graft.streaming.StatefulOps.streamingTopKPerType(s, ev, k = 5)
+      EventsStream.runToMemory(s, top.toDF(), "s_topk_sink", "update")
+    }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
       // result must equal plain per-type counts of the batch table.
@@ -73,6 +83,14 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s_topk" ->
+      """SELECT event_type, event_id, value, rank FROM (
+           SELECT event_type, event_id, value,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL) t
+         WHERE rank <= 5""",
     "s_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
                 count(*) AS n_events,

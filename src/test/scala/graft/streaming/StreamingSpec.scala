@@ -86,6 +86,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("streaming top-k: bounded state merges across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Double)]
+    val df = ms.toDF.toDF("event_id", "event_type", "value")
+    val top = StatefulOps.streamingTopKPerType(spark, df, k = 2).toDF
+    val q = top.writeStream.format("memory").queryName("spec_stopk")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, "a", 10.0), (2L, "a", 5.0), (3L, "a", 8.0))
+      q.processAllAvailable()
+      val b1 = spark.table("spec_stopk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      // k bounds the emission: 3 events in, only the top-2 out
+      assert(b1.toSet == Set(("a", 1L, 10.0, 1), ("a", 3L, 8.0, 2)))
+      // batch 2: a new a-event displaces rank 2; a new key starts fresh
+      ms.addData((4L, "a", 9.0), (5L, "b", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("spec_stopk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(all.toSet.contains(("a", 4L, 9.0, 2)), all.mkString(", "))
+      assert(all.toSet.contains(("a", 1L, 10.0, 1)))
+      assert(all.toSet.contains(("b", 5L, 1.0, 1)))
+      // event 2 (5.0) fell out of state in batch 1 and never re-emerges
+      assert(!all.exists { case (_, id, _, _) => id == 2L })
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals: final state equals batch totals") {
     val running = EventsStream.runToMemory(spark,
       StatefulOps.runningUserTotals(spark, EventsStream.readEvents(spark, dir)).toDF(),

@@ -25,7 +25,11 @@ object Plans {
       // exactly where plan evidence matters most
       "d_ppjoin", "d_incremental", "v_knn_ivf", "v_knn_ivfpq",
       "p_incr_rollup", "d_clusters_stars", "g_pagerank", "t_curate",
-      "q_tpch_q3", "q_tpch_q5")
+      "q_tpch_q3", "q_tpch_q5",
+      // round-6 flagships: two-phase top-k family (operator, rewrite,
+      // batched ANN, domain quota), triangle census, Q18
+      "q_topk_rewrite", "v_knn_batch", "t_source_quota", "g_triangles",
+      "q_tpch_q18")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -77,7 +81,29 @@ object Plans {
       "q_tpch_q5" -> ("100× plan: 6-table star — region/nation broadcast, " +
         "the lineitem fact shuffles once on its join key, revenue " +
         "partial-aggregates before the exchange; join order leaves the " +
-        "fact table unreplicated."))
+        "fact table unreplicated."),
+      "q_topk_rewrite" -> ("100× plan: written as the STOCK row_number " +
+        "window idiom — the WindowTopKRewrite optimizer rule replaces " +
+        "Window+Filter (and Spark's sort-based WindowGroupLimit) with the " +
+        "two-phase TopKPerKey operator: partial heaps below the exchange, " +
+        "no sorts, shuffle ≤ partitions·keys·k rows."),
+      "v_knn_batch" -> ("100× plan: N queries answered in ONE corpus pass " +
+        "— the query table broadcasts, scoring is one decimal cosine per " +
+        "(vector, query) pair, and the per-query top-k runs through " +
+        "two-phase TopKPerKey so only scored triples (never embeddings) " +
+        "reach the exchange, capped at partitions·queries·k rows."),
+      "t_source_quota" -> ("100× plan: the domain cap is enforced with " +
+        "bounded heaps (two-phase TopKPerKey) — no source's document list " +
+        "is ever sorted, and the exchange carries ≤ sources·k rows per " +
+        "partition."),
+      "g_triangles" -> ("100× plan: degree orientation bounds wedge " +
+        "fan-out at O(√E) per node regardless of skew (no last-reducer " +
+        "curse); wedge join and closing semi join are key-equality; the " +
+        "three census scalars compose via 1-row broadcasts."),
+      "q_tpch_q18" -> ("100× plan: the HAVING subquery decorrelated into " +
+        "one fact-side aggregation (map-side partial sums) whose few " +
+        "survivors broadcast into the orders/customer joins — lineitem is " +
+        "scanned once, never re-scanned per order."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical plan audit (generated by graft.Plans)\n\n")
     sb.append("What to look for: `PushedFilters`/`ReadSchema` on scans, " +

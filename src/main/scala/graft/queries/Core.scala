@@ -378,6 +378,62 @@ object Core {
           .select(lit(ord).as("stage_n"), lit(name).as("stage"), col("n_users"))
       cnt(s1, "view", 1).union(cnt(s2, "click", 2)).union(cnt(s3, "purchase", 3))
     }),
+    "q_attribution" -> ((s, dir) => {
+      // marketing attribution: each purchase credited to the user's FIRST
+      // and LAST click strictly before it (first-touch / last-touch — the
+      // two standard models, one window pass). The frame ends at -1 row so
+      // the purchase row itself (or a same-µs sibling) can't self-attribute;
+      // ordering is (µs timestamp, event_id) — a total order both engines
+      // share (events.ts is ns in parquet; both sides order on the µs
+      // truncation, see Tables.load / epoch_us in the oracle).
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      t(s, dir, "events")
+        .withColumn("first_click", first(clickId, ignoreNulls = true).over(w))
+        .withColumn("last_click", last(clickId, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("first_click"), col("last_click"), col("value").as("amount"))
+    }),
+    "q_dq_report" -> ((s, dir) => {
+      // data-quality gate report: declarative constraints evaluated in ONE
+      // aggregation pass per table (stack-unpivoted to rows) plus anti-join
+      // referential checks — the validation artifact a pipeline emits
+      // before promoting a batch. Zero-violation rows are part of the
+      // contract (they prove the check RAN); violation_rate is one IEEE
+      // division of exact counts.
+      def tableChecks(df: org.apache.spark.sql.DataFrame,
+                      checks: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+        val agg = df.agg(count(lit(1)).as("n"),
+          checks.map { case (nm, viol) =>
+            sum(when(viol, 1L).otherwise(0L)).as(s"v_$nm") }: _*)
+        val stacked = checks.map { case (nm, _) =>
+          s"'$nm', v_$nm" }.mkString(", ")
+        agg.selectExpr("n",
+          s"stack(${checks.size}, $stacked) AS (constraint_name, n_violations)")
+          .select(col("constraint_name"), col("n").as("n_checked"),
+            col("n_violations"))
+      }
+      val li = tableChecks(t(s, dir, "lineitem"), Seq(
+        "lineitem_quantity_in_1_50" -> !col("l_quantity").between(1, 50),
+        "lineitem_price_positive" -> (col("l_extendedprice") <= 0),
+        "lineitem_discount_in_0_1" -> !col("l_discount").between(0, 1)))
+      val ev = tableChecks(t(s, dir, "events"), Seq(
+        "events_type_not_null" -> col("event_type").isNull,
+        "events_value_not_null" -> col("value").isNull))
+      val orphans = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+      val ri = t(s, dir, "lineitem").agg(count(lit(1)).as("n_checked"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+        .select(lit("lineitem_orderkey_in_orders").as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+      li.unionByName(ev).unionByName(ri)
+        .withColumn("violation_rate",
+          round(col("n_violations").cast("double") / col("n_checked"), 6))
+    }),
     "q_cohort" -> ((s, dir) => {
       // weekly cohort retention: users grouped by first-seen week, counted
       // distinct in each subsequent activity week. Both frames aggregate the
@@ -1241,6 +1297,55 @@ object Core {
          SELECT 2, 'click', count(*) FROM s2
          UNION ALL
          SELECT 3, 'purchase', count(*) FROM s3""",
+    "q_attribution" ->
+      // ordering on epoch_us(ts) = the engine's µs truncation of the ns
+      // source column (same convention as q_sessionize's oracle)
+      """WITH w AS (
+           SELECT event_id, user_id, event_type, value,
+                  first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_click,
+                  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+           FROM events)
+         SELECT event_id AS purchase_id, user_id, first_click, last_click,
+                value AS amount
+         FROM w WHERE event_type = 'purchase'""",
+    "q_dq_report" ->
+      """SELECT 'lineitem_quantity_in_1_50' AS constraint_name,
+                count(*) AS n_checked,
+                CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                round(CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS violation_rate
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_price_positive', count(*),
+                CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_discount_in_0_1', count(*),
+                CAST(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         FROM lineitem
+         UNION ALL
+         SELECT 'events_type_not_null', count(*),
+                CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         FROM events
+         UNION ALL
+         SELECT 'events_value_not_null', count(*),
+                CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                round(CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         FROM events
+         UNION ALL
+         SELECT 'lineitem_orderkey_in_orders',
+                (SELECT count(*) FROM lineitem),
+                CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+                round(CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE)
+                  / (SELECT count(*) FROM lineitem), 6)""",
     "q_cohort" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
                      FROM events),

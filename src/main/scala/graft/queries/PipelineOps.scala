@@ -181,6 +181,38 @@ object PipelineOps {
         try DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
         catch { case _: java.sql.SQLNonTransientConnectionException => () }
       }
+    }),
+    "p_jdbc_scan" -> ((s, _) => {
+      // parallel JDBC EXTRACTION (the read twin of p_jdbc_upsert's sink):
+      // seed Derby exactly like p_jdbc_upsert, then pull the table back
+      // through JdbcSource.readPartitionedAuto — bounds from one scalar
+      // min/max round trip, 4 stride-range scans on execution_date, each
+      // its own connection. Same replay oracle as the upsert: the
+      // partitioned read must lose/duplicate nothing vs the fixture state.
+      val dbName = "graft" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$dbName;create=true"
+      try {
+        val conn = DriverManager.getConnection(url)
+        try conn.createStatement().execute(
+          """CREATE TABLE dag_run (
+               dag_id VARCHAR(250) NOT NULL, dag_run_id VARCHAR(250) NOT NULL,
+               end_date TIMESTAMP, execution_date TIMESTAMP NOT NULL,
+               external_trigger BOOLEAN, logical_date TIMESTAMP,
+               start_date TIMESTAMP, state VARCHAR(50),
+               PRIMARY KEY (dag_run_id, dag_id))""")
+        finally conn.close()
+        val reExtract = Staging.readStaged(s, "dag_run", dagRunFiles,
+          keepSourceFile = true)
+        JdbcSink.upsert(s, reExtract, url, "dag_run", dagRunPk,
+          preference = Seq(col(Staging.srcFileCol).desc))
+        val part = graft.sources.JdbcSource.readPartitionedAuto(
+          s, url, "dag_run", "execution_date", numPartitions = 4)
+        val lazyResult = part.select("dag_id", "dag_run_id", "state")
+        s.createDataFrame(lazyResult.collectAsList(), lazyResult.schema)
+      } finally {
+        try DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+        catch { case _: java.sql.SQLNonTransientConnectionException => () }
+      }
     })
   )
 
@@ -246,6 +278,7 @@ object PipelineOps {
              AS execution_date,
            state"""),
       "p_upsert_state" -> replay("DESC", "dag_id, dag_run_id, state"),
-      "p_jdbc_upsert" -> replay("DESC", "dag_id, dag_run_id, state"))
+      "p_jdbc_upsert" -> replay("DESC", "dag_id, dag_run_id, state"),
+      "p_jdbc_scan" -> replay("DESC", "dag_id, dag_run_id, state"))
   }
 }

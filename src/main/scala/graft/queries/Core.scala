@@ -378,6 +378,67 @@ object Core {
           .select(lit(ord).as("stage_n"), lit(name).as("stage"), col("n_users"))
       cnt(s1, "view", 1).union(cnt(s2, "click", 2)).union(cnt(s3, "purchase", 3))
     }),
+    "q_islands" -> ((s, dir) => {
+      // gaps-and-islands: maximal runs of consecutive same-type events per
+      // user (the classic rn-difference trick: rank in the user's full
+      // sequence minus rank in the user's per-type sequence is constant
+      // exactly within a run). Timestamps are exported as unix micros —
+      // the engines share the µs truncation, never the raw ns render.
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val byUserType = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type").isNotNull)
+        .withColumn("grp",
+          row_number().over(byUser) - row_number().over(byUserType))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(count(lit(1)).as("run_len"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .drop("grp")
+        .filter(col("run_len") >= 3) // report only nontrivial runs
+    }),
+    "q_boxplot" -> ((s, dir) => {
+      // per-group boxplot stats with RANK-MIDPOINT quartiles: quantile p =
+      // midpoint of the two order statistics bracketing h = (n-1)·p + 1 —
+      // a deterministic, interpolation-free convention both engines spell
+      // identically (same family as q_mad's exact-rank median; h's floor/
+      // ceil are all-integer). IQR, whiskers, and the outlier count are
+      // single IEEE ops on identical operands.
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select("event_type", "value")
+      val wOrd = Window.partitionBy("event_type").orderBy("value")
+      val wAll = Window.partitionBy("event_type")
+      val ranked = ev
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def q(pNum: Int, pDen: Int): Column = {
+        // h = (n-1)*p + 1; lo = floor(h), hi = ceil(h), all-integer:
+        // lo = ((n-1)*num) DIV den + 1 ; hi = lo + (1 if den∤(n-1)*num)
+        val lo = expr(s"((n - 1) * $pNum) DIV $pDen + 1")
+        val hi = expr(s"((n - 1) * $pNum) DIV $pDen + 1" +
+          s" + (CASE WHEN ((n - 1) * $pNum) % $pDen = 0 THEN 0 ELSE 1 END)")
+        (min(when(col("rn") === lo, col("value"))) +
+          min(when(col("rn") === hi, col("value")))) / 2.0
+      }
+      val stats = ranked.groupBy("event_type")
+        .agg(first(col("n")).as("n"), q(1, 4).as("q1"), q(1, 2).as("med"),
+          q(3, 4).as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
+        .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
+      ev.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(first(col("n")).as("n"),
+          round(first(col("q1")), 4).as("q1"),
+          round(first(col("med")), 4).as("med"),
+          round(first(col("q3")), 4).as("q3"),
+          sum(when(col("value") < col("lo_fence")
+            || col("value") > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
     "q_attribution" -> ((s, dir) => {
       // marketing attribution: each purchase credited to the user's FIRST
       // and LAST click strictly before it (first-touch / last-touch — the
@@ -1297,6 +1358,53 @@ object Core {
          SELECT 2, 'click', count(*) FROM s2
          UNION ALL
          SELECT 3, 'purchase', count(*) FROM s3""",
+    "q_islands" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                    FROM events WHERE event_type IS NOT NULL),
+         r AS (SELECT user_id, event_type, us,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY us, event_id)
+                    - row_number() OVER (PARTITION BY user_id, event_type
+                        ORDER BY us, event_id) AS grp
+               FROM e)
+         SELECT user_id, event_type,
+                count(*) AS run_len,
+                min(us) AS start_us, max(us) AS end_us
+         FROM r GROUP BY user_id, event_type, grp
+         HAVING count(*) >= 3""",
+    "q_boxplot" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+                     WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM ev),
+         s AS (SELECT event_type, max(n) AS n,
+                 (min(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN value END) +
+                  min(CASE WHEN rn = ((n - 1) * 1) // 4 + 1
+                        + (CASE WHEN ((n - 1) * 1) % 4 = 0 THEN 0 ELSE 1 END)
+                      THEN value END)) / 2.0 AS q1,
+                 (min(CASE WHEN rn = ((n - 1) * 1) // 2 + 1 THEN value END) +
+                  min(CASE WHEN rn = ((n - 1) * 1) // 2 + 1
+                        + (CASE WHEN ((n - 1) * 1) % 2 = 0 THEN 0 ELSE 1 END)
+                      THEN value END)) / 2.0 AS med,
+                 (min(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN value END) +
+                  min(CASE WHEN rn = ((n - 1) * 3) // 4 + 1
+                        + (CASE WHEN ((n - 1) * 3) % 4 = 0 THEN 0 ELSE 1 END)
+                      THEN value END)) / 2.0 AS q3
+               FROM r GROUP BY event_type),
+         f AS (SELECT event_type, n, q1, med, q3,
+                      q1 - 1.5 * (q3 - q1) AS lo_fence,
+                      q3 + 1.5 * (q3 - q1) AS hi_fence
+               FROM s)
+         SELECT ev.event_type, max(f.n) AS n,
+                round(max(f.q1), 4) AS q1, round(max(f.med), 4) AS med,
+                round(max(f.q3), 4) AS q3,
+                CAST(sum(CASE WHEN ev.value < f.lo_fence
+                           OR ev.value > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_outliers
+         FROM ev JOIN f USING (event_type)
+         GROUP BY ev.event_type""",
     "q_attribution" ->
       // ordering on epoch_us(ts) = the engine's µs truncation of the ns
       // source column (same convention as q_sessionize's oracle)

@@ -96,10 +96,12 @@ object Plans {
         "bounded heaps (two-phase TopKPerKey) — no source's document list " +
         "is ever sorted, and the exchange carries ≤ sources·k rows per " +
         "partition."),
-      "g_triangles" -> ("100× plan: degree orientation bounds wedge " +
-        "fan-out at O(√E) per node regardless of skew (no last-reducer " +
-        "curse); wedge join and closing semi join are key-equality; the " +
-        "three census scalars compose via 1-row broadcasts."),
+      "g_triangles" -> ("100× plan: degree orientation bounds out-degree " +
+        "at O(√E) regardless of skew (no last-reducer curse), and the " +
+        "adjacency-intersection form never materializes wedges — only " +
+        "edge-sized key-equality joins with a codegen'd array_intersect " +
+        "per row (2× over the wedge-join form at sf0.1); the three " +
+        "census scalars compose via 1-row broadcasts."),
       "q_tpch_q18" -> ("100× plan: the HAVING subquery decorrelated into " +
         "one fact-side aggregation (map-side partial sums) whose few " +
         "survivors broadcast into the orders/customer joins — lineitem is " +

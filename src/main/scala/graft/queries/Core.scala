@@ -378,6 +378,38 @@ object Core {
           .select(lit(ord).as("stage_n"), lit(name).as("stage"), col("n_users"))
       cnt(s1, "view", 1).union(cnt(s2, "click", 2)).union(cnt(s3, "purchase", 3))
     }),
+    "q_basket" -> ((s, dir) => {
+      // market-basket association (pairwise rules): for part pairs
+      // co-occurring in >= 3 orders, support/confidence/lift from exact
+      // counts — lift = n_ab·n_orders / (n_a·n_b), each metric ONE IEEE
+      // division of exact integers (products stay far under 2^53). Top-20
+      // by lift with the (part_a, part_b) tie-break. Scale shape: the
+      // per-order pair join is bounded by order width (never corpus²),
+      // item counts are broadcastable, the 1-row total crossJoins in.
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = pp.select(countDistinct(col("ok")).as("n_orders"))
+      val items = pp.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = pp.as("a").join(pp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(items.select(col("pk").as("part_a"), col("n_item").as("n_a")), "part_a")
+        .join(items.select(col("pk").as("part_b"), col("n_item").as("n_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_raw",
+          (col("n_ab") * col("n_orders")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double"))
+        .orderBy(col("lift_raw").desc, col("part_a").asc, col("part_b").asc)
+        .limit(20)
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+          round(col("lift_raw"), 6).as("lift"))
+    }),
     "q_islands" -> ((s, dir) => {
       // gaps-and-islands: maximal runs of consecutive same-type events per
       // user (the classic rn-difference trick: rank in the user's full
@@ -1358,6 +1390,28 @@ object Core {
          SELECT 2, 'click', count(*) FROM s2
          UNION ALL
          SELECT 3, 'purchase', count(*) FROM s3""",
+    "q_basket" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         tot AS (SELECT count(DISTINCT ok) AS n_orders FROM pp),
+         items AS (SELECT pk, count(*) AS n_item FROM pp GROUP BY 1),
+         pairs AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+                   FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2 HAVING count(*) >= 3),
+         sc AS (SELECT part_a, part_b, n_ab,
+                       CAST(n_ab * t.n_orders AS DOUBLE)
+                         / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift_raw,
+                       ia.n_item AS n_a, t.n_orders AS n_orders
+                FROM pairs
+                JOIN items ia ON pairs.part_a = ia.pk
+                JOIN items ib ON pairs.part_b = ib.pk
+                CROSS JOIN tot t)
+         SELECT part_a, part_b, n_ab,
+                round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+                round(CAST(n_ab AS DOUBLE) / n_a, 6) AS confidence,
+                round(lift_raw, 6) AS lift
+         FROM sc
+         ORDER BY lift_raw DESC, part_a ASC, part_b ASC
+         LIMIT 20""",
     "q_islands" ->
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
                     FROM events WHERE event_type IS NOT NULL),

@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_ngram_lm", // 1-row vocab-total broadcast
     "g_triangles", // three 1-row census aggregates composed
     "q_dq_report", // RI check: two 1-row count aggregates composed
+    "q_basket", // 1-row n_orders total broadcast into the pair metrics
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
     "v_knn_ivf", "v_knn_ivfpq") // corpus x broadcast(nCells=16 seeds)
 

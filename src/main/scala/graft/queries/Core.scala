@@ -378,6 +378,28 @@ object Core {
           .select(lit(ord).as("stage_n"), lit(name).as("stage"), col("n_users"))
       cnt(s1, "view", 1).union(cnt(s2, "click", 2)).union(cnt(s3, "purchase", 3))
     }),
+    "q_rfm" -> ((s, dir) => {
+      // RFM customer segmentation: recency/frequency/monetary quintiles
+      // (ntile with the custkey tie-break → deterministic buckets, the
+      // q_ntile contract), segment = concatenated scores. Like q_ntile,
+      // the global ntile sort is the oracle-exact formulation that
+      // approx-quantile cut points approximate at 100 TB; the per-customer
+      // aggregation below it is the usual map-side-combined groupBy.
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          dsum(col("o_totalprice")).as("monetary"))
+      def score(c: Column): Column =
+        ntile(5).over(Window.orderBy(c, col("o_custkey")))
+      base
+        .withColumn("r_score", score(col("last_order"))) // newer = higher
+        .withColumn("f_score", score(col("freq")))
+        .withColumn("m_score", score(col("monetary")))
+        .select(col("o_custkey"), col("freq"), col("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+    }),
     "q_basket" -> ((s, dir) => {
       // market-basket association (pairwise rules): for part pairs
       // co-occurring in >= 3 orders, support/confidence/lift from exact
@@ -1390,6 +1412,21 @@ object Core {
          SELECT 2, 'click', count(*) FROM s2
          UNION ALL
          SELECT 3, 'purchase', count(*) FROM s3""",
+    "q_rfm" ->
+      """WITH base AS (
+           SELECT o_custkey, max(o_orderdate) AS last_order,
+                  count(*) AS freq,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           FROM orders GROUP BY 1),
+         s AS (SELECT o_custkey, freq, monetary,
+                      CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS INTEGER) AS r_score,
+                      CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INTEGER) AS f_score,
+                      CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m_score
+               FROM base)
+         SELECT o_custkey, freq, monetary, r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment
+         FROM s""",
     "q_basket" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          tot AS (SELECT count(DISTINCT ok) AS n_orders FROM pp),

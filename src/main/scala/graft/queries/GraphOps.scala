@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -41,6 +42,76 @@ object GraphOps {
       edges(s, dir).groupBy("src").agg(count(lit(1)).as("deg"))
         .groupBy(substring(col("src"), 1, 1).as("side"), col("deg"))
         .agg(count(lit(1)).as("n_nodes"))),
+    "g_kcore" -> ((s, dir) => {
+      // k-core peeling of the part–part co-order graph: drop nodes of
+      // degree < k, cascade for a FIXED 4 rounds (fixed-round contract —
+      // the same trick that makes g_pagerank oracle-expressible; on this
+      // data the cascade is still shrinking, and both engines peel the
+      // identical rounds). k is data-derived with no float percentile:
+      // the exact-rank p10 of the initial degree distribution
+      // (row_number ordered by (d, node), row ceil(n/10)) — integer
+      // arithmetic only. Each round is ONE map-side-combined degree agg +
+      // TWO key-equality semi joins; localCheckpoint truncates lineage per
+      // round (the Components idiom) so the plan is O(1) deep — without it
+      // each round re-derives the co-order join 3× (the oracle needs the
+      // matching AS MATERIALIZED hint for the same reason). The global
+      // row_number window is bounded by NODE cardinality, not edges.
+      val pp = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      var sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val deg0 = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      val kRow = deg0
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"), col("u"))))
+        .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
+        .filter(col("rn") === expr("(n + 9) DIV 10"))
+        .select(col("d").as("k"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
+          .crossJoin(broadcast(kRow)).filter(col("d") >= col("k")).select("u")
+        sym = sym.join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .localCheckpoint()
+      }
+      sym.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("node"), col("core_deg"))
+    }),
+    "g_linkpred" -> ((s, dir) => {
+      // neighbor-overlap link scoring (common-neighbors + Jaccard) — the
+      // item-item collaborative-filter / link-prediction primitive: score
+      // supplier pairs by the overlap of their supplied-part sets. The
+      // candidate generator is the shared-neighbor equality join (only
+      // pairs with >= 1 common part are ever materialized — never
+      // all-pairs); its fan-out is Σ_p deg(p)² which the part side's
+      // bounded degree keeps linear-ish in edges (TPC-H parts have ~4-40
+      // suppliers each; a power-law corpus would add the df-cap idiom of
+      // d_ngram_jaccard). Degrees ride in on two broadcast-size joins;
+      // the Jaccard is ONE IEEE division of exact ints (determinism
+      // contract) and the top-50 cut orders by the UNROUNDED score with
+      // a (sa, sb) tie-break.
+      val sp = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val deg = sp.groupBy("s").agg(count(lit(1)).as("d"))
+      val pairs = sp.as("a").join(sp.as("b"),
+          col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+        .agg(count(lit(1)).as("common_parts"))
+      pairs
+        .join(deg.select(col("s").as("sa"), col("d").as("deg_a")), "sa")
+        .join(deg.select(col("s").as("sb"), col("d").as("deg_b")), "sb")
+        .withColumn("jac", col("common_parts").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_parts")))
+        .orderBy(col("jac").desc, col("sa").asc, col("sb").asc)
+        .limit(50)
+        .select(col("sa"), col("sb"), col("common_parts"),
+          col("deg_a"), col("deg_b"), round(col("jac"), 6).as("jaccard"))
+    }),
     "g_triangles" -> ((s, dir) => {
       // triangle census of the part–part co-order graph (parts appearing in
       // the same order; the supplier–part graph is bipartite = triangle-
@@ -83,7 +154,36 @@ object GraphOps {
            FROM $out o JOIN $prev r ON o.src = r.node GROUP BY 1) s
            USING (node))"""
 
+  /** One peel round as chained MATERIALIZED CTEs (d_i → k_i → s_i). The
+    * MATERIALIZED hint mirrors the engine's localCheckpoint: each s_{i-1}
+    * is referenced 3× per round, so an inlining planner would re-derive
+    * the co-order join 3^rounds times (measured: 80 GB of temp spill at
+    * sf0.1 without the hint; 2.9 s with it). */
+  private def peelSql(i: Int, prev: String): String =
+    s""",
+       d$i AS MATERIALIZED (SELECT u, count(*) AS d FROM $prev GROUP BY 1),
+       k$i AS MATERIALIZED (SELECT u FROM d$i, kv WHERE d >= kv.k),
+       s$i AS MATERIALIZED (SELECT s.u, s.v FROM $prev s
+         JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)"""
+
   val oracles: Map[String, String] = Map(
+    "g_kcore" ->
+      s"""WITH pp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         s0 AS MATERIALIZED (
+           SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         d0 AS MATERIALIZED (SELECT u, count(*) AS d FROM s0 GROUP BY 1),
+         kv AS MATERIALIZED (
+           SELECT d AS k
+           FROM (SELECT d, row_number() OVER (ORDER BY d, u) AS rn FROM d0) r,
+                (SELECT (count(*) + 9) // 10 AS tgt FROM d0) t
+           WHERE r.rn = t.tgt)
+         ${(1 to 4).map(i => peelSql(i, if (i == 1) "s0" else s"s${i - 1}")).mkString}
+         SELECT u AS node, count(*) AS core_deg FROM s4 GROUP BY 1""",
     "g_pagerank" ->
       s"""WITH $edgesSql,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
@@ -100,6 +200,18 @@ object GraphOps {
          SELECT substr(src, 1, 1) AS side, CAST(deg AS BIGINT) AS deg,
                 count(*) AS n_nodes
          FROM deg GROUP BY 1, 2""",
+    "g_linkpred" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+         deg AS (SELECT s, count(*) AS d FROM sp GROUP BY 1),
+         pairs AS (SELECT a.s AS sa, b.s AS sb, count(*) AS common_parts
+                   FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+         j AS (SELECT p.sa, p.sb, p.common_parts, da.d AS deg_a, db.d AS deg_b,
+                      CAST(p.common_parts AS DOUBLE) /
+                        (da.d + db.d - p.common_parts) AS jac
+               FROM pairs p JOIN deg da ON p.sa = da.s
+                            JOIN deg db ON p.sb = db.s)
+         SELECT sa, sb, common_parts, deg_a, deg_b, round(jac, 6) AS jaccard
+         FROM j ORDER BY jac DESC, sa ASC, sb ASC LIMIT 50""",
     "g_triangles" ->
       // id-ordered 3-way join (a<b<c): e1=(a,b), e2=(b,c), e3=(a,c) —
       // the orientation-free formulation; counts match the engine's

@@ -24,6 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_freq_quality", // 1-row corpus-size frame broadcast
     "t_ngram_lm", // 1-row vocab-total broadcast
     "g_triangles", // three 1-row census aggregates composed
+    // (g_kcore's 1-row threshold broadcast is inside localCheckpoint-
+    // truncated rounds — the audited final plan is checkpoint-scan + agg)
     "q_dq_report", // RI check: two 1-row count aggregates composed
     "q_basket", // 1-row n_orders total broadcast into the pair metrics
     "v_knn_batch", // corpus x broadcast(8-query serving batch)

@@ -1002,6 +1002,60 @@ object Core {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     }),
 
+    "q_markov" -> ((s, dir) => {
+      // first-order Markov transition matrix over per-user event sequences
+      // — the behavioral-model statistic behind next-action prediction and
+      // anomaly scoring. prev state via lag over the TOTAL (ts, event_id)
+      // order (event_id is unique, so every bigram is deterministic; the
+      // oracle orders by epoch_us(ts) to share the engine's µs
+      // truncation); P(next|prev) is ONE IEEE division of exact counts.
+      // One events-sized shuffle (the window, keyed by user) then a
+      // |types|²-row aggregate — map-side combined, broadcast total join.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("prev_type").agg(sum("n").as("n_prev"))
+      trans.join(tot, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("n_prev"), 6).as("p"))
+    }),
+
+    "q_ewma" -> ((s, dir) => {
+      // trailing exponentially-weighted mean of each user's daily value
+      // (half-life = 1 day, 10-day window) — the smoothing every metrics
+      // pipeline applies before alerting. The decay weight is 2^-diff,
+      // EXACT in binary floating point (shiftleft + one division — no
+      // libm pow, which is not bit-portable across engines); weighted
+      // numerator/denominator accumulate in DECIMAL(28,16)
+      // (order-independent), the mean is one IEEE division. The trailing
+      // window is an equi join on user_id with a 10-day band filter —
+      // per-user daily series keep every join bucket tiny, and the plan
+      // is join + one map-side-combined agg.
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(dsum(col("value")).as("v"))
+      val hist = daily.select(col("user_id"), col("day").as("day_b"),
+        col("v").as("v_b"))
+      daily.join(hist, Seq("user_id"))
+        .filter(datediff(col("day"), col("day_b")).between(0, 9))
+        .withColumn("diff", datediff(col("day"), col("day_b")))
+        .withColumn("w", expr(
+          "CAST(1.0 AS DOUBLE) / CAST(shiftleft(1L, diff) AS DOUBLE)"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(
+          max(when(col("diff") === 0, col("v_b"))).as("v"),
+          (sum((col("w") * col("v_b")).cast(DecimalType(28, 16)))
+            .cast("double") /
+           sum(col("w").cast(DecimalType(28, 16))).cast("double"))
+            .as("raw"))
+        .select(col("user_id"), col("day"), col("v"),
+          round(col("raw"), 6).as("ewma"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // BANDED interval self-join: pairs of events by the same user within
       // 60s. The equi-join key is (user_id, time_bucket) with bucket width
@@ -1823,6 +1877,42 @@ object Core {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q_markov" ->
+      // window orders by epoch_us(ts) — the engine's µs truncation — so a
+      // sub-µs ns difference can never order two events differently from
+      // Spark; event_id breaks exact-µs ties identically in both engines
+      """WITH seqd AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ) AS prev_type
+           FROM events),
+         trans AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+                   FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev
+                 FROM trans GROUP BY 1)
+         SELECT t.prev_type, t.next_type, t.n,
+                round(CAST(t.n AS DOUBLE) / tot.n_prev, 6) AS p
+         FROM trans t JOIN tot USING (prev_type)""",
+    "q_ewma" ->
+      // weight 2^-diff is exact in binary FP (1 << diff, one division);
+      // weighted sums accumulate in DECIMAL(28,16) exactly like the engine
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         j AS (SELECT a.user_id, a.day, b.v AS v_b,
+                      date_diff('day', b.day, a.day) AS diff
+               FROM daily a JOIN daily b ON a.user_id = b.user_id
+                 AND b.day <= a.day AND b.day >= a.day - INTERVAL 9 DAY),
+         wj AS (SELECT user_id, day, diff, v_b,
+                       CAST(1.0 AS DOUBLE) / CAST(1 << diff AS DOUBLE) AS w
+                FROM j)
+         SELECT user_id, day,
+                max(CASE WHEN diff = 0 THEN v_b END) AS v,
+                round(CAST(sum(CAST(w * v_b AS DECIMAL(28,16))) AS DOUBLE) /
+                      CAST(sum(CAST(w AS DECIMAL(28,16))) AS DOUBLE), 6) AS ewma
+         FROM wj GROUP BY 1, 2""",
     "q_range_join" ->
       """SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
                 abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us

@@ -290,6 +290,36 @@ object TextOps {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("tokens_before"), expr("tokens_before div 2048").as("bin_id"))
     }),
+    "t_lm_quality" -> ((s, dir) => {
+      // per-doc FLUENCY score: mean add-one bigram transition probability
+      // under the corpus LM (the t_ngram_lm table applied back to the
+      // corpus) — typical word sequences score high, gibberish low. The
+      // mean (not log-likelihood) keeps the score libm-free: each p is
+      // ONE IEEE division of exact integers ((c12+1)/(c1+V), DuckDB
+      // promotes the decimal dividend to double exactly), per-doc sums
+      // accumulate in DECIMAL(28,16) (order-independent), the mean is one
+      // more division. Plan: the LM is pair-keyed and joins the bigram
+      // stream on pair equality — corpus-sized shuffles, map-side
+      // combined per-doc agg, 1-row vocab broadcast. Docs with < 2
+      // tokens have no bigrams and are out of scope (inner join).
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(TextFunctions.ngrams(
+          TextFunctions.tokens(col("text")), 2)).as("pair"))
+      val bi = grams.groupBy("pair").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("pair"), " ", 1))
+      val ctx = bi.groupBy("w1").agg(sum("c12").as("c1"))
+      val vocab = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val lm = bi.join(ctx, "w1").crossJoin(broadcast(vocab))
+        .select(col("pair"),
+          ((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("p"))
+      grams.join(lm, "pair")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("p").cast(DecimalType(28, 16))).cast("double") /
+            count(lit(1)), 9).as("mean_p"))
+    }),
     "t_ngram_lm" -> ((s, dir) => {
       // bigram LM statistics with add-one smoothing: P(w2|w1) =
       // (c(w1,w2)+1)/(c(w1·)+V) — the conditional-probability table a
@@ -762,6 +792,28 @@ object TextOps {
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "t_lm_quality" ->
+      // p's decimal dividend (c12+1.0) promotes to double exactly, so the
+      // division is the same IEEE op as the engine's; DECIMAL(28,16)
+      // accumulation makes the per-doc sum order-independent
+      """WITH grams AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 2),
+         bi AS (SELECT pair, count(*) AS c12 FROM grams GROUP BY 1),
+         sp AS (SELECT pair, c12, string_split(pair, ' ')[1] AS w1 FROM bi),
+         ctx AS (SELECT w1, sum(c12) AS c1 FROM sp GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+         lm AS (SELECT sp.pair, (sp.c12 + 1.0) / (ctx.c1 + v.v) AS p
+                FROM sp JOIN ctx USING (w1), v)
+         SELECT g.doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(CAST(p AS DECIMAL(28,16))) AS DOUBLE) /
+                      count(*), 9) AS mean_p
+         FROM grams g JOIN lm USING (pair)
+         GROUP BY 1""",
     "t_ngram_lm" ->
       """WITH grams AS (
            SELECT unnest(list_transform(generate_series(1, len(toks) - 1),

@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_scalar_subquery", // 1-row scalar aggregate broadcast
     "t_freq_quality", // 1-row corpus-size frame broadcast
     "t_ngram_lm", // 1-row vocab-total broadcast
+    "t_lm_quality", // same 1-row vocab-total broadcast as t_ngram_lm
     "g_triangles", // three 1-row census aggregates composed
     // (g_kcore's 1-row threshold broadcast is inside localCheckpoint-
     // truncated rounds — the audited final plan is checkpoint-scan + agg)

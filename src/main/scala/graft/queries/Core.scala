@@ -1002,6 +1002,66 @@ object Core {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
     }),
 
+    "q_zscore" -> ((s, dir) => {
+      // rolling z-score anomaly detection: flag hours whose event count
+      // sits >= 2σ from the trailing-24h mean of that event type. The
+      // window sums are INTEGER-exact (counts and squared counts — no FP
+      // accumulation at all); mean/variance/σ/z are then a fixed chain of
+      // IEEE ops on identical operands in both engines (sqrt is
+      // correctly-rounded by IEEE-754, unlike libm pow/log). RANGE frame
+      // over the integer hour index keeps gaps honest (a missing hour
+      // narrows the window rather than silently shifting it). One shuffle
+      // (hourly rollup), one window pass, both keyed by event_type.
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+      val win = Window.partitionBy("event_type").orderBy("hr")
+        .rangeBetween(-23, 0)
+      hourly
+        .withColumn("sx", sum(col("n_events")).over(win).cast("double"))
+        .withColumn("sxx",
+          sum(col("n_events") * col("n_events")).over(win).cast("double"))
+        .withColumn("nn", count(lit(1)).over(win).cast("double"))
+        .filter(col("nn") >= 12 &&
+          col("nn") * col("sxx") - col("sx") * col("sx") > 0)
+        .withColumn("z",
+          (col("n_events").cast("double") - col("sx") / col("nn")) /
+            sqrt((col("nn") * col("sxx") - col("sx") * col("sx")) /
+              (col("nn") * col("nn"))))
+        .filter(abs(col("z")) >= 2)
+        .select(col("event_type"), col("hr"), col("n_events"),
+          round(col("z"), 6).as("z"))
+    }),
+
+    "q_skew_report" -> ((s, dir) => {
+      // per-key skew diagnostics over customer order counts by priority —
+      // the distribution profile that decides salting / AQE-skew-join
+      // thresholds before a 100 TB join. Exact-rank percentiles (integer
+      // arithmetic on row_number, no float percentile function), top-5
+      // concentration share as ONE IEEE division of exact integers.
+      val cnt = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"), col("o_custkey"))
+        .agg(count(lit(1)).as("c"))
+      val wAsc = Window.partitionBy("prio").orderBy(col("c"), col("o_custkey"))
+      val wDesc = Window.partitionBy("prio")
+        .orderBy(col("c").desc, col("o_custkey"))
+      cnt
+        .withColumn("rn", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .withColumn("nk", count(lit(1)).over(Window.partitionBy("prio")))
+        .groupBy("prio")
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("c").cast("long").as("n_rows"),
+          max("c").as("max_per_key"),
+          max(when(col("rn") === expr("(nk + 1) DIV 2"), col("c"))).as("p50"),
+          max(when(col("rn") === expr("(99 * nk + 99) DIV 100"), col("c")))
+            .as("p99"),
+          round(sum(when(col("rd") <= 5, col("c"))).cast("double") /
+            sum("c"), 6).as("top5_share"))
+    }),
+
     "q_markov" -> ((s, dir) => {
       // first-order Markov transition matrix over per-user event sequences
       // — the behavioral-model statistic behind next-action prediction and
@@ -1877,6 +1937,45 @@ object Core {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q_zscore" ->
+      // window sums are integer-exact; the mean/var/σ/z chain is the same
+      // IEEE op sequence as the engine's (sqrt is correctly rounded)
+      """WITH hourly AS (
+           SELECT event_type,
+                  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hr, n_events,
+                 CAST(sum(n_events) OVER win AS DOUBLE) AS sx,
+                 CAST(sum(n_events * n_events) OVER win AS DOUBLE) AS sxx,
+                 CAST(count(*) OVER win AS DOUBLE) AS nn
+               FROM hourly
+               WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         z AS (SELECT event_type, hr, n_events,
+                 (CAST(n_events AS DOUBLE) - sx / nn) /
+                   sqrt((nn * sxx - sx * sx) / (nn * nn)) AS z
+               FROM w WHERE nn >= 12 AND nn * sxx - sx * sx > 0)
+         SELECT event_type, hr, n_events, round(z, 6) AS z
+         FROM z WHERE abs(z) >= 2""",
+    "q_skew_report" ->
+      """WITH cnt AS (
+           SELECT o_orderpriority AS prio, o_custkey, count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         r AS (SELECT prio, c,
+                 row_number() OVER (PARTITION BY prio ORDER BY c, o_custkey) AS rn,
+                 row_number() OVER (PARTITION BY prio ORDER BY c DESC, o_custkey) AS rd,
+                 count(*) OVER (PARTITION BY prio) AS nk
+               FROM cnt)
+         SELECT prio,
+                count(*) AS n_keys,
+                CAST(sum(c) AS BIGINT) AS n_rows,
+                max(c) AS max_per_key,
+                max(CASE WHEN rn = (nk + 1) // 2 THEN c END) AS p50,
+                max(CASE WHEN rn = (99 * nk + 99) // 100 THEN c END) AS p99,
+                round(CAST(sum(CASE WHEN rd <= 5 THEN c END) AS DOUBLE) /
+                      sum(c), 6) AS top5_share
+         FROM r GROUP BY 1""",
     "q_markov" ->
       // window orders by epoch_us(ts) — the engine's µs truncation — so a
       // sub-µs ns difference can never order two events differently from

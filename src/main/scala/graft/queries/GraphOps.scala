@@ -82,6 +82,40 @@ object GraphOps {
       sym.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
         .select(col("u").as("node"), col("core_deg"))
     }),
+    "g_bfs" -> ((s, dir) => {
+      // multi-source BFS distance labeling on the part–part co-order
+      // graph, 3 unrolled frontier-relaxation rounds (the fixed-round
+      // contract again): dist_i(v) = min(dist_{i-1}(v), 1 + min over
+      // in-edges) — pure integer min-aggregation, no FP at all. Sources
+      // are partkey % 100 == 0 (a deterministic seed set, ~1% of nodes).
+      // Per round: ONE key-equality join (edges × current distances) +
+      // ONE map-side-combined min agg; localCheckpoint truncates lineage
+      // (mirrored by the oracle's MATERIALIZED CTEs). At 100 TB this is
+      // the textbook Pregel round as relational ops — frontier-sized
+      // shuffles, never node×node.
+      val pp = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var dist = sym.select(col("u")).distinct()
+        .filter(col("u") % 100 === 0)
+        .select(col("u").as("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val relaxed = sym
+          .join(dist.withColumnRenamed("node", "u"), "u")
+          .select(col("v").as("node"), (col("dist") + lit(1)).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist
+    }),
     "g_linkpred" -> ((s, dir) => {
       // neighbor-overlap link scoring (common-neighbors + Jaccard) — the
       // item-item collaborative-filter / link-prediction primitive: score
@@ -166,7 +200,32 @@ object GraphOps {
        s$i AS MATERIALIZED (SELECT s.u, s.v FROM $prev s
          JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)"""
 
+  /** One BFS relaxation round as a MATERIALIZED CTE (same inlining-blowup
+    * rationale as [[peelSql]]). */
+  private def bfsSql(i: Int, prev: String): String =
+    s""",
+       f$i AS MATERIALIZED (
+         SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM $prev
+           UNION ALL
+           SELECT s.v AS node, f.dist + 1 AS dist
+           FROM s0 s JOIN $prev f ON s.u = f.node) GROUP BY 1)"""
+
   val oracles: Map[String, String] = Map(
+    "g_bfs" ->
+      s"""WITH pp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         s0 AS MATERIALIZED (
+           SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         f0 AS MATERIALIZED (
+           SELECT u AS node, 0 AS dist
+           FROM (SELECT DISTINCT u FROM s0) n WHERE u % 100 = 0)
+         ${(1 to 3).map(i => bfsSql(i, s"f${i - 1}")).mkString}
+         SELECT node, dist FROM f3""",
     "g_kcore" ->
       s"""WITH pp AS MATERIALIZED (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -291,6 +291,62 @@ object Core {
         .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     }),
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 analogue (volume shipping): cross-border trade volume by
+      // (supplier nation, customer nation, ship year). The two nation
+      // dims ride in on broadcasts stitched to supplier/customer; the
+      // fact scan carries the shipdate filter (pushed to parquet) and the
+      // cross-border predicate runs post-join. Generalized from the
+      // reference query's 2-nation pick to ALL ordered pairs — same plan
+      // shape, denser result (bounded by nations² · years).
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
+    "q_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 analogue (returned-item revenue ranking): quarter of
+      // orders × returned lines → per-customer revenue, top 20. The
+      // revenue aggregate stays DECIMAL through the ORDER BY (exact
+      // cross-engine ordering — the contract's "order by the UNROUNDED
+      // value"), cast to double only at output; c_custkey breaks ties.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev_dec"))
+      rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .orderBy(col("rev_dec").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
     "q_tpch_q18" -> ((s, dir) => {
       // TPC-H Q18 analogue (large-volume customers): the classic
       // IN (SELECT ... GROUP BY ... HAVING) decorrelated by hand — one
@@ -1462,6 +1518,34 @@ object Core {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, l_orderkey ASC
          LIMIT 10""",
+    "q_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND sn.n_name <> cn.n_name
+         GROUP BY 1, 2, 3""",
+    "q_tpch_q10" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS rev_dec
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue,
+                c_acctbal, n_name
+         FROM rev JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY rev_dec DESC, c_custkey LIMIT 20""",
     "q_tpch_q5" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

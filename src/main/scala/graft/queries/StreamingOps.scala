@@ -71,6 +71,18 @@ object StreamingOps {
       val top = graft.streaming.StatefulOps.streamingTopKPerType(s, ev, k = 5)
       EventsStream.runToMemory(s, top.toDF(), "s_topk_sink", "update")
     }),
+    "s_anomaly" -> ((s, dir) => {
+      // streaming running z-score alerts (keyed state, integer-exact
+      // moments) — single-batch emission equals the batch
+      // unbounded-preceding window formulation; rounding happens here in
+      // Spark (same round as every batch query), not in the state fn.
+      val ev = EventsStream.readEvents(s, dir)
+      val alerts = graft.streaming.StatefulOps
+        .streamingAnomaly(s, ev, minPrior = 12)
+      EventsStream.runToMemory(s, alerts.toDF(), "s_anomaly_sink", "update")
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(col("z"), 6).as("z"))
+    }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
       // result must equal plain per-type counts of the batch table.
@@ -141,6 +153,26 @@ object StreamingOps {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+    "s_anomaly" ->
+      // PRIOR-only frame (UNBOUNDED PRECEDING .. 1 PRECEDING) = the state
+      // the streaming op had seen before each row; decimal window sums
+      // cast to double round the same rationals as the op's integer units
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us, value
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         w AS (SELECT event_type, event_id, value,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sx,
+                 CAST(sum(CAST(value AS DECIMAL(18,2)) *
+                          CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sxx,
+                 CAST(count(*) OVER win AS DOUBLE) AS nn
+               FROM e
+               WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT event_type, event_id, value,
+                 (value - sx / nn) / sqrt((nn * sxx - sx * sx) / (nn * nn)) AS z
+               FROM w WHERE nn >= 12 AND nn * sxx - sx * sx > 0)
+         SELECT event_type, event_id, value, round(z, 6) AS z
+         FROM z WHERE z >= 2""",
     "s_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"""
   )

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom keyed state on top of flatMapGroupsWithState — the escape hatch for
@@ -47,6 +47,62 @@ object StatefulOps {
           merged.iterator.zipWithIndex.map { case ((v, id), i) =>
             TopEvent(etype, id, v, i + 1)
           }
+      }
+  }
+
+  case class AnomalyAlert(event_type: String, event_id: Long, value: Double,
+                          z: Double)
+
+  /** Running moments per key in EXACT integer units: values have 2
+    * decimals, so cents (×100) and squared-cents (×10⁴) are lossless
+    * longs — the streaming twin of the batch DECIMAL-sum contract, and
+    * O(1) state per key forever (3 longs). */
+  case class RunningMoments(n: Long, sum_cents: Long, sumsq_e4: Long)
+
+  /** Streaming running z-score alerts: flag events whose value sits >= 2σ
+    * above the running mean of the PRIOR events of their type (Welford-
+    * style online anomaly detection as keyed state). Rows are ordered
+    * (us, event_id) within each batch so alerts are deterministic; the
+    * moment state is integer-exact, and the mean/σ/z chain is the same
+    * IEEE op sequence as the batch oracle's window formulation — a long
+    * divided by 100.0 and a DECIMAL(18,2)→DOUBLE cast both round the
+    * identical rational, so the doubles agree bit-for-bit. On the
+    * single-batch file source the emission equals the batch
+    * unbounded-preceding window query (the s_anomaly oracle). */
+  def streamingAnomaly(spark: SparkSession, events: DataFrame,
+                       minPrior: Int): Dataset[AnomalyAlert] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RunningMoments, AnomalyAlert](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[RunningMoments]) =>
+          var st = state.getOption.getOrElse(RunningMoments(0L, 0L, 0L))
+          val out = Seq.newBuilder[AnomalyAlert]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, _, v) =>
+            // exact: v has 2 decimals, the ×100 product is never within an
+            // ulp of a .5 cent boundary
+            val cents = Math.round(v * 100.0)
+            if (st.n >= minPrior) {
+              val nn = st.n.toDouble
+              val sx = st.sum_cents / 100.0
+              val sxx = st.sumsq_e4 / 10000.0
+              val varNum = nn * sxx - sx * sx
+              if (varNum > 0) {
+                val z = (v - sx / nn) / Math.sqrt(varNum / (nn * nn))
+                if (z >= 2.0) out += AnomalyAlert(etype, id, v, z)
+              }
+            }
+            st = RunningMoments(st.n + 1, st.sum_cents + cents,
+              st.sumsq_e4 + cents * cents)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -129,7 +129,8 @@ object Loader {
     * value the catalog actually stores for it. */
   def upsertPartitioned(spark: SparkSession, incoming: DataFrame, table: String,
                         pkCols: Seq[String], partCols: Seq[String],
-                        preference: Seq[Column] = Nil): Unit = {
+                        preference: Seq[Column] = Nil,
+                        maxTouchedPartitions: Long = 100000L): Unit = {
     require(pkCols.nonEmpty, "upsert requires PK columns")
     val inc = coerceToTable(spark, pickPerKey(incoming, pkCols, preference), table)
     val stalePartitions = spark.table(table)
@@ -137,6 +138,19 @@ object Loader {
       .select(partCols.map(col): _*)
     val touched = inc.select(partCols.map(col): _*)
       .union(stalePartitions).distinct().cache()
+    // The emptied-partition diff below collects partition SPECS (not rows) to
+    // the driver — metadata-scale by design, but pathological partition
+    // cardinality (e.g. partitioning by a near-unique column) would turn it
+    // into a driver-side row collect. Fail fast with guidance instead. The
+    // count also materializes the cache the two downstream uses share.
+    val touchedCount = touched.count()
+    require(touchedCount <= maxTouchedPartitions,
+      s"upsertPartitioned: batch touches $touchedCount partitions of $table " +
+        s"(cap $maxTouchedPartitions). Partition-spec bookkeeping is " +
+        "driver-side metadata; a batch touching this many partitions " +
+        "indicates over-partitioning (partition by a coarser column) or a " +
+        "full-table rewrite (use upsert instead). Raise maxTouchedPartitions " +
+        "only if driver memory is provisioned for it.")
     val target = spark.table(table).alias("t")
     val keepCond = partCols
       .map(c => col(s"t.$c") <=> col(s"p.$c")).reduce(_ && _)

@@ -73,6 +73,28 @@ class LoaderUpsertSpec extends AnyFunSuite {
       != d2FilesBefore)
   }
 
+  test("upsertPartitioned fails fast past the touched-partition cap, with guidance") {
+    val t = freshTable(partitioned = true)
+    Seq(("r1", "running", 1.0, "d1"))
+      .toDF("run_id", "state", "score", "day")
+      .write.mode("append").insertInto(t)
+    // batch touches 3 partitions; cap of 2 must reject BEFORE any write
+    val re = Seq(("r1", "success", 9.0, "d2"), ("r2", "running", 3.0, "d3"),
+      ("r3", "queued", 4.0, "d4"))
+      .toDF("run_id", "state", "score", "day")
+    val e = intercept[IllegalArgumentException] {
+      Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"),
+        maxTouchedPartitions = 2L)
+    }
+    assert(e.getMessage.contains("touches") &&
+      e.getMessage.contains("over-partitioning"))
+    // target unchanged — the guard fired before the staged overwrite
+    assert(spark.table(t).collect().map(_.getString(1)).toSeq == Seq("running"))
+    // same batch under the default cap applies cleanly
+    Loader.upsertPartitioned(spark, re, t, Seq("run_id"), Seq("day"))
+    assert(spark.table(t).count() == 3)
+  }
+
   test("dedupAppendBloom equals dedupAppend: empty target, FP-heavy sketch, idempotent") {
     val t1 = freshTable(partitioned = false)
     val t2 = freshTable(partitioned = false)

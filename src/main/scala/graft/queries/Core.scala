@@ -347,6 +347,104 @@ object Core {
           col("rev_dec").cast("double").as("revenue"),
           col("c_acctbal"), col("n_name"))
     }),
+    "q_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 analogue (customer order-count distribution): LEFT join
+      // so zero-order customers survive with c_count=0, then the
+      // distribution-of-counts re-aggregation. The priority filter rides
+      // the join condition (= pre-filtering the right side of a left
+      // join). Both aggs are map-side partial; the second groups on a
+      // ~tens-cardinality key.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      t(s, dir, "customer").select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    "q_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 analogue (promo revenue share): conditional decimal sum
+      // over total decimal sum — the ratio is ONE IEEE division of two
+      // exact decimals (then one multiply by 100.0, same op order as the
+      // oracle), so it is bit-identical cross-engine.
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(t(s, dir, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(rev).cast("double")).as("promo_revenue"))
+    }),
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 analogue (small-quantity-order revenue): the correlated
+      // avg-quantity subquery decorrelated into a per-part stats join.
+      // The 0.2·avg threshold is the exact rational 5·qty·cnt < sum —
+      // quantities are integral, so every operand is exact decimal and
+      // the comparison cannot flake cross-engine. The brand filter makes
+      // the part side tiny → broadcast; the stats frame is equally tiny.
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val l = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val stats = l.groupBy(col("p_partkey").as("sp_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sumq"),
+          count(lit(1)).as("cntq"))
+      l.join(broadcast(stats), col("l_partkey") === col("sp_partkey"))
+        .filter(col("l_quantity").cast(DecimalType(18, 2)) * col("cntq") *
+          lit(5) < col("sumq"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 analogue (discounted revenue, disjunctive predicates):
+      // three OR'd brand/size/quantity conjunctions — the classic test
+      // that a disjunction over join-side columns still prunes after the
+      // join (and that the scan pushes the partkey-join columns only).
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#9" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 analogue (global-market waiting customers): customers
+      // with above-average positive balance and no RECENT orders (the
+      // synthetic orders table is dense, so "no orders ever" is empty —
+      // "churned since 2000" keeps the anti join non-trivial at every
+      // SF), per nation. The global-avg threshold is the exact rational
+      // bal·cnt > sum against a broadcast 1-row aggregate (sanctioned
+      // BNLJ); the no-recent-orders test is a distributed left anti join
+      // whose right side carries the pushed-down date filter.
+      val c = t(s, dir, "customer")
+      val pos = c.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sumbal"),
+          count(lit(1)).as("cntbal"))
+      c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("cntbal") >
+          col("sumbal"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+    }),
     "q_tpch_q18" -> ((s, dir) => {
       // TPC-H Q18 analogue (large-volume customers): the classic
       // IN (SELECT ... GROUP BY ... HAVING) decorrelated by hand — one
@@ -1546,6 +1644,55 @@ object Core {
          FROM rev JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          ORDER BY rev_dec DESC, c_custkey LIMIT 20""",
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY 1) cc
+         GROUP BY 1""",
+    "q_tpch_q14" ->
+      """SELECT 100.0 *
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q_tpch_q17" ->
+      """WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_brand = 'Brand#23'),
+         stats AS (SELECT l_partkey AS sp_partkey,
+                          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sumq,
+                          count(*) AS cntq
+                   FROM l GROUP BY 1)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS avg_yearly
+         FROM l JOIN stats ON l_partkey = sp_partkey
+         WHERE CAST(l_quantity AS DECIMAL(18,2)) * cntq * 5 < sumq""",
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q22" ->
+      """WITH pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sumbal,
+                             count(*) AS cntbal
+                      FROM customer WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, pos
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cntbal > sumbal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1""",
     "q_tpch_q5" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // truncated rounds — the audited final plan is checkpoint-scan + agg)
     "q_dq_report", // RI check: two 1-row count aggregates composed
     "q_basket", // 1-row n_orders total broadcast into the pair metrics
+    "q_tpch_q22", // 1-row global-avg-balance aggregate broadcast
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
     "v_knn_ivf", "v_knn_ivfpq") // corpus x broadcast(nCells=16 seeds)
 

@@ -117,6 +117,47 @@ object Core {
         kmv(col("l_partkey").cast("string")).as("kmv_estimate"),
         countDistinct(col("l_partkey")).as("exact_distinct"))
     }),
+    "q_kmv_overlap" -> ((s, dir) => {
+      // KMV sketch SET ALGEBRA: estimated Jaccard overlap between the
+      // user populations of every event-type pair. Per type keep the
+      // k=128 smallest md5(user_id) hashes (the KMV synopsis — bounded
+      // state, mergeable, deterministic); for a pair, rank the UNION of
+      // the two synopses and count members of both among the k smallest —
+      // matches/k is the standard KMV Jaccard estimator (Beyer et al.,
+      // SIGMOD'07). Everything after the per-type top-k runs on
+      // k·types rows — the 100 TB profile is ONE pass over events + a
+      // sketch-sized tail; the tiny type-dim crossJoin is a sanctioned
+      // broadcast (like q_cross's 25-row dim).
+      val K = 128
+      val topk = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("h")))
+        .filter(col("rn") <= K).select("event_type", "h")
+      val types = topk.select(col("event_type").as("ty")).distinct()
+      val ea = topk.select(col("event_type").as("ta"), col("h"))
+        .crossJoin(broadcast(types)).filter(col("ta") < col("ty"))
+        .select(col("ta"), col("ty").as("tb"), col("h"),
+          lit(1).as("isa"), lit(0).as("isb"))
+      val eb = topk.select(col("event_type").as("tb"), col("h"))
+        .crossJoin(broadcast(types)).filter(col("ty") < col("tb"))
+        .select(col("ty").as("ta"), col("tb"), col("h"),
+          lit(0).as("isa"), lit(1).as("isb"))
+      ea.unionByName(eb)
+        .groupBy("ta", "tb", "h")
+        .agg(max(col("isa")).as("ina"), max(col("isb")).as("inb"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ta", "tb").orderBy("h")))
+        .filter(col("rn") <= K)
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("k_used"),
+          sum(col("ina") * col("inb")).as("matches"))
+        .select(col("ta"), col("tb"), col("k_used"), col("matches"),
+          round(col("matches").cast("double") / col("k_used"), 6)
+            .as("jaccard_est"))
+    }),
     "q_approx_distinct" -> ((s, dir) => {
       // HLL sketch. The raw estimate is engine-specific bits, so the
       // oracle-checkable contract is the accuracy bound itself: the output
@@ -1187,6 +1228,48 @@ object Core {
         .select(col("event_type"), col("hr"), col("n_events"),
           round(col("z"), 6).as("z"))
     }),
+    "q_acf" -> ((s, dir) => {
+      // autocorrelation function of the hourly event-count series, lags
+      // 1..24h per event type — the seasonality probe behind capacity
+      // planning. Lag expansion is a GENERATOR (explode(sequence)), not a
+      // dim join, so no nested loop ever plans; pairing is one equi-join
+      // on (type, hr−lag); every moment (Σx, Σy, Σxy, Σx², Σy²) is an
+      // INTEGER sum of integer products — zero FP accumulation — and the
+      // Pearson chain on top is a fixed IEEE op sequence whose operands
+      // are exactly representable, so both engines agree bit-for-bit.
+      // At scale: one hourly rollup shuffle (map-side combined), one
+      // 24×-amplified self-join keyed by (type, hr) — hours-cardinality,
+      // not events-cardinality — then a (type, lag)-keyed partial agg.
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val lagged = hourly
+        .withColumn("lag", explode(expr("sequence(1, 24)")))
+        .select(col("event_type"), col("hr"), col("n").as("x"), col("lag"))
+      val prior = hourly.select(col("event_type").as("pe"),
+        col("hr").as("phr"), col("n").as("y"))
+      lagged
+        .join(prior, col("event_type") === col("pe") &&
+          col("phr") === col("hr") - col("lag"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("np"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .filter(col("np") >= 24 &&
+          col("np") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("np") * col("syy") - col("sy") * col("sy") > 0)
+        .select(col("event_type"), col("lag"), col("np").as("n_pairs"),
+          round((col("np").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("np").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("np").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("acf"))
+    }),
 
     "q_skew_report" -> ((s, dir) => {
       // per-key skew diagnostics over customer order counts by priority —
@@ -1525,6 +1608,29 @@ object Core {
                      ELSE round((255.0 / x.v) * 281474976710656.0, 4) END AS kmv_estimate,
                 CAST(x.nd AS BIGINT) AS exact_distinct
          FROM kth x""",
+    "q_kmv_overlap" ->
+      """WITH hs AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+                     FROM events
+                     WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         topk AS (SELECT event_type, h FROM (
+                    SELECT event_type, h,
+                           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                    FROM hs) rr WHERE rn <= 128),
+         types AS (SELECT DISTINCT event_type AS ty FROM topk),
+         ea AS (SELECT t1.event_type AS ta, ty AS tb, t1.h, 1 AS isa, 0 AS isb
+                FROM topk t1 CROSS JOIN types WHERE t1.event_type < ty),
+         eb AS (SELECT ty AS ta, t2.event_type AS tb, t2.h, 0 AS isa, 1 AS isb
+                FROM topk t2 CROSS JOIN types WHERE ty < t2.event_type),
+         u AS (SELECT ta, tb, h, max(isa) AS ina, max(isb) AS inb
+               FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb) ab
+               GROUP BY 1, 2, 3),
+         r AS (SELECT ta, tb, ina, inb,
+                      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+               FROM u)
+         SELECT ta, tb, count(*) AS k_used,
+                CAST(sum(ina*inb) AS BIGINT) AS matches,
+                round(CAST(sum(ina*inb) AS DOUBLE)/count(*), 6) AS jaccard_est
+         FROM r WHERE rn <= 128 GROUP BY 1, 2""",
     "q_heavy_hitters" ->
       // k=64 exceeds the event_type cardinality, so the Space-Saving sketch
       // is in its exact regime: output == plain GROUP BY, all errors 0
@@ -2189,6 +2295,33 @@ object Core {
                FROM w WHERE nn >= 12 AND nn * sxx - sx * sx > 0)
          SELECT event_type, hr, n_events, round(z, 6) AS z
          FROM z WHERE abs(z) >= 2""",
+    "q_acf" ->
+      // integer moments, then the identical Pearson IEEE chain — all
+      // double operands are exactly representable integers
+      """WITH hourly AS (
+           SELECT event_type,
+                  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         lagged AS (SELECT event_type, hr, n AS x, CAST(gs.l AS INTEGER) AS lag
+                    FROM hourly
+                    CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS l) gs),
+         j AS (SELECT l.event_type, l.lag, l.x, p.n AS y
+               FROM lagged l JOIN hourly p
+                 ON l.event_type = p.event_type AND p.hr = l.hr - l.lag),
+         a AS (SELECT event_type, lag, count(*) AS np,
+                      sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                      sum(x*x) AS sxx, sum(y*y) AS syy
+               FROM j GROUP BY 1, 2)
+         SELECT event_type, lag, CAST(np AS BIGINT) AS n_pairs,
+                round((CAST(np AS DOUBLE)*CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                      (sqrt(CAST(np AS DOUBLE)*CAST(sxx AS DOUBLE) -
+                            CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                       sqrt(CAST(np AS DOUBLE)*CAST(syy AS DOUBLE) -
+                            CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS acf
+         FROM a
+         WHERE np >= 24 AND np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0""",
     "q_skew_report" ->
       """WITH cnt AS (
            SELECT o_orderpriority AS prio, o_custkey, count(*) AS c

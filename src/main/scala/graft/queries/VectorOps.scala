@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.FloatCosine
@@ -59,6 +60,26 @@ object VectorOps {
       // (4 of 16 cells), PQ ADC compresses HOW (m-byte codes + LUT)
       PqIndex.knnIvfPq(emb(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16)),
+    "v_kmeans" -> ((s, dir) => {
+      // One distributed Lloyd UPDATE step over the sampled-centroid
+      // assignment — the SQL-expressible half of k-means, replayed
+      // bit-for-bit by the oracle (the trained MLlib KMeans path stays
+      // spec-gated because its iterative trainer is not SQL-expressible).
+      // Assignment is the relational argmax of decimal-exact cosines
+      // (corpus × broadcast(16 seeds), map-side combined); the update is
+      // a (cell, dim)-keyed partial agg of decimal contribution sums —
+      // k·d result rows, never corpus-sized. At 100 TB each half is one
+      // shuffle, and the updated centroids are the broadcast input of the
+      // next assignment round — embedding-cluster curation's inner loop.
+      val assigned = IvfIndex.assignSampled(emb(s, dir), "vec_id", "embedding", 16)
+      assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(
+          round(sum(col("x").cast("double").cast(DecimalType(28, 16))).cast("double") /
+            count(lit(1)), 6).as("c_val"),
+          count(lit(1)).as("n_members"))
+    }),
     "v_knn_batch" -> ((s, dir) => {
       // the serving shape: 8 queries answered in ONE pass over the corpus —
       // broadcast query table, decimal cosine per pair, per-query top-5 via
@@ -119,6 +140,32 @@ object VectorOps {
          SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
          ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "v_kmeans" ->
+      // assignment CTEs identical to v_knn_ivf's replay; the update step
+      // is a per-(cell, dim) decimal mean over the members
+      """WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                        FROM embeddings WHERE vec_id < 16),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                      FROM cc GROUP BY 1),
+         mem AS (SELECT a.cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                        CAST(e.embedding[gs.i] AS DOUBLE) AS x
+                 FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+                 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs)
+         SELECT cell, pos,
+                round(CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) / count(*), 6) AS c_val,
+                count(*) AS n_members
+         FROM mem GROUP BY 1, 2""",
     "v_knn_ivf" ->
       // full IVF replay: decimal-exact cos(vec, centroid) for every pair,
       // argmax assignment (ties → smallest cell, via max(struct(c, -cell))),

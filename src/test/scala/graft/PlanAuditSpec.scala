@@ -30,8 +30,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dq_report", // RI check: two 1-row count aggregates composed
     "q_basket", // 1-row n_orders total broadcast into the pair metrics
     "q_tpch_q22", // 1-row global-avg-balance aggregate broadcast
+    "q_kmv_overlap", // event-type dim broadcast (~8 rows) into sketch pairs
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
-    "v_knn_ivf", "v_knn_ivfpq") // corpus x broadcast(nCells=16 seeds)
+    "v_knn_ivf", "v_knn_ivfpq", // corpus x broadcast(nCells=16 seeds)
+    "v_kmeans") // same assignSampled corpus x broadcast(16 seeds) shape
 
   test("no declared query plans a cartesian or an unsanctioned nested loop") {
     val audited = SparkEntry.queries.toSeq.sortBy(_._1)

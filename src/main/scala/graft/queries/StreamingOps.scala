@@ -83,6 +83,15 @@ object StreamingOps {
         .select(col("event_type"), col("event_id"), col("value"),
           round(col("z"), 6).as("z"))
     }),
+    "s_kmv" -> ((s, dir) => {
+      // mergeable sketch as streaming state: per-type KMV distinct-user
+      // estimate; single-batch emission equals the batch KmvDistinct
+      // aggregate (order-independent synopsis), replayed by the oracle
+      val ev = EventsStream.readEvents(s, dir)
+      EventsStream.runToMemory(s,
+        graft.streaming.StatefulOps.streamingKmv(s, ev, k = 128).toDF(),
+        "s_kmv_sink", "update")
+    }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
       // result must equal plain per-type counts of the batch table.
@@ -153,6 +162,25 @@ object StreamingOps {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+    "s_kmv" ->
+      // the KMV synopsis is order-independent, so the streaming state
+      // equals this batch window replay (identical to q_kmv_distinct's
+      // formulation, k=128, over user_id per type)
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+                    FROM events
+                    WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         r AS (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS nd
+               FROM h),
+         kth AS (SELECT event_type, max(nd) AS nd,
+                        greatest(1, max(CASE WHEN rn = 128
+                                 THEN ('0x' || substr(h, 1, 12))::BIGINT END)) AS v
+                 FROM r GROUP BY 1)
+         SELECT event_type,
+                CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                     ELSE round((127.0 / v) * 281474976710656.0, 4) END AS kmv_users
+         FROM kth""",
     "s_anomaly" ->
       // PRIOR-only frame (UNBOUNDED PRECEDING .. 1 PRECEDING) = the state
       // the streaming op had seen before each row; decimal window sums

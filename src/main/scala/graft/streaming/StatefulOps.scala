@@ -106,6 +106,36 @@ object StatefulOps {
       }
   }
 
+  case class KmvEstimate(event_type: String, kmv_users: Double)
+
+  /** Streaming KMV distinct-user sketch per event type: the k-minima
+    * synopsis as keyed state — bounded (k·32 bytes per key) and MERGEABLE,
+    * so arrival order and batch boundaries cannot change it (a sorted
+    * distinct set is order-independent). Each batch emits the current
+    * estimate; on the single-batch file source that equals the batch
+    * [[graft.functions.KmvDistinct]] aggregate, which the oracle replays
+    * with window SQL. The streaming face of the production pattern:
+    * sketches, not exact sets, as unbounded-stream state. */
+  def streamingKmv(spark: SparkSession, events: DataFrame,
+                   k: Int): Dataset[KmvEstimate] = {
+    import spark.implicits._
+    val agg = new graft.functions.KmvDistinct(k)
+    events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[String], KmvEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, Long)],
+         state: GroupState[Array[String]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, uid) => buf = agg.reduce(buf, uid.toString) }
+          state.update(buf)
+          Iterator.single(KmvEstimate(etype, agg.finish(buf)))
+      }
+  }
+
   /** Running per-user totals, emitted on every update. */
   def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
     import spark.implicits._

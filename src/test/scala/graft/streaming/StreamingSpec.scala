@@ -115,6 +115,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV: sketch state merges across batches to the batch estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val df = ms.toDF.toDF("event_type", "user_id")
+    // small k so the estimator regime (not the exact regime) is exercised
+    val est = StatefulOps.streamingKmv(spark, df, k = 16).toDF
+    val q = est.writeStream.format("memory").queryName("spec_skmv")
+      .outputMode("update").start()
+    try {
+      // 100 users split across two batches in interleaved order — the
+      // final estimate must equal the one-shot batch aggregate
+      val users = (0L until 100L).map(u => ("a", u))
+      val (b1, b2) = users.partition(_._2 % 2 == 0)
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("spec_skmv").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val batchEst = {
+        val agg = new graft.functions.KmvDistinct(16)
+        agg.finish(users.map(_._2.toString).foldLeft(agg.zero)(agg.reduce))
+      }
+      // two updates for "a" (one per batch); the batch-2 state covers all
+      // 100 users, so the batch one-shot estimate must be among them (and
+      // memory-sink insertion order makes it the last row)
+      assert(last.size == 2 && last.contains(("a", batchEst)), last.mkString(", "))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals: final state equals batch totals") {
     val running = EventsStream.runToMemory(spark,
       StatefulOps.runningUserTotals(spark, EventsStream.readEvents(spark, dir)).toDF(),

@@ -158,6 +158,33 @@ object Core {
           round(col("matches").cast("double") / col("k_used"), 6)
             .as("jaccard_est"))
     }),
+    "q_sample_est" -> ((s, dir) => {
+      // approximate query processing by deterministic CLUSTER sampling:
+      // whole orders are sampled at 1/64 (md5 2-hex prefix < '04' ⇔
+      // 4/256 — lexicographic, engine-neutral), so an order's line items
+      // stay together (the honest AQP unit — row-level sampling breaks
+      // intra-order correlation); revenue estimate = 64 × the decimal
+      // sample sum (×64 is a power of two: exact in a double). The exact
+      // sum runs alongside and the ratio exposes the estimator's honest
+      // error — hash-gated, so the sampling contract itself is proven.
+      // At scale the sample predicate prunes at the orders scan and
+      // lineitem pays one semi join against the 1/64 key set (bloom- or
+      // broadcast-able); the exact branch exists only for this demo.
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val sampled = t(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "04")
+        .select("o_orderkey")
+      val est = li
+        .join(sampled, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg((sum(rev).cast("double") * lit(64.0)).as("est_revenue"))
+      val exact = li.agg(sum(rev).cast("double").as("exact_revenue"))
+      est.crossJoin(exact)
+        .select(col("est_revenue"), col("exact_revenue"),
+          round(col("est_revenue") / col("exact_revenue"), 6).as("ratio"))
+    }),
     "q_approx_distinct" -> ((s, dir) => {
       // HLL sketch. The raw estimate is engine-specific bits, so the
       // oracle-checkable contract is the accuracy bound itself: the output
@@ -1608,6 +1635,16 @@ object Core {
                      ELSE round((255.0 / x.v) * 281474976710656.0, 4) END AS kmv_estimate,
                 CAST(x.nd AS BIGINT) AS exact_distinct
          FROM kth x""",
+    "q_sample_est" ->
+      """WITH sm AS (SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 64.0 AS est_revenue
+                     FROM lineitem
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '04')),
+         ex AS (SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS exact_revenue
+                FROM lineitem)
+         SELECT est_revenue, exact_revenue,
+                round(est_revenue/exact_revenue, 6) AS ratio
+         FROM sm, ex""",
     "q_kmv_overlap" ->
       """WITH hs AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
                      FROM events

@@ -42,6 +42,37 @@ object GraphOps {
       edges(s, dir).groupBy("src").agg(count(lit(1)).as("deg"))
         .groupBy(substring(col("src"), 1, 1).as("side"), col("deg"))
         .agg(count(lit(1)).as("n_nodes"))),
+    "g_assortativity" -> ((s, dir) => {
+      // degree assortativity (Newman 2002): Pearson correlation of the
+      // endpoint degrees over every directed edge of the symmetrized
+      // graph. The moments (Σdx, Σdy, Σdxdy, Σdx², Σdy²) are INTEGER
+      // sums — zero FP accumulation — and the closing Pearson chain is
+      // the same fixed IEEE sequence as q_acf. At scale: one degree
+      // rollup (map-side combined) + two broadcast-able joins of edges
+      // against the degree table, then a single-row aggregate. Bipartite
+      // co-purchase graphs are expected strongly disassortative (hub
+      // suppliers link to rare parts) — the one-number structure probe
+      // behind sampling and partitioning choices.
+      val e = edges(s, dir)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      e.join(deg.select(col("src").as("n1"), col("deg").as("dx")),
+          col("src") === col("n1"))
+        .join(deg.select(col("src").as("n2"), col("deg").as("dy")),
+          col("dst") === col("n2"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m").as("n_edges"),
+          round((col("m").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("m").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("m").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("assortativity"))
+    }),
     "g_kcore" -> ((s, dir) => {
       // k-core peeling of the part–part co-order graph: drop nodes of
       // degree < k, cascade for a FIXED 4 rounds (fixed-round contract —
@@ -259,6 +290,27 @@ object GraphOps {
          SELECT substr(src, 1, 1) AS side, CAST(deg AS BIGINT) AS deg,
                 count(*) AS n_nodes
          FROM deg GROUP BY 1, 2""",
+    "g_assortativity" ->
+      // integer moments over edge-endpoint degrees; identical IEEE
+      // Pearson chain — every double operand exactly representable
+      s"""WITH $edgesSql,
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         j AS (SELECT d1.deg AS dx, d2.deg AS dy
+               FROM edges e
+               JOIN deg d1 ON e.src = d1.src
+               JOIN deg d2 ON e.dst = d2.src),
+         a AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+                      sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy
+               FROM j)
+         SELECT CAST(m AS BIGINT) AS n_edges,
+                round((CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                      (sqrt(CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE) -
+                            CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                       sqrt(CAST(m AS DOUBLE)*CAST(syy AS DOUBLE) -
+                            CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+                  AS assortativity
+         FROM a""",
     "g_linkpred" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
          deg AS (SELECT s, count(*) AS d FROM sp GROUP BY 1),

@@ -59,6 +59,29 @@ object PipelineOps {
       s.table(table).select("dag_id", "dag_run_id", "state")
         .orderBy(col("dag_id"), col("dag_run_id"))
     }),
+    "p_snapshot_diff" -> ((s, dir) => {
+      // change-data derivation between two aggregate snapshots of the same
+      // source (per-customer activity in two adjacent 2-year windows):
+      // I = newly active, D = churned, U = changed stats — the change set
+      // [[graft.pipeline.JdbcSink.applyCdc]] replays. Payload doubles are
+      // decimal-exact casts, so the Spark-side <=> change test and the
+      // oracle's <> reach identical verdicts.
+      import org.apache.spark.sql.functions.{count => cnt, lit => l, sum => sm}
+      def snap(lo: String, hi: String) = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+            org.apache.spark.sql.functions.to_timestamp(l(lo)) &&
+          col("o_orderdate") <
+            org.apache.spark.sql.functions.to_timestamp(l(hi)))
+        .groupBy("o_custkey")
+        .agg(cnt(l(1)).as("n_orders"),
+          sm(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("spend"))
+      graft.pipeline.SnapshotDiff.diff(
+        snap("1996-01-01 00:00:00", "1998-01-01 00:00:00"),
+        snap("1998-01-01 00:00:00", "2000-01-01 00:00:00"),
+        Seq("o_custkey"))
+    }),
     "p_incr_rollup" -> ((s, dir) => {
       // incremental materialized-view maintenance: a daily rollup table is
       // maintained by merging each batch's PARTIAL aggregates additively
@@ -234,6 +257,28 @@ object PipelineOps {
             FROM $src)
           SELECT $cols FROM staged WHERE rn = 1"""
     Map(
+      "p_snapshot_diff" ->
+        """WITH oldw AS (SELECT o_custkey, count(*) AS n_orders,
+                                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+                         FROM orders
+                         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                           AND o_orderdate < TIMESTAMP '1998-01-01'
+                         GROUP BY 1),
+           neww AS (SELECT o_custkey, count(*) AS n_orders,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+                    FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND o_orderdate < TIMESTAMP '2000-01-01'
+                    GROUP BY 1)
+           SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+                  o.n_orders AS n_orders_old, o.spend AS spend_old,
+                  n.n_orders AS n_orders_new, n.spend AS spend_new,
+                  CASE WHEN o.o_custkey IS NULL THEN 'I'
+                       WHEN n.o_custkey IS NULL THEN 'D'
+                       ELSE 'U' END AS op
+           FROM oldw o FULL JOIN neww n ON o.o_custkey = n.o_custkey
+           WHERE o.o_custkey IS NULL OR n.o_custkey IS NULL
+              OR o.n_orders <> n.n_orders OR o.spend <> n.spend""",
       "p_incr_rollup" ->
         // the full recompute the incremental maintenance must equal
         """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,

@@ -60,6 +60,25 @@ object VectorOps {
       // (4 of 16 cells), PQ ADC compresses HOW (m-byte codes + LUT)
       PqIndex.knnIvfPq(emb(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16)),
+    "v_recall_eval" -> ((s, dir) => {
+      // ANN evaluation as a first-class query: recall@10 of the sign-block
+      // LSH path against the exact brute-force top-10, in ONE plan — the
+      // acceptance gate a production index rollout runs per corpus slice.
+      // Both candidate top-k frames are 10 rows after their limits, so the
+      // semi join and the closing aggregate are driver-trivial; the cost
+      // profile is exactly one brute pass + one blocked pass. Hash-gated:
+      // the recall NUMBER itself is the contract, not a spot check.
+      val e = emb(s, dir)
+      val brute = Similarity.knnBrute(e, "vec_id", "embedding",
+        queryId = 0L, k = 10).select(col("vec_id"))
+      val lsh = Similarity.knnLsh(e, "vec_id", "embedding",
+        queryId = 0L, k = 10, nBits = 4).select(col("vec_id").as("lv"))
+      brute.join(lsh, col("vec_id") === col("lv"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+        .select(col("n_common"),
+          round(col("n_common").cast("double") / lit(10.0), 6)
+            .as("recall_at_10"))
+    }),
     "v_kmeans" -> ((s, dir) => {
       // One distributed Lloyd UPDATE step over the sampled-centroid
       // assignment — the SQL-expressible half of k-means, replayed
@@ -92,14 +111,16 @@ object VectorOps {
     })
   )
 
-  /** Shared SQL fragment: exact decimal dot/norm accumulation per vec. */
-  private def accumSql(src: String): String =
-    s"""u AS (SELECT vec_id, unnest(embedding) AS x, unnest(q.qe) AS y FROM $src, q),
-       d AS (SELECT vec_id,
+  /** Shared SQL fragment: exact decimal dot/norm accumulation per vec.
+    * `sfx` disambiguates CTE names when two accumulations compose in one
+    * oracle (v_recall_eval). */
+  private def accumSql(src: String, sfx: String = ""): String =
+    s"""u$sfx AS (SELECT vec_id, unnest(embedding) AS x, unnest(q.qe) AS y FROM $src, q),
+       d$sfx AS (SELECT vec_id,
                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS norm2
-             FROM u GROUP BY 1),
-       qn AS (SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qnorm2
+             FROM u$sfx GROUP BY 1),
+       qn$sfx AS (SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qnorm2
               FROM (SELECT unnest(qe) AS x FROM q))"""
 
   val oracles: Map[String, String] = Map(
@@ -140,6 +161,29 @@ object VectorOps {
          SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
          ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "v_recall_eval" ->
+      // both top-10 replays composed (suffix-renamed accumulations), then
+      // the semi-join count — identical to the engine's recall number
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ${accumSql("embeddings", "1")},
+         brute AS (SELECT vec_id FROM d1, qn1 WHERE vec_id <> 0
+                   ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn1.qnorm2), 1e-12) DESC,
+                            vec_id ASC LIMIT 10),
+         blocked AS (
+           SELECT vec_id, embedding,
+                  array_to_string(list_transform(generate_series(1, 4),
+                    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS block
+           FROM embeddings),
+         qb AS (SELECT block AS qblock FROM blocked WHERE vec_id = 0),
+         cands AS (SELECT b.vec_id, b.embedding FROM blocked b, qb
+                   WHERE b.block = qb.qblock),
+         ${accumSql("cands", "2")},
+         lsh AS (SELECT vec_id FROM d2, qn2 WHERE vec_id <> 0
+                 ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn2.qnorm2), 1e-12) DESC,
+                          vec_id ASC LIMIT 10)
+         SELECT count(*) AS n_common,
+                round(CAST(count(*) AS DOUBLE)/10.0, 6) AS recall_at_10
+         FROM brute WHERE vec_id IN (SELECT vec_id FROM lsh)""",
     "v_kmeans" ->
       // assignment CTEs identical to v_knn_ivf's replay; the update step
       // is a per-(cell, dim) decimal mean over the members

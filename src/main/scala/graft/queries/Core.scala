@@ -415,6 +415,55 @@ object Core {
           col("rev_dec").cast("double").as("revenue"),
           col("c_acctbal"), col("n_name"))
     }),
+    "q_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 analogue (order-priority checking): EXISTS with a
+      // CORRELATED INEQUALITY — the semi join carries both the key
+      // equality and the lateness predicate (l_shipdate > o_orderdate +
+      // 60 days), the shape plain q_semi_join can't express. The quarter
+      // filter pushes to the orders scan; lineitem projects two columns.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      o.join(t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 analogue (top supplier): quarterly revenue view + the
+      // scalar max joined back as an EQUI join on the DECIMAL revenue
+      // (exact equality — no FP compare gates the winner; ties keep all
+      // rows, the TPC-H semantics). Casts to double only at output.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("total_rev_dec"))
+      val mx = rev.agg(max(col("total_rev_dec")).as("mx"))
+      rev.join(broadcast(mx), col("total_rev_dec") === col("mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev_dec").cast("double").as("total_revenue"))
+    }),
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 analogue (supplier profile counts): distinct
+      // part–supplier pairs (the schema has no partsupp table; lineitem's
+      // distinct pairs are its moral equivalent) minus a blacklist
+      // (negative-balance suppliers) via anti join, then COUNT DISTINCT
+      // per part profile — re-aggregation over a join with exclusion.
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey").as("bad_key"))
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
     "q_tpch_q13" -> ((s, dir) => {
       // TPC-H Q13 analogue (customer order-count distribution): LEFT join
       // so zero-order customers survive with c_count=0, then the
@@ -1787,6 +1836,33 @@ object Core {
          FROM rev JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          ORDER BY rev_dec DESC, c_custkey LIMIT 20""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS total_rev_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev_dec = (SELECT max(total_rev_dec) FROM rev)""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0.0)
+         GROUP BY 1, 2""",
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -359,6 +359,84 @@ object Core {
         .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
     }),
+    "q_tpch_q6" -> ((s, dir) => {
+      // TPC-H Q6 analogue (forecasting revenue change): the canonical
+      // pushdown microbenchmark — every predicate (shipdate range,
+      // discount band, quantity cap) reaches the parquet scan as a pushed
+      // filter and the agg is one map-side-combined decimal sum. No joins,
+      // no shuffle beyond the single-row combine.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 analogue (national market share): of all ECONOMY-part
+      // revenue sold to region-ASIA customers per order year, the share
+      // supplied by NATION_2 — two conditional decimal sums, ONE IEEE
+      // division. All dims broadcast; lineitem shuffles once (orderkey).
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      val econPart = t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA").select("c_custkey")
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(econPart), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+            .join(asiaCust, col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(rev).cast("double")).as("mkt_share"))
+    }),
+    "q_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 analogue (product-type profit): amount = revenue minus a
+      // 10%-of-retail cost proxy (the schema has no partsupp supplycost).
+      // Determinism: qty·retail·0.1 is the same left-associated IEEE
+      // product in both engines, its DECIMAL(18,4) cast rounds HALF_UP
+      // identically, and from there everything is exact decimal algebra.
+      // Parts filtered by name ('%widget%'),
+      // supplier nation rides a broadcast, profit groups by nation × year.
+      val amount =
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4)) -
+        (col("l_quantity") * col("p_retailprice") * lit(0.1))
+          .cast(DecimalType(18, 4))
+      val p = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("supp_nation").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
     "q_tpch_q7" -> ((s, dir) => {
       // TPC-H Q7 analogue (volume shipping): cross-border trade volume by
       // (supplier nation, customer nation, ship year). The two nation
@@ -1808,6 +1886,40 @@ object Core {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, l_orderkey ASC
          LIMIT 10""",
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+                CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                         THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                  AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY 1""",
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) -
+                         CAST(l_quantity*p_retailprice*0.1 AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2""",
     "q_tpch_q7" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                 year(l_shipdate) AS l_year,

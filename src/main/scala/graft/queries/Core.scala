@@ -200,6 +200,29 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_weighted_median" -> ((s, dir) => {
+      // quantity-weighted median price per return flag — the WEIGHTED
+      // percentile the exact-rank family lacks (percentile() has no
+      // weight argument in either engine). Cumulative INTEGER weights
+      // (quantities are integral) over the (price, orderkey, linenumber)
+      // total order; the winner is the first value whose doubled
+      // cumulative weight reaches the total — selection is pure integer
+      // comparison, the output is a raw column value: zero FP anywhere.
+      // Shape: one key-partitioned window sort + a suffix-min aggregate.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val wOrd = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy("l_returnflag")
+      li.withColumn("cw", sum(col("w")).over(wOrd))
+        .withColumn("tw", sum(col("w")).over(wAll))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("weighted_median"),
+          min(col("tw")).as("total_qty"))
+    }),
     "q_mad" -> ((s, dir) => {
       // robust dispersion: median absolute deviation per group — the
       // outlier-resistant complement to q_outliers' mean/sigma z-score
@@ -1800,6 +1823,22 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_weighted_median" ->
+      // integer cumulative weights over a total order; the crossing row's
+      // price is the suffix min — no interpolation, no FP selection
+      """WITH li AS (SELECT l_returnflag, l_extendedprice,
+                            CAST(l_quantity AS BIGINT) AS w,
+                            l_orderkey, l_linenumber
+                     FROM lineitem),
+         r AS (SELECT l_returnflag, l_extendedprice, w,
+                      sum(w) OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                      sum(w) OVER (PARTITION BY l_returnflag) AS tw
+               FROM li)
+         SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+                CAST(min(tw) AS BIGINT) AS total_qty
+         FROM r WHERE cw * 2 >= tw GROUP BY 1""",
     "q_mad" ->
       // exact-rank medians (see the query comment): value at ranks
       // ⌈n/2⌉ / ⌊n/2⌋+1, one IEEE add + /2.0 — no quantile interpolation

@@ -148,4 +148,34 @@ class ScaleSpec extends AnyFunSuite {
         s"candidate pairs $candPairs vs all-pairs ${nDocs.toDouble * nDocs / 2}")
     } finally byKey.unpersist()
   }
+
+  test("kmv overlap: every post-sketch stage is sketch-sized, not data-sized") {
+    // the DESIGN claim behind q_kmv_overlap's 100 TB story, measured:
+    // after the per-type top-K synopsis, no intermediate exceeds
+    // types·K rows regardless of event count
+    import org.apache.spark.sql.expressions.Window
+    val k = 128
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+    val topk = ev
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= k).select("event_type", "h").cache()
+    try {
+      val nTypes = topk.select("event_type").distinct().count()
+      val synopsisRows = topk.count()
+      assert(synopsisRows <= nTypes * k,
+        s"synopsis $synopsisRows rows > types($nTypes)·K($k)")
+      // pair-expansion bound: both sides of every pair draw from the
+      // synopsis, so the union frame is ≤ pairs·2K rows
+      val pairs = nTypes * (nTypes - 1) / 2
+      assert(synopsisRows * (nTypes - 1) <= pairs * 2L * k,
+        "pair expansion exceeds the sketch-size bound")
+      // and the sketch is ~5 orders below the data it summarizes
+      assert(synopsisRows < ev.count() / 10,
+        "synopsis not materially smaller than the event stream")
+    } finally topk.unpersist()
+  }
 }

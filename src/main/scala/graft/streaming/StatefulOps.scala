@@ -106,6 +106,70 @@ object StatefulOps {
       }
   }
 
+  case class ClosedSession(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long)
+
+  /** Per-user session accumulator: bounds in event-time micros. */
+  case class SessionAcc(start_us: Long, end_us: Long, n: Long)
+
+  /** Timeout-driven sessionization — the state MACHINE the built-in
+    * session_window cannot express when per-session logic grows custom
+    * state: events extend the user's open session; when the event-time
+    * WATERMARK passes the session's gap deadline the state times out and
+    * the CLOSED session is emitted exactly once. State is one 3-field
+    * record per open session (O(active users), evicted by the timeout —
+    * the watermark, not the key count, bounds it). The stream must carry
+    * `withWatermark("ts", ...)`; gap semantics match the batch
+    * `q_sessionize` gap rule (new session when idle > gapSec).
+    *
+    * Timeout behavior is a multi-batch property (nothing times out inside
+    * one batch), so this op is SPEC-gated (`StreamingSpec`) rather than
+    * oracle-gated — the single-batch drain the driver runs would emit
+    * nothing. */
+  def streamingSessionize(spark: SparkSession, events: DataFrame,
+                          gapSec: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    // the WATERMARKED ts column must reach the stateful operator (Spark
+    // rejects EventTimeTimeout if the event-time attribute was projected
+    // away), so micros are derived inside the lambda, not in the plan
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionAcc]) =>
+          val rows = rowsTs.map { case (u, t) => (u, micros(t)) }
+          val gapUs = gapSec * 1000000L
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: close and evict
+            val acc = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, acc.start_us, acc.end_us, acc.n))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var acc = state.getOption.orNull
+            sorted.foreach { us =>
+              acc = if (acc == null) SessionAcc(us, us, 1L)
+              else if (us - acc.end_us > gapUs) {
+                // in-batch gap: the old session is provably closed already
+                closed += ClosedSession(user, acc.start_us, acc.end_us, acc.n)
+                SessionAcc(us, us, 1L)
+              } else SessionAcc(acc.start_us, math.max(acc.end_us, us), acc.n + 1)
+            }
+            state.update(acc)
+            // close when the WATERMARK (not processing time) passes the gap
+            state.setTimeoutTimestamp((acc.end_us + gapUs) / 1000L)
+            closed.result().iterator
+          }
+      }
+  }
+
   case class KmvEstimate(event_type: String, kmv_users: Double)
 
   /** Streaming KMV distinct-user sketch per event type: the k-minima

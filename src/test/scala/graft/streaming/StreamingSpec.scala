@@ -147,6 +147,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("timeout sessionization: sessions close when the watermark passes the gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val withWm = ms.toDF.toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+    val sess = StatefulOps.streamingSessionize(spark, withWm, gapSec = 60L).toDF
+    val q = sess.writeStream.format("memory").queryName("spec_ssess")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10s apart (one session), user 2 one
+      ms.addData((1L, ts(100)), (1L, ts(110)), (2L, ts(105)))
+      q.processAllAvailable()
+      assert(spark.table("spec_ssess").count() == 0, "nothing may close yet")
+      // batch 2: an event far in the future advances the watermark past
+      // both open sessions' gap deadlines → both close via timeout;
+      // user 3's own session stays open
+      ms.addData((3L, ts(1000)))
+      q.processAllAvailable()
+      // timed-out emissions can land in the NEXT micro-batch after the
+      // watermark commit; force one more empty batch to drain
+      ms.addData((3L, ts(1001)))
+      q.processAllAvailable()
+      val closed = spark.table("spec_ssess").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+          r.getLong(2) / 1000000L, r.getLong(3))).toSet
+      assert(closed == Set((1L, 100L, 110L, 2L), (2L, 105L, 105L, 1L)), closed)
+      // in-batch gap closure: two bursts 100s apart in ONE batch close the
+      // first burst immediately, no timeout needed
+      ms.addData((4L, ts(2000)), (4L, ts(2005)), (4L, ts(2200)))
+      q.processAllAvailable()
+      val u4 = spark.table("spec_ssess").collect()
+        .filter(_.getLong(0) == 4L)
+        .map(r => (r.getLong(1) / 1000000L, r.getLong(2) / 1000000L, r.getLong(3)))
+      assert(u4.toSeq == Seq((2000L, 2005L, 2L)), u4.mkString(", "))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals: final state equals batch totals") {
     val running = EventsStream.runToMemory(spark,
       StatefulOps.runningUserTotals(spark, EventsStream.readEvents(spark, dir)).toDF(),

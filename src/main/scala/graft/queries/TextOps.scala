@@ -478,6 +478,33 @@ object TextOps {
     "d_minhash_lsh" -> ((s, dir) =>
       // 15 hashes, 5 bands × 3 rows — candidates from band collisions
       TextDedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, 15, 3)),
+    "d_dedup_eval" -> ((s, dir) => {
+      // dedup-rollout acceptance gate, hash-gated like v_recall_eval:
+      // precision/recall of the MinHash-LSH path (n_equal ≥ 4, est_sim
+      // ≥ 4/15 ≈ 0.27 — deliberately just UNDER the truth threshold so
+      // borderline false positives surface — rational, no FP) vs the exact
+      // df-capped n-gram Jaccard ground truth at 0.3. Both pipelines are
+      // the declared operators themselves; the closing arithmetic runs on
+      // three 1-row counts (sanctioned broadcasts). The NUMBERS are the
+      // contract — estimator drift fails the round, not a dashboard.
+      val d = docs(s, dir)
+      val truth = TextDedup.ngramJaccardPairs(d, "doc_id", "text", 3, 3, 10,
+          maxShingleDf = 1000)
+        .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+      val pred = TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 15, 3)
+        .filter(col("n_equal") >= 4)
+        .select("doc_a", "doc_b")
+      val tp = pred.join(truth,
+        col("doc_a") === col("ta") && col("doc_b") === col("tb"), "left_semi")
+      pred.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        .select(col("n_tp"), col("n_pred"), col("n_truth"),
+          round(col("n_tp").cast("double") / col("n_pred").cast("double"), 6)
+            .as("prec"),
+          round(col("n_tp").cast("double") / col("n_truth").cast("double"), 6)
+            .as("rec"))
+    }),
     "d_simhash" -> ((s, dir) =>
       TextDedup.simhash(docs(s, dir), "doc_id", "text")),
     "d_simhash_pairs" -> ((s, dir) =>
@@ -934,6 +961,50 @@ object TextOps {
          FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
                    JOIN sigs sb ON cand.doc_b = sb.doc_id AND sa.seed = sb.seed
          GROUP BY doc_a, doc_b""",
+    "d_dedup_eval" ->
+      // both declared pipelines' oracle bodies composed over one shared
+      // shingle CTE; thresholds as the same rationals
+      s"""WITH $shingleSql,
+         dfreq AS (SELECT sh, count(*) AS df_cnt FROM sh GROUP BY 1),
+         rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq USING (sh)
+                  WHERE df_cnt <= 1000),
+         candt AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pt AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
+                FROM candt
+                JOIN sh a ON a.doc_id = candt.doc_a
+                JOIN sh b ON b.doc_id = candt.doc_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b
+                   FROM pt JOIN sz sa ON pt.doc_a = sa.doc_id
+                           JOIN sz sb ON pt.doc_b = sb.doc_id
+                   WHERE inter_cnt * 10 >= (sa.n + sb.n - inter_cnt) * 3),
+         sigs AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS sig
+                  FROM sh, (SELECT unnest(generate_series(0, 14)) AS seed) s GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          md5(string_agg(sig, ',' ORDER BY seed)) AS bkey
+                   FROM sigs GROUP BY 1, 2),
+         candp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         pred AS (SELECT doc_a, doc_b
+                  FROM (SELECT doc_a, doc_b,
+                               sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS n_equal
+                        FROM candp JOIN sigs sa ON candp.doc_a = sa.doc_id
+                                   JOIN sigs sb ON candp.doc_b = sb.doc_id AND sa.seed = sb.seed
+                        GROUP BY 1, 2) g
+                  WHERE n_equal >= 4),
+         np AS (SELECT count(*) AS n_pred FROM pred),
+         nt AS (SELECT count(*) AS n_truth FROM truth),
+         ntp AS (SELECT count(*) AS n_tp FROM pred
+                 WHERE EXISTS (SELECT 1 FROM truth t
+                               WHERE t.doc_a = pred.doc_a AND t.doc_b = pred.doc_b))
+         SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(n_pred AS BIGINT) AS n_pred,
+                CAST(n_truth AS BIGINT) AS n_truth,
+                round(CAST(n_tp AS DOUBLE)/CAST(n_pred AS DOUBLE), 6) AS prec,
+                round(CAST(n_tp AS DOUBLE)/CAST(n_truth AS DOUBLE), 6) AS rec
+         FROM np, nt, ntp""",
     "d_simhash" ->
       """WITH tok AS (SELECT doc_id, tok, count(*) AS cnt
                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

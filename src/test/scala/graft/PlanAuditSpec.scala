@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // truncated rounds — the audited final plan is checkpoint-scan + agg)
     "q_dq_report", // RI check: two 1-row count aggregates composed
     "q_sample_est", // sample-estimate vs exact: two 1-row aggregates composed
+    "d_dedup_eval", // precision/recall: three 1-row count aggregates composed
     "q_basket", // 1-row n_orders total broadcast into the pair metrics
     "q_tpch_q22", // 1-row global-avg-balance aggregate broadcast
     "q_kmv_overlap", // event-type dim broadcast (~8 rows) into sketch pairs

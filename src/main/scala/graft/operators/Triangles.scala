@@ -53,7 +53,10 @@ object Triangles {
       .join(adj, "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_dst")), "dst")
       .select(size(array_intersect(col("nbrs"), col("nbrs_dst"))).as("t"))
-      .agg(sum(col("t")).cast("long").as("n_triangles"))
+      // sum over zero rows is NULL — a graph where no oriented edge survives
+      // the two adjacency joins (single edge, star, perfect matching) has 0
+      // triangles, not NULL
+      .agg(coalesce(sum(col("t")), lit(0L)).cast("long").as("n_triangles"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     // ALL wedges (not just oriented ones) for the clustering coefficient:
     // Σ d·(d-1)/2 over nodes, integer-exact
@@ -61,7 +64,10 @@ object Triangles {
       .cast("long").as("n_wedges"))
     nEdges.crossJoin(nWedges).crossJoin(tri)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+        // cc is undefined on a wedge-free graph: explicit typed NULL rather
+        // than relying on non-ANSI divide-by-zero behavior
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("global_cc"))
   }
 }

@@ -33,15 +33,24 @@ object Catalog {
     * NOT `<db>/<table>`, and a table may carry an explicit LOCATION); only
     * for a table this catalog has never seen — the stale-directory case
     * this helper exists for — does it fall back to the managed-layout
-    * default path. */
+    * default path.
+    *
+    * An EXTERNAL table's data is never touched: DROP TABLE on an external
+    * table intentionally preserves the location, and this helper keeps
+    * that contract — it deletes only MANAGED locations (or the
+    * managed-layout fallback paths, which are managed by construction). */
   def dropManaged(spark: SparkSession, table: String): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+    var deleteLocation = true
     val p: org.apache.hadoop.fs.Path =
-      if (catalog.tableExists(ident))
-        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
-      else if (catalog.databaseExists(db))
+      if (catalog.tableExists(ident)) {
+        val meta = catalog.getTableMetadata(ident)
+        deleteLocation = meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
+        new org.apache.hadoop.fs.Path(meta.location)
+      } else if (catalog.databaseExists(db))
         // db registered but table unknown: the catalog still knows where a
         // managed table of this name WOULD live (db location may be custom)
         new org.apache.hadoop.fs.Path(
@@ -54,8 +63,10 @@ object Catalog {
           spark.conf.get("spark.sql.warehouse.dir"), rel)
       }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (deleteLocation) {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Test/teardown helper — not part of the reference surface. Also removes

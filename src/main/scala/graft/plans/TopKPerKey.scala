@@ -2,13 +2,17 @@ package graft.plans
 
 import scala.collection.mutable
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Per-key top-k as a first-class operator (the full extension ladder:
   * logical node → Strategy → physical exec, SURVEY.md §7 ladder rung (c)).
@@ -24,7 +28,24 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * identical heap logic on the unclustered input (map side), so the
   * exchange carries at most partitions·keys·k rows instead of every input
   * row — per-key top-k is a monoid (top-k of a union = top-k of per-part
-  * top-ks), which is exactly what makes the partial pass lossless. */
+  * top-ks), which is exactly what makes the partial pass lossless.
+  *
+  * MEMORY SAFETY: the hash-of-heaps state is O(distinct keys · k) per
+  * partition, which for a near-unique partition key approaches the whole
+  * partition pinned in heap — exactly the case where Spark's sort-based
+  * WindowGroupLimit would have spilled. Both passes therefore carry a
+  * retained-row budget (`spark.graft.topk.rowBudget`, rows per partition):
+  *  - the PARTIAL pass past budget stops filtering and passes remaining
+  *    rows through untouched (its contract is only "a superset of the
+  *    answer", so pass-through is trivially lossless);
+  *  - the FINAL pass past budget hands everything retained plus the rest
+  *    of the partition to an external SPILLING sort (key, then order) and
+  *    streams the first k of each contiguous key group — the plan Spark
+  *    itself would have chosen, arrived at lazily only when the heap state
+  *    actually grows too big. Degrade requires the keys to be orderable
+  *    (all SQL types the WindowTopKRewrite idiom sees are); unorderable
+  *    keys keep the unbounded heap path, documented here.
+  */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                       child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
@@ -35,19 +56,28 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
+      val budget = SQLConf.get.getConfString(
+        "spark.graft.topk.rowBudget", (1 << 20).toString).toLong
       // final (clustered) over partial (map-side); EnsureRequirements
       // inserts the exchange between them, sized by the partial's output
-      TopKPerKeyExec(keys, order, k,
-        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+      TopKPerKeyExec(keys, order, k, budget,
+        TopKPerKeyPartialExec(keys, order, k, budget, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 /** The shared per-partition bounded-heap pass. */
 private[plans] object TopKHeaps {
+
+  /** Runs the heap pass until input is exhausted or `budget` retained rows
+    * are held. Returns (withinBudget, rows): when `withinBudget`, `rows`
+    * is the exact per-key top-k of the input; otherwise it is everything
+    * retained so far concatenated with the untouched remainder — a correct
+    * superset (each dropped row lost to k better same-key rows that are
+    * still present), which the caller degrades on. */
   def run(rows: Iterator[InternalRow], childOutput: Seq[Attribute],
           keyExprs: Seq[Expression], sortOrder: Seq[SortOrder],
-          limit: Int): Iterator[InternalRow] = {
+          limit: Int, budget: Long): (Boolean, Iterator[InternalRow]) = {
     val keyProj = UnsafeProjection.create(keyExprs, childOutput)
     // max-heap by sort order: the worst retained row sits on top
     val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -56,7 +86,9 @@ private[plans] object TopKHeaps {
     // NB float keys are grouped by raw bytes (-0.0 vs 0.0 differ) —
     // normalize float key columns upstream if SQL key equality is needed
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-    rows.foreach { row =>
+    var retained = 0L
+    while (rows.hasNext && retained <= budget) {
+      val row = rows.next()
       val key = keyProj(row)
       // probe with the reused projection row; copy only on first insert
       val heap = heaps.get(key) match {
@@ -67,33 +99,37 @@ private[plans] object TopKHeaps {
           h
       }
       val u = row.asInstanceOf[UnsafeRow]
-      if (heap.size < limit) heap.enqueue(u.copy())
+      if (heap.size < limit) { heap.enqueue(u.copy()); retained += 1 }
       else if (ordering.compare(u, heap.head) < 0) {
         heap.dequeue(); heap.enqueue(u.copy())
       }
     }
-    heaps.valuesIterator.flatMap(_.iterator)
+    val kept = heaps.valuesIterator.flatMap(_.iterator)
+    if (retained <= budget) (true, kept) else (false, kept ++ rows)
   }
 }
 
 /** Map-side partial: per-partition per-key heaps over whatever distribution
   * the child happens to have. Output is a superset-filter of the final
-  * answer (≤ keys·k rows per partition), never wrong rows. */
+  * answer (≤ max(keys·k, budget) rows per partition), never wrong rows;
+  * past the row budget it degrades to pass-through (still a superset). */
 case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
-                                 k: Int, child: SparkPlan) extends UnaryExecNode {
+                                 k: Int, budget: Long, child: SparkPlan)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (keyExprs, sortOrder, limit) = (keys, order, k)
-    child.execute().mapPartitions(
-      TopKHeaps.run(_, childOutput, keyExprs, sortOrder, limit))
+    val (keyExprs, sortOrder, limit, rowBudget) = (keys, order, k, budget)
+    child.execute().mapPartitions { it =>
+      TopKHeaps.run(it, childOutput, keyExprs, sortOrder, limit, rowBudget)._2
+    }
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          child: SparkPlan) extends UnaryExecNode {
+                          budget: Long, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -103,9 +139,55 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (keyExprs, sortOrder, limit) = (keys, order, k)
-    child.execute().mapPartitions(
-      TopKHeaps.run(_, childOutput, keyExprs, sortOrder, limit))
+    val (keyExprs, sortOrder, limit, rowBudget) = (keys, order, k, budget)
+    // unorderable keys (no SQL ordering exists) cannot take the sort
+    // degrade; give them an unbounded budget and the documented heap path
+    val canDegrade = keyExprs.forall(e => RowOrdering.isOrderable(e.dataType))
+    val effBudget = if (canDegrade) rowBudget else Long.MaxValue
+    child.execute().mapPartitions { it =>
+      val (within, rows) =
+        TopKHeaps.run(it, childOutput, keyExprs, sortOrder, limit, effBudget)
+      if (within) rows
+      else sortedGroupLimit(rows, childOutput, keyExprs, sortOrder, limit)
+    }
+  }
+
+  /** Exact fallback: external (spilling) sort by (key, order), then stream
+    * the first k rows of each contiguous key group — O(k) live state. */
+  private def sortedGroupLimit(rows: Iterator[InternalRow],
+                               childOutput: Seq[Attribute],
+                               keyExprs: Seq[Expression],
+                               sortOrder: Seq[SortOrder],
+                               limit: Int): Iterator[InternalRow] = {
+    val fullOrder =
+      keyExprs.map(e => SortOrder(e, Ascending)) ++ sortOrder
+    val schema = DataTypeUtils.fromAttributes(childOutput)
+    val ordering = new LazilyGeneratedOrdering(fullOrder, childOutput)
+    // constant prefix: every comparison falls through to the full ordering.
+    // Costs the radix fast-path, keeps the spill machinery — the budget
+    // breach already told us spilling, not sort speed, is the concern.
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        p.value = 0L; p.isNull = false; p
+      }
+    }
+    val sorter = UnsafeExternalRowSorter.create(
+      schema, ordering, PrefixComparators.LONG, prefixComputer,
+      4L * 1024 * 1024, /* canUseRadixSort = */ false)
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+    val sorted = sorter.sort(rows.map(_.asInstanceOf[UnsafeRow]))
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    var curKey: UnsafeRow = null
+    var seen = 0
+    sorted.filter { row =>
+      val key = keyProj(row)
+      if (curKey == null || key != curKey) { curKey = key.copy(); seen = 1 }
+      else seen += 1
+      seen <= limit
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

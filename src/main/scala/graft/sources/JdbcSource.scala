@@ -48,11 +48,30 @@ object JdbcSource {
   def readPartitionedAuto(spark: SparkSession, url: String, table: String,
                           partCol: String, numPartitions: Int,
                           props: Properties = new Properties): DataFrame = {
+    // names reach a raw SQL string: validate the shape so a user-supplied
+    // name cannot smuggle SQL into the probe. Plain identifiers pass RAW —
+    // the same case-folding the subsequent Spark read applies to its own
+    // raw `dbtable` — and a reserved-word / mixed-case name must arrive
+    // pre-quoted (`"Order"`), exactly as it would for `dbtable`; dialect-
+    // quoting a plain name here would break that symmetry (Derby folds
+    // unquoted t→T, so probing "t" while Spark reads t finds nothing).
+    val idPat = "^[A-Za-z_][A-Za-z0-9_$]*$"
+    def validated(name: String, what: String): String = {
+      def okPart(s: String) =
+        s.matches(idPat) ||
+          (s.length > 2 && s.head == '"' && s.last == '"' &&
+            !s.substring(1, s.length - 1).contains('"'))
+      require(name.nonEmpty && name.split('.').forall(okPart),
+        s"$what '$name' is not a plain or quoted (optionally dotted) identifier")
+      name
+    }
+    val qTable = validated(table, "table")
+    val qCol = validated(partCol, "partition column")
     val conn = DriverManager.getConnection(url, props)
     val (lo, hi) =
       try {
         val rs = conn.createStatement().executeQuery(
-          s"SELECT MIN($partCol), MAX($partCol) FROM $table")
+          s"SELECT MIN($qCol), MAX($qCol) FROM $qTable")
         rs.next()
         (Option(rs.getString(1)), Option(rs.getString(2)))
       } finally conn.close()

@@ -163,8 +163,14 @@ object StatefulOps {
               } else SessionAcc(acc.start_us, math.max(acc.end_us, us), acc.n + 1)
             }
             state.update(acc)
-            // close when the WATERMARK (not processing time) passes the gap
-            state.setTimeoutTimestamp((acc.end_us + gapUs) / 1000L)
+            // close when the WATERMARK (not processing time) passes the gap.
+            // A late straggler can put the session deadline BEHIND the
+            // current watermark — Spark rejects a timeout timestamp ≤
+            // watermark with a runtime error that kills the whole query, so
+            // clamp to watermark+1: the session then closes on the next
+            // batch, the earliest legal moment.
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, (acc.end_us + gapUs) / 1000L))
             closed.result().iterator
           }
       }

@@ -27,6 +27,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.catalog.tableExists("rpt.task_instance"))
   }
 
+  test("dropManaged deletes managed data but preserves EXTERNAL locations") {
+    import java.nio.file.Files
+    // managed: location goes with the table
+    spark.sql("CREATE TABLE rpt.drop_probe (id INT) USING parquet")
+    spark.sql("INSERT INTO rpt.drop_probe VALUES (1)")
+    val managedLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("rpt.drop_probe")).location)
+    Catalog.dropManaged(spark, "rpt.drop_probe")
+    val fs = managedLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(managedLoc), "managed location must be deleted")
+    // external: DROP TABLE preserves the data, and so must dropManaged
+    val ext = Files.createTempDirectory("graft-ext").toString
+    spark.range(3).write.mode("overwrite").parquet(ext)
+    spark.sql(s"CREATE TABLE rpt.ext_probe (id BIGINT) USING parquet LOCATION '$ext'")
+    Catalog.dropManaged(spark, "rpt.ext_probe")
+    assert(!spark.catalog.tableExists("rpt.ext_probe"))
+    assert(spark.read.parquet(ext).count() == 3,
+      "external data must survive dropManaged")
+  }
+
   test("tolerant staging read honors max_bad_records (gcs_to_postgres.py:103)") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("graft-badrec")

@@ -68,6 +68,34 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got.except(viaWindow).count() == 0 && viaWindow.except(got).count() == 0)
   }
 
+  test("row-budget breach degrades to the spilling sort, exact results") {
+    // near-unique partition key (o_orderkey ≈ one row per key) is exactly
+    // the heap-state blow-up the budget exists for; an 8-row budget forces
+    // BOTH degrades (partial → pass-through, final → external sort) on
+    // every partition, and the answer must not change
+    val orders = Tables.load(spark, dir, "orders")
+    spark.conf.set("spark.graft.topk.rowBudget", "8")
+    try {
+      val custom = GraftPlanBridge.topKPerKey(orders,
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+        .select("o_custkey", "o_orderkey")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val viaWindow = orders
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey")
+      assert(custom.count() == viaWindow.count())
+      assert(custom.except(viaWindow).count() == 0 &&
+        viaWindow.except(custom).count() == 0)
+      // unique key, k=1: every row is its own group — the degenerate case
+      // where heap state equals the partition
+      val perOrder = GraftPlanBridge.topKPerKey(orders,
+        Seq("o_orderkey"), Seq("o_totalprice" -> true), k = 1)
+      assert(perOrder.count() == orders.count())
+    } finally spark.conf.unset("spark.graft.topk.rowBudget")
+  }
+
   test("descending order returns the top, not the bottom") {
     val orders = Tables.load(spark, dir, "orders")
     val top1 = GraftPlanBridge.topKPerKey(orders,

@@ -52,6 +52,22 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.count() == 9)
   }
 
+  test("non-identifier table/column names are rejected before any SQL runs") {
+    val url = freshDb()
+    seed(url, 5)
+    // injection shapes must die at validation, not reach the probe
+    intercept[IllegalArgumentException] {
+      JdbcSource.readPartitionedAuto(spark, url, "t; DROP TABLE t", "id", 2)
+    }
+    intercept[IllegalArgumentException] {
+      JdbcSource.readPartitionedAuto(spark, url, "t", "id) FROM t--", 2)
+    }
+    // pre-quoted reserved-word style names pass validation (Derby resolves
+    // the quoted-uppercase form of the unquoted-created table)
+    assert(JdbcSource.readPartitionedAuto(spark, url, "\"T\"", "\"ID\"", 2)
+      .count() == 5)
+  }
+
   test("empty table falls back to a plain read") {
     val url = freshDb()
     val conn = DriverManager.getConnection(url)

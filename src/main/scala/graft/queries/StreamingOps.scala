@@ -92,6 +92,22 @@ object StreamingOps {
         graft.streaming.StatefulOps.streamingKmv(s, ev, k = 128).toDF(),
         "s_kmv_sink", "update")
     }),
+    "s_sessionize_timeout" -> ((s, dir) => {
+      // timeout-driven sessionization, oracle-gated end-to-end: the events
+      // table replays as 4 time-ordered micro-batches + 2 far-future
+      // sentinel batches (readEventsChunkedReplay), so EventTimeTimeout
+      // actually FIRES across batch boundaries and every real session is
+      // closed — by an in-batch gap or by its timer — before the drain
+      // ends. The append-mode output then equals the batch gap rule
+      // (new session when idle > 30 min), which is the oracle.
+      val ev = EventsStream.readEventsChunkedReplay(s, dir, nChunks = 4)
+        .withWatermark("ts", "0 seconds")
+      val closed = graft.streaming.StatefulOps
+        .streamingSessionize(s, ev, gapSec = 1800L)
+      EventsStream.runToMemory(s, closed.toDF(),
+        "s_sessionize_timeout_sink", "append")
+        .filter(col("user_id") >= 0) // drop the watermark-driver sentinels
+    }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
       // result must equal plain per-type counts of the batch table.
@@ -202,6 +218,26 @@ object StreamingOps {
          SELECT event_type, event_id, value, round(z, 6) AS z
          FROM z WHERE z >= 2""",
     "s_dedup" ->
-      """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"""
+      """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
+    "s_sessionize_timeout" ->
+      // the closed-session set is batch-replayable: the streaming op closes
+      // a session when the NEXT event is > gap after the session end (or the
+      // watermark passes end + gap), which over a bounded input is exactly
+      // the lag-based gap rule with a STRICT comparison. Bounds in micros.
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(us) AS session_start, max(us) AS session_end,
+                count(*) AS n_events
+         FROM sess GROUP BY user_id, sid"""
   )
 }

@@ -137,6 +137,66 @@ object EventsStream {
       }
       .start()
 
+  /** Replay the events table as a MULTI-batch stream: the rows are split
+    * into `nChunks` time-ordered parquet files (chunk i holds the i-th slice
+    * of the event-time range) plus two far-future sentinel rows
+    * (user_id = -1), and read back with `maxFilesPerTrigger = 1` so each
+    * file is its own micro-batch in event-time order.
+    *
+    * This is the harness that lets TIMEOUT-driven state machines be
+    * oracle-gated: timeouts only fire across batch boundaries, and the
+    * sentinels advance the event-time watermark past every real session's
+    * deadline, so by the final batch all keyed state has been flushed and
+    * the append-mode drain equals the batch formulation. Because the split
+    * is by event time, no row is ever late relative to the watermark
+    * (batch k's minimum exceeds batch k-1's maximum = the watermark), so a
+    * 0-second watermark delay loses nothing and the replay is
+    * deterministic regardless of how the driver partitions the parquet.
+    * File order is pinned with explicit increasing mtimes (the file
+    * source's ordering key). */
+  def readEventsChunkedReplay(spark: SparkSession, dir: String,
+                              nChunks: Int): DataFrame = {
+    import spark.implicits._
+    val batch = graft.Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+    val bounds = batch.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).first()
+    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val root = java.nio.file.Files.createTempDirectory("graft-replay-")
+    val streamDir = root.resolve("stream"); java.nio.file.Files.createDirectory(streamDir)
+    // fixed synthetic mtimes: ordering must not depend on write latency
+    val mtime0 = 1600000000000L
+    def stage(df: DataFrame, i: Int): Unit = {
+      val stageDir = root.resolve(s"stage_$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dst = streamDir.resolve(f"chunk_$i%02d.parquet").toFile
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime0 + i * 60000L)
+    }
+    // equal event-time slices; an empty slice is just an empty micro-batch
+    val span = math.max(1L, maxUs - minUs + 1)
+    (0 until nChunks).foreach { i =>
+      val lo = minUs + (span * i) / nChunks
+      val hi = minUs + (span * (i + 1)) / nChunks
+      stage(batch.filter(unix_micros(col("ts")) >= lo &&
+        unix_micros(col("ts")) < hi), i)
+    }
+    // two sentinels, each its own batch: the FIRST lifts the watermark past
+    // every real deadline at its batch's end; the SECOND's (data) batch then
+    // fires the expired timers — no reliance on no-data micro-batches.
+    Seq(10, 20).zipWithIndex.foreach { case (days, j) =>
+      stage(Seq((-1L, new java.sql.Timestamp(maxUs / 1000L + days * 86400000L)))
+        .toDF("user_id", "ts"), nChunks + j)
+    }
+    spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+  }
+
   /** Drain a (bounded) streaming DataFrame through a memory sink and return
     * the sink contents as a batch DataFrame. Deterministic for file sources:
     * processAllAvailable blocks until every input file is consumed.

@@ -123,9 +123,11 @@ object StatefulOps {
     * `q_sessionize` gap rule (new session when idle > gapSec).
     *
     * Timeout behavior is a multi-batch property (nothing times out inside
-    * one batch), so this op is SPEC-gated (`StreamingSpec`) rather than
-    * oracle-gated — the single-batch drain the driver runs would emit
-    * nothing. */
+    * one batch), so the oracle gate replays the input as MULTIPLE
+    * micro-batches with sentinel watermark drivers
+    * ([[EventsStream.readEventsChunkedReplay]] → `s_sessionize_timeout`);
+    * watermark-advance eviction is additionally unit-tested in
+    * `StreamingSpec`. */
   def streamingSessionize(spark: SparkSession, events: DataFrame,
                           gapSec: Long): Dataset[ClosedSession] = {
     import spark.implicits._

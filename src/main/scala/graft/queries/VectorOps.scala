@@ -99,6 +99,70 @@ object VectorOps {
             count(lit(1)), 6).as("c_val"),
           count(lit(1)).as("n_members"))
     }),
+    "v_kmeans_iter" -> ((s, dir) => {
+      // THREE full Lloyd rounds, oracled end-to-end via the PageRank
+      // fixed-round-unroll idiom: each round is (a) the relational argmax
+      // assignment — corpus × broadcast(16 centroid rows), map-side
+      // combined, ONE row per vector on the exchange — and (b) the
+      // (cell, dim)-keyed decimal mean update, whose k·d-row output is
+      // localCheckpointed (lineage O(1) in rounds) and broadcast back as
+      // the next round's centroids: one shuffle per round, Lloyd's
+      // communication lower bound. Empty cells keep their previous
+      // centroid (the standard Lloyd convention), via the left-join
+      // coalesce. Means stay UNROUNDED doubles between rounds — both
+      // engines divide identical decimal-exact sums by identical counts,
+      // so the doubles agree bit-for-bit; rounding happens only at output.
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      var cent: DataFrame = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("cell"), col("pos"), col("xf").cast("double").as("m"))
+      var upd: DataFrame = null
+      (1 to 3).foreach { _ =>
+        val centArr = cent.groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            st => st.getField("m")).as("ce"))
+        val assigned = e.crossJoin(broadcast(centArr))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(
+              Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
+              (-col("cell")).as("nc"))).as("mx"),
+            first(col("embedding")).as("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            (-col("mx.nc")).cast("int").as("cell"))
+        // k·d rows; eager localCheckpoint materializes the round (one job)
+        // and truncates lineage so 3 rounds don't nest into one mega-plan
+        upd = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(col("x").cast("double").cast(DecimalType(28, 16)))
+              .cast("double") / count(lit(1))).as("um"),
+            count(lit(1)).as("n_members"))
+          .localCheckpoint(true)
+        cent = cent.as("p")
+          .join(upd.select(col("cell"), col("pos"), col("um")),
+            Seq("cell", "pos"), "left")
+          .select(col("cell"), col("pos"), coalesce(col("um"), col("m")).as("m"))
+      }
+      upd.select(col("cell"), col("pos"), round(col("um"), 6).as("c_val"),
+        col("n_members"))
+    }),
+    "v_knn_ivf_probe" -> ((s, dir) => {
+      // the SERVING number for IVF: assignment loaded from the persisted
+      // index table (built once per corpus by loadOrBuildSampled), so this
+      // declared query pays probe-cell selection + one pruned key-equality
+      // join + exact rerank — the steady-state cost a deployment sees,
+      // now hash-gated and benched on its own row instead of buried in
+      // v_knn_ivf's per-run rebuild. Same result as v_knn_ivf (the index
+      // IS the assignment), so the oracle replay is shared.
+      val e = emb(s, dir)
+      val assigned = IvfIndex.loadOrBuildSampled(s, e, s"$dir/embeddings",
+        "vec_id", "embedding", nCells = 16)
+      val query = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      IvfIndex.probeSampled(assigned, e, "vec_id", "embedding", query,
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4)
+    }),
     "v_knn_batch" -> ((s, dir) => {
       // the serving shape: 8 queries answered in ONE pass over the corpus —
       // broadcast query table, decimal cosine per pair, per-query top-5 via
@@ -122,6 +186,40 @@ object VectorOps {
              FROM u$sfx GROUP BY 1),
        qn$sfx AS (SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qnorm2
               FROM (SELECT unnest(qe) AS x FROM q))"""
+
+  /** Full IVF replay: decimal-exact cos(vec, centroid) for every pair,
+    * argmax assignment (ties → smallest cell, via max(struct(c, -cell))),
+    * probe = 4 cells nearest the query (vec 0's own cc rows), exact rerank
+    * over probed cells only. Shared by v_knn_ivf (per-run rebuild) and
+    * v_knn_ivf_probe (persisted index) — the index IS the assignment, so
+    * both produce the identical result. */
+  private val ivfOracle: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                 FROM embeddings WHERE vec_id < 16),
+       pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+              FROM embeddings e CROSS JOIN seeds s),
+       pd AS (SELECT vec_id, cell,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+              FROM pu GROUP BY 1, 2),
+       cn AS (SELECT cell,
+                CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+              FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+       cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+              FROM pd JOIN cn ON pd.cell = cn.cell),
+       assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                    FROM cc GROUP BY 1),
+       probes AS (SELECT cell FROM cc WHERE vec_id = 0
+                  ORDER BY c DESC, cell ASC LIMIT 4),
+       cand_emb AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                    JOIN assigned a ON e.vec_id = a.vec_id
+                    JOIN probes p ON a.cell = p.cell
+                    WHERE e.vec_id <> 0),
+       ${accumSql("cand_emb")}
+       SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
+       FROM d, qn
+       ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
     "v_knn_native" ->
@@ -210,37 +308,44 @@ object VectorOps {
                 round(CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) / count(*), 6) AS c_val,
                 count(*) AS n_members
          FROM mem GROUP BY 1, 2""",
-    "v_knn_ivf" ->
-      // full IVF replay: decimal-exact cos(vec, centroid) for every pair,
-      // argmax assignment (ties → smallest cell, via max(struct(c, -cell))),
-      // probe = 4 cells nearest the query (vec 0's own cc rows), exact
-      // rerank over probed cells only
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
-                   FROM embeddings WHERE vec_id < 16),
-         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
-                FROM embeddings e CROSS JOIN seeds s),
-         pd AS (SELECT vec_id, cell,
-                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
-                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
-                FROM pu GROUP BY 1, 2),
-         cn AS (SELECT cell,
-                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
-                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
-         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
-                FROM pd JOIN cn ON pd.cell = cn.cell),
-         assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
-                      FROM cc GROUP BY 1),
-         probes AS (SELECT cell FROM cc WHERE vec_id = 0
-                    ORDER BY c DESC, cell ASC LIMIT 4),
-         cand_emb AS (SELECT e.vec_id, e.embedding FROM embeddings e
-                      JOIN assigned a ON e.vec_id = a.vec_id
-                      JOIN probes p ON a.cell = p.cell
-                      WHERE e.vec_id <> 0),
-         ${accumSql("cand_emb")}
-         SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
-         FROM d, qn
-         ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "v_kmeans_iter" ->
+      // 3 Lloyd rounds unrolled (the PageRank fixed-round-CTE idiom): per
+      // round an assignment block (decimal-exact cosines vs the PREVIOUS
+      // round's centroid dims, argmax with smallest-cell tie-break) and an
+      // update block (per-(cell,dim) decimal mean); empty cells inherit the
+      // previous centroid via the left-join coalesce. Means stay unrounded
+      // between rounds; only the final output rounds.
+      s"""WITH gs AS (SELECT unnest(generate_series(1, 64)) AS i),
+         c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                       CAST(embedding[gs.i] AS DOUBLE) AS m
+                FROM embeddings, gs WHERE vec_id < 16),
+         ${(1 to 3).map { r =>
+           val p = s"c${r - 1}"
+           s"""pu$r AS (SELECT e.vec_id, c.cell,
+                  CAST(e.embedding[c.pos + 1] AS DOUBLE) AS x, c.m AS y
+                FROM embeddings e CROSS JOIN $p c),
+         pd$r AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(x*y AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu$r GROUP BY 1, 2),
+         cn$r AS (SELECT cell, CAST(sum(CAST(m*m AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM $p GROUP BY 1),
+         cc$r AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd$r pd JOIN cn$r cn ON pd.cell = cn.cell),
+         a$r AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                FROM cc$r GROUP BY 1),
+         m$r AS (SELECT a.cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                  CAST(sum(CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE)
+                    / count(*) AS um,
+                  count(*) AS n
+                FROM embeddings e JOIN a$r a ON e.vec_id = a.vec_id CROSS JOIN gs
+                GROUP BY 1, 2),
+         c$r AS (SELECT p.cell, p.pos, coalesce(u.um, p.m) AS m
+                FROM $p p LEFT JOIN m$r u ON p.cell = u.cell AND p.pos = u.pos)"""
+         }.mkString(",\n         ")}
+         SELECT cell, pos, round(um, 6) AS c_val, n AS n_members FROM m3""",
+    "v_knn_ivf" -> ivfOracle,
+    "v_knn_ivf_probe" -> ivfOracle,
     "v_knn_pq" ->
       // full PQ replay: per-subspace codebooks from vec_ids 0..15, encode =
       // argmin decimal squared-L2 (ties → smallest code via min(struct)),

@@ -54,6 +54,37 @@ object Core {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Synthesized TPC-H `partsupp`: the driver testdata lacks the table, so
+    * Q2/Q11/Q20 analogues derive one DETERMINISTICALLY from lineitem's
+    * distinct (partkey, suppkey) pairs — availqty (1..100) and supply cost
+    * in integer CENTS (100..100000) are md5-derived, so both engines
+    * materialize the identical table from the identical scan (md5 agrees
+    * cross-engine; 6 hex digits are exact in a long). Integer cents keep
+    * every downstream money comparison exact without decimal casts. The
+    * distinct is one map-side-combinable shuffle at lineitem scale; the
+    * derived columns are codegen'd per row. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("ps_partkey").cast("string"), lit("|"),
+      col("ps_suppkey").cast("string")))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (lit(1) + conv(substring(h, 1, 6), 16, 10).cast("long") % 100)
+          .as("ps_availqty"),
+        (lit(100) + conv(substring(h, 7, 6), 16, 10).cast("long") % 99900)
+          .as("ps_cost_cents"))
+  }
+
+  /** The partsupp synthesis as a DuckDB CTE — textually mirrored in every
+    * oracle that uses [[partsupp]]. */
+  private val partsuppSql: String =
+    """ps AS (
+        SELECT ps_partkey, ps_suppkey,
+               1 + (('0x' || substr(md5(ps_partkey || '|' || ps_suppkey), 1, 6))::BIGINT % 100) AS ps_availqty,
+               100 + (('0x' || substr(md5(ps_partkey || '|' || ps_suppkey), 7, 6))::BIGINT % 99900) AS ps_cost_cents
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem))"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans / projection / filter (reference O2, O12, O9) ---------------
     "q_scan_project" -> ((s, dir) => {
@@ -746,6 +777,92 @@ object Core {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 analogue (important-stock value share) on the synthesized
+      // partsupp (see partsupp()): per-part stock value within one nation's
+      // suppliers vs the nation total. The share threshold is the exact
+      // integer rational sum·np > 2·total (np = parts in the nation group),
+      // so it is SCALE-FREE — "above 2× the average part value" holds rows
+      // at every SF where a fixed fraction would empty out — and every
+      // operand is an exact integer (cents × qty), compared in DECIMAL(38,0)
+      // against DuckDB's HUGEINT so no engine can overflow first. The
+      // 1-row total broadcasts (sanctioned BNLJ, the q_tpch_q22 idiom).
+      val natps = partsupp(s, dir)
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_availqty") * col("ps_cost_cents")).as("val"))
+      val tot = natps.agg(sum(col("val")).as("total"),
+        countDistinct(col("ps_partkey")).as("np"))
+      natps.groupBy("ps_partkey")
+        .agg(sum(col("val")).as("sv"))
+        .crossJoin(broadcast(tot))
+        .filter(col("sv").cast(DecimalType(38, 0)) * col("np") >
+          col("total").cast(DecimalType(38, 0)) * lit(2))
+        .select(col("ps_partkey"),
+          (col("sv").cast("double") / lit(100.0)).as("value"))
+    }),
+    "q_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 analogue (min-cost supplier): the correlated
+      // min(ps_supplycost) subquery decorrelated into a per-part min join —
+      // the min frame is keyed by the FILTERED part set so it stays tiny
+      // and broadcasts; cost equality is exact integer cents, so the
+      // min-match cannot flake cross-engine. Region/size/type filters reach
+      // the scans; supplier/nation/region dims broadcast.
+      val eligible = partsupp(s, dir)
+        .join(t(s, dir, "part")
+            .filter(col("p_size") <= 15 && col("p_type") === "PROMO")
+            .select("p_partkey"),
+          col("ps_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("p_partkey"), col("s_acctbal"), col("s_name"),
+          col("n_name"), col("ps_cost_cents"))
+      val minc = eligible.groupBy(col("p_partkey").as("mp"))
+        .agg(min(col("ps_cost_cents")).as("mc"))
+      eligible.join(broadcast(minc),
+          col("p_partkey") === col("mp") && col("ps_cost_cents") === col("mc"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"),
+          (col("ps_cost_cents").cast("double") / lit(100.0)).as("supplycost"))
+    }),
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 analogue (excess-stock suppliers): the nested semi chain —
+      // name-filtered parts → their partsupp rows → the correlated
+      // half-of-shipped-quantity threshold → DISTINCT suppliers → semi join
+      // back into supplier/nation/region. The availqty threshold is the
+      // exact rational 2·qty > Σquantity in DECIMAL(18,2); pairs that
+      // shipped nothing in the window drop out in the inner join exactly
+      // like the classic query's NULL-compare. Fact-side aggregation is
+      // map-side partial; all dims broadcast.
+      val wparts = t(s, dir, "part")
+        .filter(col("p_name").like("%widget%")).select("p_partkey")
+      val qty = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+      val cand = partsupp(s, dir)
+        .join(broadcast(wparts), col("ps_partkey") === col("p_partkey"))
+        .join(qty, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter((col("ps_availqty") * lit(2)).cast(DecimalType(18, 2)) > col("sq"))
+        .select("ps_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
     }),
     "q_zorder" -> ((s, dir) =>
       // Morton z-values for 2-D data clustering (functions.ZOrder): pure
@@ -2186,6 +2303,53 @@ object Core {
          JOIN customer ON c_custkey = o_custkey
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 100""",
+    "q_tpch_q11" ->
+      s"""WITH $partsuppSql,
+         natps AS (SELECT ps_partkey, ps_availqty * ps_cost_cents AS val
+                   FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+                           JOIN nation ON s_nationkey = n_nationkey
+                   WHERE n_name = 'NATION_3'),
+         tot AS (SELECT sum(val) AS total, count(DISTINCT ps_partkey) AS np
+                 FROM natps)
+         SELECT ps_partkey, CAST(sum(val) AS DOUBLE) / 100.0 AS value
+         FROM natps, tot
+         GROUP BY ps_partkey, total, np
+         HAVING sum(val) * np > 2 * total""",
+    "q_tpch_q2" ->
+      s"""WITH $partsuppSql,
+         eligible AS (
+           SELECT p_partkey, s_acctbal, s_name, n_name, ps_cost_cents
+           FROM ps JOIN part ON ps_partkey = p_partkey
+                   JOIN supplier ON ps_suppkey = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+           WHERE p_size <= 15 AND p_type = 'PROMO' AND r_name = 'EUROPE'),
+         minc AS (SELECT p_partkey, min(ps_cost_cents) AS mc
+                  FROM eligible GROUP BY 1)
+         SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey,
+                CAST(e.ps_cost_cents AS DOUBLE) / 100.0 AS supplycost
+         FROM eligible e
+         JOIN minc m ON e.p_partkey = m.p_partkey AND e.ps_cost_cents = m.mc""",
+    "q_tpch_q20" ->
+      s"""WITH $partsuppSql,
+         qty AS (SELECT l_partkey, l_suppkey,
+                        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                 GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT ps_suppkey
+                  FROM ps JOIN part ON ps_partkey = p_partkey
+                          JOIN qty ON ps_partkey = l_partkey
+                                  AND ps_suppkey = l_suppkey
+                  WHERE p_name LIKE '%widget%'
+                    AND CAST(2 * ps_availqty AS DECIMAL(18,2)) > sq)
+         SELECT s_name, s_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN cand ON s_suppkey = ps_suppkey
+         WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                               WHERE r_name = 'EUROPE')""",
     "q_zorder" -> zorderOracleSql,
     "q_gapfill" ->
       """WITH hourly AS (

@@ -123,11 +123,36 @@ object TextDedup {
       .select("doc_id", "sh")
   }
 
+  /** @param maxPrefixDf RUNTIME hot-key guard: prefix KEYS that appear in
+    *   more than this many docs' prefixes are excluded from the candidate
+    *   join. An adversarial corpus (one shingle locally-rarest in millions
+    *   of short docs — low global df is no protection when every doc is
+    *   short) otherwise yields ~f²/2 candidates on that single key with no
+    *   bound. With the cap, per-key fan-out is ≤ maxPrefixDf² — the same
+    *   bucket bound [[ngramJaccardPairs]] gets from its df cap — at a
+    *   DOCUMENTED completeness trade: a pair is missed only if EVERY prefix
+    *   token it shares is hot, i.e. the pair shares nothing that is rare
+    *   among prefixes (the exact analogue of the df-cap trade). Default
+    *   Int.MaxValue = off: the declared d_ppjoin query keeps PPJoin's full
+    *   completeness guarantee, and deployments facing unvetted corpora set
+    *   a cap (ScaleSpec plants the adversarial corpus and proves the
+    *   bound + the surviving-pair behavior). */
   def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, thresholdNum: Int, thresholdDen: Int): DataFrame = {
+                  n: Int, thresholdNum: Int, thresholdDen: Int,
+                  maxPrefixDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val prefix = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
+    val prefixAll = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
+    val prefix =
+      if (maxPrefixDf == Int.MaxValue) prefixAll
+      else {
+        // prefix-KEY frequency (how many docs carry sh in their prefix) is
+        // itself a map-side-combinable count — the guard costs one small
+        // aggregate + one key-equality semi join, never a global sort
+        val hot = prefixAll.groupBy("sh").agg(count(lit(1)).as("pf_cnt"))
+          .filter(col("pf_cnt") <= maxPrefixDf).select("sh")
+        prefixAll.join(hot, "sh")
+      }
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

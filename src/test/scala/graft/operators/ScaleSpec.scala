@@ -149,6 +149,39 @@ class ScaleSpec extends AnyFunSuite {
     } finally byKey.unpersist()
   }
 
+  test("ppjoin hot-key guard bounds adversarial prefix fan-out") {
+    import spark.implicits._
+    // adversarial corpus the natural-corpus probe above can't produce:
+    // SHORT docs whose rarest available shingles are still shared by ~100
+    // docs (per-doc rarity ranking can't protect a doc that owns nothing
+    // rare), so those keys land in every prefix and the candidate join
+    // fans out ~f²/2 on them — plus one genuine rare-token near-dup pair
+    // that must keep matching when the guard is on.
+    val hotDocs = (0 until 400).map { i =>
+      val c = s"common${i % 4}"
+      (i.toLong, s"$c $c $c $c alpha beta gamma delta epsilon")
+    }
+    val pair = Seq(
+      (10000L, "red orange yellow green blue indigo violet gold silver bronze"),
+      (10001L, "red orange yellow green blue indigo violet gold silver copper"))
+    val docs = (hotDocs ++ pair).toDF("doc_id", "text")
+    val byKey = TextDedup.ppjoinPrefix(docs, "doc_id", "text", 5, 7, 10)
+      .groupBy("sh").agg(count(lit(1)).as("f"))
+    val maxF = byKey.agg(max(col("f"))).first().getLong(0)
+    assert(maxF >= 100, s"corpus must plant a hot prefix key, hottest f=$maxF")
+    val unguarded = TextDedup.ppjoinPairs(docs, "doc_id", "text", 5, 7, 10)
+    val guarded = TextDedup.ppjoinPairs(docs, "doc_id", "text", 5, 7, 10,
+      maxPrefixDf = 8)
+    // the rare-token pair collides on a df=2 prefix key, far under the cap
+    assert(guarded.filter(col("doc_a") === 10000L && col("doc_b") === 10001L)
+      .count() == 1, "guard must not drop pairs sharing a rare prefix key")
+    // the documented completeness trade: the planted docs share ONLY hot
+    // keys, so their (true-duplicate) pairs are dropped by the guard —
+    // unguarded finds all 4·C(100,2)+1, guarded only the rare pair
+    assert(unguarded.count() == 4L * 100 * 99 / 2 + 1)
+    assert(guarded.count() == 1)
+  }
+
   test("kmv overlap: every post-sketch stage is sketch-sized, not data-sized") {
     // the DESIGN claim behind q_kmv_overlap's 100 TB story, measured:
     // after the per-type top-K synopsis, no intermediate exceeds

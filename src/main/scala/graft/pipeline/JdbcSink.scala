@@ -101,6 +101,105 @@ object JdbcSink {
       .select(pkCols.map(col): _*), url, sql, props, batchSize)
   }
 
+  /** BATCH-ATOMIC CDC apply — the opt-in mode that closes [[applyCdc]]'s
+    * documented visibility window. Two phases:
+    *
+    *  1. DISTRIBUTED stage: the batch's net effect is bulk-written with
+    *     Spark's parallel JDBC writer to two stage tables — latest non-D
+    *     rows (the remote's schema) to `<table>_cdc_up`, delete PKs to
+    *     `<table>_cdc_del`. The stages are invisible to readers, so this
+    *     phase needs no transaction and keeps the row shipping distributed.
+    *  2. SINGLE-TRANSACTION swap on ONE connection: a correlated DELETE of
+    *     every staged PK from the target, then INSERT .. SELECT of the
+    *     staged upsert rows — two set-based statements the database
+    *     executes under one commit, so a reader sees the batch entirely or
+    *     not at all (any engine with transactional DML + READ COMMITTED,
+    *     i.e. Postgres/Derby/anything the reference targets).
+    *
+    * The swap transaction's work is O(changes) done remotely (no row
+    * ships twice); the price vs [[applyCdc]] is the single writer in phase
+    * 2 and the stage-table round trip — pay it when readers must never
+    * observe a partial batch. Re-running after a phase-2 failure is safe:
+    * the transaction rolled back, the stage rewrite is an overwrite, and
+    * the swap is idempotent per staged batch.
+    *
+    * `failpoint` is a test seam injected between the DELETE and the
+    * INSERT of phase 2 (JdbcSinkSpec proves a mid-swap crash rolls back to
+    * the pre-batch table). */
+  def applyCdcAtomic(spark: SparkSession, changes: DataFrame, url: String,
+                     table: String, pkCols: Seq[String],
+                     props: Properties = new Properties,
+                     batchSize: Int = 10000,
+                     opCol: String = "op", seqCol: String = "seq",
+                     failpoint: () => Unit = () => ()): Unit = {
+    require(pkCols.nonEmpty, "applyCdcAtomic requires PK columns")
+    val remote = spark.read.jdbc(url, table, props)
+    val latest = Loader.pickPerKey(changes, pkCols, Seq(col(seqCol).desc))
+    val pkLower = pkCols.map(_.toLowerCase).toSet
+    // two stage tables, both with column names taken from the TARGET's own
+    // metadata (so the swap SQL resolves identically under any engine's
+    // identifier folding): upserts carry the full payload, the delete stage
+    // only PK columns
+    val upserts = coerceToRemote(
+      latest.filter(col(opCol) =!= "D").drop(opCol, seqCol), remote)
+    val deleteKeys = latest.filter(col(opCol) === "D")
+      .select(remote.schema.collect {
+        case f if pkLower.contains(f.name.toLowerCase) =>
+          col(f.name).cast(f.dataType).as(f.name)
+      }: _*)
+    val stageUp = s"${table}_cdc_up"
+    val stageDel = s"${table}_cdc_del"
+    upserts.write.mode("overwrite")
+      .option("batchsize", batchSize.toLong).jdbc(url, stageUp, props)
+    deleteKeys.write.mode("overwrite")
+      .option("batchsize", batchSize.toLong).jdbc(url, stageDel, props)
+    // Spark's JDBC writer maps StringType to the dialect's TEXT/CLOB, which
+    // some engines (Derby) cannot IMPLICITLY compare with, or insert into,
+    // the target's VARCHARs — so the swap SQL explicitly CASTs the stage's
+    // string columns to the target's own VARCHAR(n), read from a zero-row
+    // metadata probe (a no-op cast on engines like Postgres where text and
+    // varchar compare natively)
+    val varcharPrec: Map[String, Int] = {
+      val mc = DriverManager.getConnection(url, props)
+      try {
+        val md = mc.prepareStatement(s"SELECT * FROM $table WHERE 1=0")
+          .executeQuery().getMetaData
+        (1 to md.getColumnCount).collect {
+          case i if md.getColumnType(i) == java.sql.Types.VARCHAR ||
+                    md.getColumnType(i) == java.sql.Types.CHAR =>
+            md.getColumnLabel(i).toLowerCase -> math.max(1, md.getPrecision(i))
+        }.toMap
+      } finally mc.close()
+    }
+    def sref(c: String): String = varcharPrec.get(c.toLowerCase)
+      .map(p => s"CAST(s.$c AS VARCHAR($p))").getOrElse(s"s.$c")
+    val cols = remote.schema.map(_.name)
+    val pkMatch = pkCols.map(c => s"${sref(c)} = t.$c").mkString(" AND ")
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate(s"DELETE FROM $table t WHERE EXISTS (" +
+        s"SELECT 1 FROM $stageUp s WHERE $pkMatch)")
+      st.executeUpdate(s"DELETE FROM $table t WHERE EXISTS (" +
+        s"SELECT 1 FROM $stageDel s WHERE $pkMatch)")
+      failpoint()
+      st.executeUpdate(s"INSERT INTO $table (${cols.mkString(", ")}) " +
+        s"SELECT ${cols.map(sref).mkString(", ")} FROM $stageUp s")
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+    // best-effort stage cleanup, outside the swap transaction
+    Seq(stageUp, stageDel).foreach { stg =>
+      val c2 = DriverManager.getConnection(url, props)
+      try c2.createStatement().executeUpdate(s"DROP TABLE $stg")
+      catch { case _: Throwable => () } finally c2.close()
+    }
+  }
+
   /** Distributed batched keyed DML (DELETE and friends): each partition
     * opens one connection and flushes `batchSize` statements per round
     * trip — the same per-partition imperative JDBC shape as

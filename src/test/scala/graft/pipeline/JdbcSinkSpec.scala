@@ -96,6 +96,50 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(r.getAs[String]("state") == "new")
   }
 
+  test("applyCdcAtomic: same net state as applyCdc, via the staged swap") {
+    val url = freshDb()
+    JdbcSink.dedupAppend(spark, df(("r1", "running", 1.0), ("r2", "queued", 2.0)),
+      url, "runs", Seq("run_id"))
+    val ts = java.sql.Timestamp.valueOf("2022-03-02 00:00:00")
+    val changes = Seq(
+      ("U", 1L, "r1", "success", 9.0, ts),
+      ("D", 1L, "r2", null, 0.0, ts),
+      ("I", 1L, "r4", "queued", 4.0, ts)
+    ).toDF("op", "seq", "run_id", "state", "score", "seen_at")
+    JdbcSink.applyCdcAtomic(spark, changes, url, "runs", Seq("run_id"))
+    JdbcSink.applyCdcAtomic(spark, changes, url, "runs", Seq("run_id")) // replay
+    val out = readBack(url).collect()
+      .map(r => r.getAs[String]("run_id") -> r.getAs[String]("state")).toMap
+    assert(out == Map("r1" -> "success", "r4" -> "queued"))
+  }
+
+  test("applyCdcAtomic: a mid-swap crash rolls back to the pre-batch table") {
+    val url = freshDb()
+    JdbcSink.dedupAppend(spark, df(("r1", "running", 1.0), ("r2", "queued", 2.0)),
+      url, "runs", Seq("run_id"))
+    val ts = java.sql.Timestamp.valueOf("2022-03-02 00:00:00")
+    val changes = Seq(
+      ("U", 1L, "r1", "success", 9.0, ts),
+      ("D", 1L, "r2", null, 0.0, ts)
+    ).toDF("op", "seq", "run_id", "state", "score", "seen_at")
+    // failpoint fires AFTER the swap's DELETE has executed — without the
+    // enclosing transaction this is exactly applyCdc's visibility window
+    val boom = intercept[RuntimeException] {
+      JdbcSink.applyCdcAtomic(spark, changes, url, "runs", Seq("run_id"),
+        failpoint = () => throw new RuntimeException("crash between DELETE and INSERT"))
+    }
+    assert(boom.getMessage.contains("crash between"))
+    val out = readBack(url).collect()
+      .map(r => r.getAs[String]("run_id") -> r.getAs[String]("state")).toMap
+    assert(out == Map("r1" -> "running", "r2" -> "queued"),
+      "rollback must restore the pre-batch table, not leave the deleted sliver")
+    // and the retry completes the batch
+    JdbcSink.applyCdcAtomic(spark, changes, url, "runs", Seq("run_id"))
+    val after = readBack(url).collect()
+      .map(r => r.getAs[String]("run_id") -> r.getAs[String]("state")).toMap
+    assert(after == Map("r1" -> "success"))
+  }
+
   test("applyCdc: upserts non-D latest, batch-DELETEs D latest, idempotent") {
     val url = freshDb()
     JdbcSink.dedupAppend(spark, df(("r1", "running", 1.0), ("r2", "queued", 2.0)),

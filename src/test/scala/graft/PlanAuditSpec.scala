@@ -32,10 +32,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "d_dedup_eval", // precision/recall: three 1-row count aggregates composed
     "q_basket", // 1-row n_orders total broadcast into the pair metrics
     "q_tpch_q22", // 1-row global-avg-balance aggregate broadcast
+    "q_tpch_q11", // 1-row nation-total (value, part-count) aggregate broadcast
     "q_kmv_overlap", // event-type dim broadcast (~8 rows) into sketch pairs
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
     "v_knn_ivf", "v_knn_ivfpq", // corpus x broadcast(nCells=16 seeds)
     "v_kmeans") // same assignSampled corpus x broadcast(16 seeds) shape
+    // (v_kmeans_iter's per-round broadcast argmax runs inside eager
+    // localCheckpoints — its audited final plan is a checkpoint scan +
+    // projection, the g_kcore situation)
 
   test("no declared query plans a cartesian or an unsanctioned nested loop") {
     val audited = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -35,7 +35,13 @@ object Plans {
       // representative plans (sketch algebra, AQP sampling, integer-moment
       // stats, snapshot diff, eval-as-query)
       "v_kmeans", "q_kmv_overlap", "q_sample_est", "q_acf",
-      "g_assortativity", "p_snapshot_diff", "v_recall_eval", "q_tpch_q7")
+      "g_assortativity", "p_snapshot_diff", "v_recall_eval", "q_tpch_q7",
+      // round 7: the slowest-10 members that had no audit entry (g_kcore —
+      // the r6 driver bench's slowest — d_ngram_jaccard, g_bfs, t_ngram_lm)
+      // and the round's new operators
+      "g_kcore", "g_bfs", "d_ngram_jaccard", "t_ngram_lm",
+      "v_kmeans_iter", "v_knn_ivf_probe",
+      "q_tpch_q11", "q_tpch_q2", "q_tpch_q20")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -151,7 +157,73 @@ object Plans {
         "broadcasts, and the only fact-sized shuffles are the two " +
         "key-equality joins (orderkey, custkey); the cross-border " +
         "predicate runs post-join in codegen — no plan shape changes at " +
-        "1000 executors."))
+        "1000 executors."),
+      "g_kcore" -> ("100× plan: 4 fixed peel rounds, each ONE " +
+        "map-side-combined degree agg + TWO key-equality semi joins " +
+        "against the kept-node set; the data-derived threshold k is an " +
+        "exact-rank pick from a window bounded by NODE cardinality, not " +
+        "edges, broadcast as a 1-row frame. Each round localCheckpoints " +
+        "(the Components idiom), so lineage — and this audited final " +
+        "plan, a checkpoint scan + one degree agg — stays O(1) deep " +
+        "regardless of rounds; without it every round would re-derive " +
+        "the co-order self-join. The expensive part (the part-part edge " +
+        "derivation) is one distinct self-join on l_orderkey, paid once " +
+        "into the first checkpoint. Cost is edge-sized shuffles x rounds; " +
+        "no step is quadratic in nodes."),
+      "g_bfs" -> ("100× plan: 3 unrolled Pregel rounds — per round ONE " +
+        "key-equality join (edges x current distance table) + ONE " +
+        "map-side-combined integer min-agg; frontier-sized shuffles, " +
+        "never node x node. localCheckpoint truncates lineage per round; " +
+        "the audited plan is the checkpointed final distance table's " +
+        "shape. No FP anywhere — distances are pure integer mins, so the " +
+        "oracle gate is exact by construction."),
+      "d_ngram_jaccard" -> ("100× plan: candidates come ONLY from the " +
+        "rare-shingle (df <= 1000) equality self-join — every join bucket " +
+        "is bounded at df² rows by construction — and the capped-out " +
+        "common shingles are added back per-CANDIDATE via composite-key " +
+        "joins, so scores stay exact without the quadratic common-key " +
+        "join ever existing. The repeated shingle subtree below " +
+        "AdaptiveSparkPlan is one exchange at runtime (ReusedExchange on " +
+        "the doc_id repartition barrier)."),
+      "t_ngram_lm" -> ("100× plan: bigram and context counts absorb " +
+        "map-side before their exchanges (counts of counts, never raw " +
+        "token streams twice); V is a broadcast 1-row scalar (sanctioned " +
+        "BNLJ) and the smoothed probability is one IEEE division of " +
+        "exact integers fused into codegen. The top-50 cut is a " +
+        "TakeOrderedAndProject with a total order."),
+      "v_kmeans_iter" -> ("100× plan: three Lloyd rounds, each = the " +
+        "v_kmeans corpus x broadcast(16 centroids) argmax (map-side " +
+        "combined, exchange carries one row per vector) + a (cell, dim) " +
+        "decimal-mean agg emitting k·d rows, eagerly localCheckpointed " +
+        "and broadcast back — one shuffle per round, Lloyd's " +
+        "communication lower bound. The audited final plan is the last " +
+        "round's k·d-row checkpoint + rounding projection; the per-round " +
+        "shape is v_kmeans's audited plan, 3x."),
+      "v_knn_ivf_probe" -> ("100× plan: THE steady-state ANN serving " +
+        "shape — the assignment is a parquet scan of the persisted index " +
+        "table (built once by loadOrBuildSampled; at deployment scale " +
+        "it is the corpus's bucketing column), probe-cell selection is an " +
+        "nCells-row sort broadcast into a key-equality join, and only " +
+        "nprobe/nCells of the corpus is exactly scored. Compare " +
+        "v_knn_ivf's plan, which rebuilds the assignment in-query by " +
+        "oracle contract."),
+      "q_tpch_q11" -> ("100× plan: partsupp synthesis is one " +
+        "map-side-combinable distinct at lineitem scale with codegen'd " +
+        "md5 derivations; supplier/nation dims broadcast; the nation " +
+        "total is a 1-row broadcast (sanctioned BNLJ, the q_tpch_q22 " +
+        "idiom) and the share threshold compares exact integers in " +
+        "decimal — one fact-sized shuffle end to end."),
+      "q_tpch_q2" -> ("100× plan: the correlated min-cost subquery is a " +
+        "per-part min over the already-filtered eligible frame, " +
+        "broadcast back into it — no re-scan of partsupp, no correlated " +
+        "execution; size/type/region filters reach the scans and every " +
+        "dim broadcasts."),
+      "q_tpch_q20" -> ("100× plan: a semi-join chain — name-filtered " +
+        "parts broadcast into partsupp, the shipped-quantity frame " +
+        "aggregates map-side at (part,supp) grain before its single " +
+        "join, the excess-stock rational filter is codegen'd, and the " +
+        "surviving supplier keys semi-join back into the dims. No " +
+        "correlated re-scans, no row ships twice."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical plan audit (generated by graft.Plans)\n\n")
     sb.append("What to look for: `PushedFilters`/`ReadSchema` on scans, " +
@@ -172,6 +244,35 @@ object Plans {
       sb.append(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         .replaceAll("0x[0-9A-Fa-f]{64,}", "0x<binary literal elided>"))
+      sb.append("```\n")
+    }
+    // Streaming queries can't be audited through SparkEntry.queries — the
+    // declared defs DRAIN the stream eagerly, so their post-drain plan is
+    // just the memory-sink aggregation. The stream-stream join (the
+    // slowest streaming query) is audited on its UNSTARTED streaming
+    // frame instead: the plan shows the watermark nodes and the
+    // event-time range condition that bound the join state.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val clicks = graft.streaming.EventsStream.readEvents(spark, dir)
+        .filter(col("event_type") === "click")
+      val errors = graft.streaming.EventsStream.readEvents(spark, dir)
+        .filter(col("event_type") === "error")
+      val sj = graft.streaming.EventsStream.clickErrorJoin(clicks, errors,
+        windowSec = 600L)
+      sb.append("\n## s_stream_join (streaming side, unstarted)\n\n")
+      sb.append("100× plan: both sides carry 1-hour watermarks and the " +
+        "join is key-equality on user_id PLUS an event-time range, so at " +
+        "runtime this plans as StreamingSymmetricHashJoin with state " +
+        "evicted by the joint watermark — state is O(in-window rows per " +
+        "user), never O(stream history). The declared query's hash gate " +
+        "aggregates batch-side on the drained sink; per-microbatch " +
+        "physical plans only materialize at runtime, so the audit below " +
+        "is the pre-start plan with the two EventTimeWatermark nodes and " +
+        "the range predicate visible.\n\n")
+      sb.append("```\n")
+      sb.append(sj.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("extended")))
       sb.append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)

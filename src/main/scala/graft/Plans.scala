@@ -40,8 +40,9 @@ object Plans {
       // the r6 driver bench's slowest — d_ngram_jaccard, g_bfs, t_ngram_lm)
       // and the round's new operators
       "g_kcore", "g_bfs", "d_ngram_jaccard", "t_ngram_lm",
-      "v_kmeans_iter", "v_knn_ivf_probe",
-      "q_tpch_q11", "q_tpch_q2", "q_tpch_q20")
+      "v_kmeans_iter", "v_knn_ivf_probe", "v_knn_ivfpq_probe",
+      "q_tpch_q11", "q_tpch_q2", "q_tpch_q20",
+      "q_tpch_q1", "q_tpch_q12", "q_tpch_q21")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -223,7 +224,30 @@ object Plans {
         "aggregates map-side at (part,supp) grain before its single " +
         "join, the excess-stock rational filter is codegen'd, and the " +
         "surviving supplier keys semi-join back into the dims. No " +
-        "correlated re-scans, no row ships twice."))
+        "correlated re-scans, no row ships twice."),
+      "v_knn_ivfpq_probe" -> ("100× plan: the production composition's " +
+        "serving shape — assignment, codebook, and the full-corpus " +
+        "m-byte code table are all parquet scans of persisted index " +
+        "tables; the probe prunes the assignment by broadcast probe " +
+        "cells, semi-joins the code table down to probed vectors, and " +
+        "scores with the broadcast ADC LUT + per-vector decimal sum. " +
+        "Nothing is re-encoded, nothing shuffles at embedding width; at " +
+        "write time the code table is bucketed by cell so the scan " +
+        "itself prunes to nprobe/nCells."),
+      "q_tpch_q1" -> ("100× plan: the canonical pushdown query — the " +
+        "shipdate filter reaches the scan, all ten aggregates " +
+        "partial-aggregate map-side into 4 groups inside one " +
+        "whole-stage-codegen span, and the exchange carries 4 rows. " +
+        "Decimal scales 2/4/6 keep every sum exact at any partitioning."),
+      "q_tpch_q12" -> ("100× plan: mode/date predicates (on codegen'd " +
+        "scan-side derived columns) prune lineitem before its single " +
+        "key-equality join with orders; the conditional counts absorb " +
+        "map-side into 2 groups."),
+      "q_tpch_q21" -> ("100× plan: the EXISTS/NOT-EXISTS pair " +
+        "decorrelated into one semi and one anti join, every join " +
+        "key-equality on orderkey with a residual suppkey inequality — " +
+        "no correlated lineitem re-scan; the late set is derived once " +
+        "and reused for both the driving side and the anti join."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical plan audit (generated by graft.Plans)\n\n")
     sb.append("What to look for: `PushedFilters`/`ReadSchema` on scans, " +

@@ -136,6 +136,33 @@ object PqIndex {
       adcLut(cb, query, subDim), queryId), k)
   }
 
+  /** Persisted-index lifecycle for PQ (the IvfIndex.loadOrBuildSampled
+    * pattern): codebook + FULL-corpus code table built once into
+    * fingerprint-keyed parquet, loaded as plain scans afterwards. Encoding
+    * is per-vector independent, so probing a full-corpus persisted code
+    * table gives bit-identical results to the per-call probed-only encode
+    * ([[knnIvfPq]]) — which is why the serving query shares its oracle.
+    * At deployment scale the code table is written bucketed by the IVF
+    * `cell` so a probe scans nprobe/nCells of the m-byte codes. */
+  def loadOrBuildPq(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+                    srcTag: String, idCol: String, vecCol: String,
+                    m: Int, subDim: Int, nCodes: Int): (DataFrame, DataFrame) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val n = emb.count()
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pq-index-$digest-$m-$nCodes-$n")
+    val cbPath = new java.io.File(base, "codebook")
+    val encPath = new java.io.File(base, "codes")
+    if (!new java.io.File(encPath, "_SUCCESS").exists()) {
+      val cb = codebook(emb, idCol, vecCol, m, subDim, nCodes)
+      cb.write.mode("overwrite").parquet(cbPath.toString)
+      encode(emb, idCol, vecCol, cb, m, subDim)
+        .write.mode("overwrite").parquet(encPath.toString)
+    }
+    (spark.read.parquet(cbPath.toString), spark.read.parquet(encPath.toString))
+  }
+
   /** IVF-PQ composition — the production billion-scale layout: IVF cells
     * prune WHICH vectors are scored (only the nprobe cells nearest the
     * query), PQ codes compress HOW each survivor is scored (ADC lookups,

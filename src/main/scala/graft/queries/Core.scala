@@ -85,6 +85,44 @@ object Core {
                100 + (('0x' || substr(md5(ps_partkey || '|' || ps_suppkey), 7, 6))::BIGINT % 99900) AS ps_cost_cents
         FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem))"""
 
+  /** Lineitem extended with the three columns Q12/Q21 need and the testdata
+    * lacks — synthesized DETERMINISTICALLY per (orderkey, linenumber) like
+    * [[partsupp]]: l_shipmode from a 7-mode palette, and commit/receipt
+    * dates as ship + md5-derived 0..44 day offsets in exact epoch-micros
+    * integer arithmetic (identical in both engines; no interval semantics
+    * involved). ~Half of lines end up "late" (receipt > commit), which is
+    * what gives Q12's split and Q21's waiting-supplier set real
+    * selectivity. All three derivations are codegen'd per row at the scan. */
+  private def lineitemExt(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("l_orderkey").cast("string"), lit("|"),
+      col("l_linenumber").cast("string")))
+    val modes = array(Seq("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP",
+      "TRUCK").map(lit): _*)
+    def days(from: Int): Column =
+      conv(substring(h, from, 4), 16, 10).cast("long") % 45 * 86400000000L
+    // l_shipdate is TIMESTAMP_NTZ in the driver parquet; the session tz is
+    // pinned UTC (Engine), so the cast to TIMESTAMP is wall-clock identity
+    // and unix_micros equals the oracle's epoch_us
+    val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
+    t(s, dir, "lineitem")
+      .withColumn("l_shipmode", element_at(modes,
+        (conv(substring(h, 1, 4), 16, 10).cast("int") % 7) + 1))
+      .withColumn("l_commitdate", timestamp_micros(shipUs + days(5)))
+      .withColumn("l_receiptdate", timestamp_micros(shipUs + days(9)))
+  }
+
+  /** The lineitem extension as a DuckDB CTE (`le`), mirroring [[lineitemExt]]. */
+  private val lineitemExtSql: String =
+    """le AS (
+        SELECT *,
+               (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])[
+                 CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 4))::BIGINT % 7 AS INTEGER) + 1] AS l_shipmode,
+               make_timestamp(epoch_us(l_shipdate)
+                 + (('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 5, 4))::BIGINT % 45) * 86400000000) AS l_commitdate,
+               make_timestamp(epoch_us(l_shipdate)
+                 + (('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 9, 4))::BIGINT % 45) * 86400000000) AS l_receiptdate
+        FROM lineitem)"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans / projection / filter (reference O2, O12, O9) ---------------
     "q_scan_project" -> ((s, dir) => {
@@ -777,6 +815,84 @@ object Core {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+    "q_tpch_q1" -> ((s, dir) => {
+      // TPC-H Q1 at FULL fidelity (q1_agg carries the shape; this carries
+      // all ten aggregate columns): pricing-summary report with exact
+      // decimal sums — scale 2 for single columns, 4 for the 2-factor
+      // discount product, 6 for the 3-factor charge product (each factor
+      // has 2 decimals, so the product is exact at that scale and the cast
+      // rounds the same IEEE double in both engines) — and averages as one
+      // double division of the decimal sum by count(*). Pure scan +
+      // map-side-combined agg over 4 groups: the canonical pushdown query.
+      val price = col("l_extendedprice")
+      val disc = col("l_discount")
+      val tax = col("l_tax")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1999-06-30 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(price).as("sum_base_price"),
+          dsum4(price * (lit(1.0) - disc)).as("sum_disc_price"),
+          sum((price * (lit(1.0) - disc) * (lit(1.0) + tax))
+            .cast(DecimalType(24, 6))).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(price.cast(DecimalType(18, 2))).cast("double") /
+            count(lit(1))).as("avg_price"),
+          (sum(disc.cast(DecimalType(18, 2))).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 analogue (shipping-mode priority split) on the
+      // synthesized shipmode/commit/receipt columns (lineitemExt): the
+      // classic conditional-count pivot after a selective fact filter —
+      // mode/date predicates prune at the scan (the derived columns are
+      // codegen'd scan-side), orders joins on its key once, and the two
+      // CASE sums absorb map-side into 2 groups.
+      val le = lineitemExt(s, dir)
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          col("l_shipdate") < col("l_commitdate") &&
+          col("l_receiptdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_receiptdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .select("l_orderkey", "l_shipmode")
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .join(le, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 analogue (suppliers who kept orders waiting): the
+      // EXISTS / NOT EXISTS pair hand-decorrelated into one semi and one
+      // anti join — a late line (receipt > commit, ~half by construction)
+      // counts against its supplier iff the finalized order HAS another
+      // supplier (semi join, suppkey inequality residual) and NO OTHER
+      // supplier was late (anti join on the late set). Every join is
+      // key-equality on orderkey; no correlated re-scan of lineitem.
+      val le = lineitemExt(s, dir).select("l_orderkey", "l_suppkey",
+        "l_commitdate", "l_receiptdate")
+      val late = le.filter(col("l_receiptdate") > col("l_commitdate"))
+        .select("l_orderkey", "l_suppkey")
+      val l1 = late
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+      val others = le.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1
+        .join(others, col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
     }),
     "q_tpch_q11" -> ((s, dir) => {
       // TPC-H Q11 analogue (important-stock value share) on the synthesized
@@ -2303,6 +2419,48 @@ object Core {
          JOIN customer ON c_custkey = o_custkey
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 100""",
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+              count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+         GROUP BY 1, 2""",
+    "q_tpch_q12" ->
+      s"""WITH $lineitemExtSql
+         SELECT l_shipmode,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN le ON o_orderkey = l_orderkey
+         WHERE l_shipmode IN ('MAIL','SHIP')
+           AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+           AND l_receiptdate >= TIMESTAMP '1997-01-01'
+           AND l_receiptdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    "q_tpch_q21" ->
+      s"""WITH $lineitemExtSql,
+         late AS (SELECT l_orderkey, l_suppkey FROM le
+                  WHERE l_receiptdate > l_commitdate),
+         l1 AS (SELECT l.l_orderkey, l.l_suppkey FROM late l
+                JOIN orders ON o_orderkey = l.l_orderkey
+                WHERE o_orderstatus = 'F'
+                  AND EXISTS (SELECT 1 FROM le l2
+                              WHERE l2.l_orderkey = l.l_orderkey
+                                AND l2.l_suppkey <> l.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM late l3
+                                  WHERE l3.l_orderkey = l.l_orderkey
+                                    AND l3.l_suppkey <> l.l_suppkey))
+         SELECT s_name, count(*) AS numwait
+         FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+         GROUP BY 1""",
     "q_tpch_q11" ->
       s"""WITH $partsuppSql,
          natps AS (SELECT ps_partkey, ps_availqty * ps_cost_cents AS val

@@ -163,6 +163,25 @@ object VectorOps {
       IvfIndex.probeSampled(assigned, e, "vec_id", "embedding", query,
         queryId = 0L, k = 10, nCells = 16, nprobe = 4)
     }),
+    "v_knn_ivfpq_probe" -> ((s, dir) => {
+      // the production composition's SERVING number: IVF assignment, PQ
+      // codebook, and the FULL-corpus code table all load from persisted
+      // fingerprint-keyed index tables (built once); the query pays
+      // probe-cell selection, a semi join restricting the m-byte codes to
+      // probed cells, the broadcast ADC LUT, and the per-vector decimal
+      // sum. Encoding is per-vector independent, so the result is
+      // bit-identical to v_knn_ivfpq's per-call probed-only encode — the
+      // oracle replay is shared.
+      val e = emb(s, dir)
+      val assigned = IvfIndex.loadOrBuildSampled(s, e, s"$dir/embeddings",
+        "vec_id", "embedding", nCells = 16)
+      val (cb, enc) = PqIndex.loadOrBuildPq(s, e, s"$dir/embeddings",
+        "vec_id", "embedding", m = 8, subDim = 8, nCodes = 16)
+      val query = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      PqIndex.probeIvfPq(assigned, enc, cb, e, "vec_id", "embedding",
+        query, queryId = 0L, k = 10, nCells = 16, nprobe = 4, subDim = 8)
+    }),
     "v_knn_batch" -> ((s, dir) => {
       // the serving shape: 8 queries answered in ONE pass over the corpus —
       // broadcast query table, decimal cosine per pair, per-query top-5 via
@@ -220,6 +239,62 @@ object VectorOps {
        SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
        FROM d, qn
        ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10"""
+
+  /** IVF-PQ replay: the v_knn_ivf assignment/probe CTEs (renamed ipu/ipd)
+    * composed with the v_knn_pq encode/LUT CTEs; the ADC estimate is
+    * restricted to vectors whose IVF cell is probed. Shared by v_knn_ivfpq
+    * (per-call probed-only encode) and v_knn_ivfpq_probe (persisted
+    * full-corpus code table) — encoding is per-vector independent, so both
+    * produce the identical result. */
+  private val ivfpqOracle: String =
+    """WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                 FROM embeddings WHERE vec_id < 16),
+       ipu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+               FROM embeddings e CROSS JOIN seeds s),
+       ipd AS (SELECT vec_id, cell,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+               FROM ipu GROUP BY 1, 2),
+       cn AS (SELECT cell,
+                CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+              FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+       cc AS (SELECT vec_id, ipd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+              FROM ipd JOIN cn ON ipd.cell = cn.cell),
+       assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                    FROM cc GROUP BY 1),
+       probes AS (SELECT cell FROM cc WHERE vec_id = 0
+                  ORDER BY c DESC, cell ASC LIMIT 4),
+       cand AS (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cell = p.cell),
+       cb AS (SELECT CAST(vec_id AS INTEGER) AS code, sub,
+                     embedding[sub*8+1 : sub*8+8] AS cv
+              FROM embeddings, subs WHERE vec_id < 16),
+       sl AS (SELECT vec_id AS vid, sub, embedding[sub*8+1 : sub*8+8] AS sv
+              FROM embeddings, subs),
+       pu AS (SELECT vid, sl.sub AS sub, code, unnest(sv) AS x, unnest(cv) AS y
+              FROM sl JOIN cb ON sl.sub = cb.sub),
+       pd AS (SELECT vid, sub, code,
+                CAST(sum(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                              (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                              AS DECIMAL(28,16))) AS DOUBLE) AS d
+              FROM pu GROUP BY 1, 2, 3),
+       enc AS (SELECT vid, sub, (min(struct_pack(d := d, c := code))).c AS code
+               FROM pd GROUP BY 1, 2),
+       qsl AS (SELECT sub, qe[sub*8+1 : sub*8+8] AS qv FROM q, subs),
+       lu AS (SELECT cb.sub AS sub, code, unnest(cv) AS y, unnest(qv) AS x
+              FROM cb JOIN qsl ON cb.sub = qsl.sub),
+       lut AS (SELECT sub, code,
+                 CAST(sum(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                               (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                               AS DECIMAL(28,16))) AS DOUBLE) AS qd
+               FROM lu GROUP BY 1, 2),
+       est AS (SELECT vid, sum(CAST(qd AS DECIMAL(28,16))) AS est
+               FROM enc JOIN lut USING (sub, code)
+               WHERE vid <> 0 AND vid IN (SELECT vec_id FROM cand)
+               GROUP BY 1)
+       SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
+       FROM est ORDER BY est ASC, vid ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
     "v_knn_native" ->
@@ -379,58 +454,8 @@ object VectorOps {
                  WHERE vid <> 0 GROUP BY 1)
          SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
          FROM est ORDER BY est ASC, vid ASC LIMIT 10""",
-    "v_knn_ivfpq" ->
-      // composition of the v_knn_ivf assignment/probe CTEs (renamed ipu/ipd)
-      // with the v_knn_pq encode/LUT CTEs; the ADC estimate is restricted
-      // to vectors whose IVF cell is probed
-      """WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
-                   FROM embeddings WHERE vec_id < 16),
-         ipu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
-                 FROM embeddings e CROSS JOIN seeds s),
-         ipd AS (SELECT vec_id, cell,
-                   CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
-                   CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
-                 FROM ipu GROUP BY 1, 2),
-         cn AS (SELECT cell,
-                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
-                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
-         cc AS (SELECT vec_id, ipd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
-                FROM ipd JOIN cn ON ipd.cell = cn.cell),
-         assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
-                      FROM cc GROUP BY 1),
-         probes AS (SELECT cell FROM cc WHERE vec_id = 0
-                    ORDER BY c DESC, cell ASC LIMIT 4),
-         cand AS (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cell = p.cell),
-         cb AS (SELECT CAST(vec_id AS INTEGER) AS code, sub,
-                       embedding[sub*8+1 : sub*8+8] AS cv
-                FROM embeddings, subs WHERE vec_id < 16),
-         sl AS (SELECT vec_id AS vid, sub, embedding[sub*8+1 : sub*8+8] AS sv
-                FROM embeddings, subs),
-         pu AS (SELECT vid, sl.sub AS sub, code, unnest(sv) AS x, unnest(cv) AS y
-                FROM sl JOIN cb ON sl.sub = cb.sub),
-         pd AS (SELECT vid, sub, code,
-                  CAST(sum(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                                (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                AS DECIMAL(28,16))) AS DOUBLE) AS d
-                FROM pu GROUP BY 1, 2, 3),
-         enc AS (SELECT vid, sub, (min(struct_pack(d := d, c := code))).c AS code
-                 FROM pd GROUP BY 1, 2),
-         qsl AS (SELECT sub, qe[sub*8+1 : sub*8+8] AS qv FROM q, subs),
-         lu AS (SELECT cb.sub AS sub, code, unnest(cv) AS y, unnest(qv) AS x
-                FROM cb JOIN qsl ON cb.sub = qsl.sub),
-         lut AS (SELECT sub, code,
-                   CAST(sum(CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                                 (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-                                 AS DECIMAL(28,16))) AS DOUBLE) AS qd
-                 FROM lu GROUP BY 1, 2),
-         est AS (SELECT vid, sum(CAST(qd AS DECIMAL(28,16))) AS est
-                 FROM enc JOIN lut USING (sub, code)
-                 WHERE vid <> 0 AND vid IN (SELECT vec_id FROM cand)
-                 GROUP BY 1)
-         SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
-         FROM est ORDER BY est ASC, vid ASC LIMIT 10""",
+    "v_knn_ivfpq" -> ivfpqOracle,
+    "v_knn_ivfpq_probe" -> ivfpqOracle,
     "v_knn_batch" ->
       // per-query replay of the v_knn_brute accumulation with the query
       // table inlined; rank via row_number over the unrounded cosine with

@@ -21,6 +21,11 @@ object Engine {
     // testdata events.ts is TIMESTAMP(NANOS) which Spark otherwise rejects;
     // read as Long ns and convert in Tables.load.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (the
+    // regenerated testdata's ts/shipdate) must read as TimestampType, not
+    // TIMESTAMP_NTZ: watermarks and as-of joins require LTZ, and with the
+    // session time zone pinned UTC the two are value-identical.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 

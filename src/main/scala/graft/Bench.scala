@@ -29,9 +29,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // steady-state warmup (untimed): touch every table once so file
     // listing, footer reads, and codegen/JIT warm-up don't land on
-    // whichever query happens to run first
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val samples: Map[String, Seq[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    // whichever query happens to run first. The counts double as the
+    // corpus fingerprint: testdata regeneration silently shifted
+    // t_upsample/t_fingerprint ~10x between rounds 6 and 7 with no
+    // artifact to attribute it to — row counts + avg document length
+    // make cross-round deltas adjudicable from the bench line alone.
+    val tableRows: Map[String, Long] =
+      Tables.names.map(n => n -> Tables.load(spark, sfDir, n).count()).toMap
+    val docAvgLen: Double = Tables.load(spark, sfDir, "documents")
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.length(col("text"))))
+      .first().getDouble(0)
+    // optional comma-separated query filter for targeted quiet-host
+    // measurements (e.g. plan-audit medians); unset = full inventory,
+    // which is what the driver runs
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val samples: Map[String, Seq[Double]] = selected.map { case (name, fn) =>
       name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -54,7 +71,7 @@ object Bench {
     // corpus bucketing column, codes stored alongside) and pays only the
     // probe. Timing the phases separately makes the steady-state probe cost
     // visible to the 2× gate instead of being buried in rebuild time.
-    val annSplit: Map[String, (Double, Double)] = {
+    val annSplit: Map[String, (Double, Double)] = if (only.nonEmpty) Map.empty else {
       val emb = Tables.load(spark, sfDir, "embeddings")
       val query = emb.filter(col("vec_id") === 0L)
         .select("embedding").first().getSeq[Float](0)
@@ -149,10 +166,29 @@ object Bench {
     val slowest = ok.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val corpusJson = {
+      val rows = tableRows.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"rows":$rows,"doc_avg_len":${fmt(docAvgLen)}}"""
+    }
     val full =
-      s"""{"metric":"per_query_min_med_max","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query_min_med_max","value":${fmt(total)},"unit":"sec","reps":$reps,"corpus":$corpusJson,"queries":$qs,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${results.size - ok.size},"reps":$reps,"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"spread_top":$spreadTop,"ann_split":$annJson,"slowest":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${results.size - ok.size},"reps":$reps,"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"spread_top":$spreadTop,"ann_split":$annJson,"slowest":$slowest,"corpus":$corpusJson,"sf":"$sfDir"}"""
+    // The driver captures only the TAIL ~2000 chars of bench output, which
+    // truncated the 197-triplet full line to ~38 queries in BENCH_r07 —
+    // defeating the per-query contention self-adjudication it exists for.
+    // So the full line is ALSO written to a committed file in the repo
+    // (BENCH_full.json, cwd = repo root under sbt); the driver artifact
+    // keeps the short summary line as before.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
+    }
     // stop FIRST so no Spark shutdown logging can land after the JSON: the
     // driver parses the bench from the TAIL of the captured output, and the
     // 105-entry per-query line alone overflowed that window four rounds

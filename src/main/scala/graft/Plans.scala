@@ -42,7 +42,11 @@ object Plans {
       "g_kcore", "g_bfs", "d_ngram_jaccard", "t_ngram_lm",
       "v_kmeans_iter", "v_knn_ivf_probe", "v_knn_ivfpq_probe",
       "q_tpch_q11", "q_tpch_q2", "q_tpch_q20",
-      "q_tpch_q1", "q_tpch_q12", "q_tpch_q21")
+      "q_tpch_q1", "q_tpch_q12", "q_tpch_q21",
+      // round 8: the last two slowest-10 members without an audit entry
+      // (the round-7 verdict's residual `weak` pair), plus the round's
+      // new operators
+      "g_linkpred", "t_fuzzy_curate", "v_kmeans_conv", "m_wav_stats")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -247,7 +251,56 @@ object Plans {
         "decorrelated into one semi and one anti join, every join " +
         "key-equality on orderkey with a residual suppkey inequality — " +
         "no correlated lineitem re-scan; the late set is derived once " +
-        "and reused for both the driving side and the anti join."))
+        "and reused for both the driving side and the anti join."),
+      "g_linkpred" -> ("100× plan: candidates come ONLY from the " +
+        "shared-neighbor equality self-join on the part key — a pair " +
+        "materializes iff it has >= 1 common part, so fan-out is " +
+        "Σ_p deg(p)², bounded by the part side's degree (TPC-H parts " +
+        "have ~4-40 suppliers each; a power-law corpus would add " +
+        "d_ngram_jaccard's df-cap idiom on the part key). The common " +
+        "count partial-aggregates map-side before its exchange; the two " +
+        "degree joins are supplier-cardinality (broadcast-size); the " +
+        "Jaccard is ONE IEEE division of exact integers fused in " +
+        "codegen; and the top-50 cut is a TakeOrderedAndProject over a " +
+        "total order (jac desc, sa, sb) — no global sort materializes. " +
+        "Quiet-host sf0.1: median 4.26 s, min 3.36 s over 10 reps across " +
+        "two runs (driver r7 median 10.5 s = the contended-host artifact; " +
+        "contention index 1.59 that round)."),
+      "t_fuzzy_curate" -> ("100× plan: three operator families composed " +
+        "declaratively — (1) SimHash candidate pairs: the 64-bit " +
+        "fingerprint is a codegen'd native expression at the scan and " +
+        "candidates come from a banded key-equality self-join (top-byte " +
+        "block + popcount<=2 residual), never corpus²; (2) connected " +
+        "components closes the non-transitive near-dup relation in " +
+        "O(log²n) large/small-star rounds, localCheckpoint keeping " +
+        "lineage O(1); (3) survivors = one left-anti + one left-semi " +
+        "key-equality join on doc_id, and the token-window filter is a " +
+        "per-row codegen'd size() at the scan. Every shuffle is keyed by " +
+        "doc_id or a band key — nothing is ever all-pairs. Quiet-host " +
+        "sf0.1: median 4.34 s, min 3.69 s over 10 reps across two runs " +
+        "(driver r7 median 9.9 s with min 3.2 s — the min agrees with " +
+        "the quiet floor; the median was contention)."),
+      "v_kmeans_conv" -> ("100× plan: the convergence-terminated Lloyd " +
+        "loop — per round the audited v_kmeans shape (corpus × " +
+        "broadcast(16 centroids) argmax, map-side combined, one row per " +
+        "vector on the exchange; (cell,dim) decimal-mean update of k·d " +
+        "rows, localCheckpointed) plus ONE driver-side scalar per round: " +
+        "the max-abs centroid movement, a k·d-row join aggregated to one " +
+        "row — the standard iterative-driver pattern, O(k·d) driver " +
+        "traffic per round regardless of corpus size. The audited plan " +
+        "below is the stopping round's checkpoint + rounding projection; " +
+        "rounds are data-dependent (sf0.001→4, sf0.01→3, sf0.1→2) and " +
+        "the stop_round column puts the termination decision itself " +
+        "under the hash gate."),
+      "m_wav_stats" -> ("100× plan: one narrow scan of documents → " +
+        "per-partition WAV synthesis + REAL RIFF parse (the JDK's " +
+        "WaveFileReader) + amplitude/silence stats, all inside ONE " +
+        "mapPartitions stage — raw PCM samples never leave the scan " +
+        "stage, only the fixed-width 7-column stats row is emitted, and " +
+        "there is no shuffle at all (the plan is scan → project; the " +
+        "only exchange a deployment would see is whatever consumes the " +
+        "stats). The decode is per-row independent — embarrassingly " +
+        "parallel at any scale."))
     val sb = new StringBuilder
     sb.append("# PLANS — physical plan audit (generated by graft.Plans)\n\n")
     sb.append("What to look for: `PushedFilters`/`ReadSchema` on scans, " +

@@ -31,6 +31,56 @@ object Codec {
     * (1 = grayscale, 3 = RGB), 8 bits per sample. */
   final case class Image(width: Int, height: Int, channels: Int,
                          pixels: Array[Byte])
+
+  /** A decoded PCM clip: `samples` is frame-major (interleaved channels),
+    * one Int per 16-bit sample, sign-extended. */
+  final case class Audio(sampleRate: Int, channels: Int, samples: Array[Int])
+}
+
+/** The audio half of the codec seam — same contract as [[Codec]] but for
+  * PCM clips. [[WavCodec]] is the reference implementation. */
+trait AudioCodec extends Serializable {
+  def formats: Set[String]
+  def decode(payload: Array[Byte]): Codec.Audio
+}
+
+/** RIFF/WAVE PCM decode via `javax.sound.sampled` — the one mainstream
+  * media codec that is pure-JVM (the JDK ships a WaveFileReader service
+  * provider; no native libs, headless-safe), which makes WAV the first
+  * REAL audio modality in the pipeline rather than a stubbed seam. The
+  * header parse (RIFF chunk walk, fmt validation) is the JDK's, not a
+  * hand-rolled byte scan — exactly what plugging a real library into the
+  * seam is supposed to look like. 16-bit signed PCM only (the format the
+  * asset builder emits; JPEG/MP4 remain out of scope — no native codecs
+  * in this sandbox). */
+object WavCodec extends AudioCodec {
+
+  override val formats: Set[String] = Set("wav")
+
+  override def decode(payload: Array[Byte]): Codec.Audio = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported encoding ${fmt.getEncoding} (want 16-bit signed PCM)")
+      require(fmt.getSampleSizeInBits == 16,
+        s"unsupported sample size ${fmt.getSampleSizeInBits} (want 16)")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val samples = new Array[Int](n)
+      val be = fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        val b0 = bytes(2 * i) & 0xff
+        val b1 = bytes(2 * i + 1) & 0xff
+        samples(i) = (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+        i += 1
+      }
+      Codec.Audio(fmt.getSampleRate.toInt, fmt.getChannels, samples)
+    } finally in.close()
+  }
 }
 
 /** Netpbm binary formats: P6 (RGB, 3 channels) and P5 (grayscale, 1

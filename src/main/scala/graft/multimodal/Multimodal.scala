@@ -63,6 +63,92 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic RIFF/WAVE PCM asset per document — REAL audio payloads
+    * for the [[AudioCodec]] path: mono 16-bit signed little-endian PCM at
+    * 8 kHz, n = 1 + len%64 samples, sample i = (code(text[i % len]) % 64
+    * - 32) · 512 (0 for empty docs). ASCII space maps to amplitude 0, so
+    * real text yields genuine silence gaps between words — which is what
+    * makes the silence-span statistic downstream non-trivial. The header
+    * is a full RIFF chunk structure the JDK's WaveFileReader parses; every
+    * sample is arithmetic on (length, text), so the DuckDB oracle replays
+    * the decoded output without parsing WAV. */
+  def wavAssetsFromDocuments(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val len = text.length
+          val n = 1 + len % 64
+          val dataSize = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)          // PCM
+            .putShort(1)          // mono
+            .putInt(8000)         // sample rate
+            .putInt(16000)        // byte rate
+            .putShort(2)          // block align
+            .putShort(16)         // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          (0 until n).foreach { i =>
+            val amp = if (len == 0) 0
+              else (text.charAt(i % len).toInt % 64 - 32) * 512
+            bb.putShort(amp.toShort)
+          }
+          val payload = bb.array()
+          Row(id, "audio", payload, payload.length, "wav")
+        }
+      }(enc)
+  }
+
+  /** Decoded-audio statistics schema: per-clip amplitude stats plus the
+    * longest run of zero samples (the silence-span primitive of
+    * voice-activity trimming). */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false),
+    StructField("amp_max", IntegerType, nullable = false),
+    StructField("max_silence_run", IntegerType, nullable = false)))
+
+  /** The audio-codec decode pass: per-partition REAL decode (header parse
+    * + PCM extraction by the codec), then per-clip amplitude stats and the
+    * longest zero-sample run, all exact integer arithmetic so the result
+    * hash-gates. The raw samples never shuffle — only the fixed-width
+    * stats row leaves the scan stage, the same only-metadata-moves
+    * discipline as the image pipeline. */
+  def decodeAudioStats(assets: DataFrame, codec: AudioCodec): DataFrame = {
+    val enc = ExpressionEncoder(audioStatsSchema)
+    assets
+      .filter(lower(col("format")).isin(codec.formats.toSeq: _*))
+      .select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = codec.decode(r.getAs[Array[Byte]](1))
+          var sum = 0L
+          var mx = 0
+          var run = 0
+          var best = 0
+          a.samples.foreach { s =>
+            val abs = math.abs(s)
+            sum += abs
+            if (abs > mx) mx = abs
+            if (s == 0) { run += 1; if (run > best) best = run }
+            else run = 0
+          }
+          Row(r.getLong(0), a.sampleRate, a.channels, a.samples.length,
+            sum, mx, best)
+        }
+      }(enc)
+  }
+
   /** Decoded-image schema produced by a real [[Codec]]: raster dims plus
     * `px_sum` (the decoder's sample checksum — exact integer arithmetic,
     * so it oracle-checks) and the raster itself for downstream stages. */

@@ -123,6 +123,35 @@ object TextDedup {
       .select("doc_id", "sh")
   }
 
+  /** Corpus-calibrated default for [[ppjoinPairs]]'s `maxPrefixDf` guard —
+    * deployments facing unvetted corpora shouldn't have to guess the cap.
+    * The calibration: in a corpus where per-doc rarity ranking works, the
+    * prefix-KEY frequency distribution is overwhelmingly rare (ScaleSpec's
+    * natural-corpus probe: hottest key ≤ max(8, nDocs/100)); an adversarial
+    * block (many short docs whose rarest shingles are still shared) shows
+    * up as a far-tail outlier. So the cap is a high quantile of the
+    * prefix-key frequency distribution × a small headroom factor, floored
+    * so degenerate/tiny corpora can't produce a cap that drops genuinely
+    * rare collisions. Keys above the cap are, by the quantile's own
+    * definition, hotter than (quantile)·100% of the corpus's prefix keys —
+    * exactly the f²/2-fan-out outliers the guard exists for.
+    *
+    * Scale shape: one map-side-combinable count + a single-row
+    * approx-quantile aggregate — one corpus pass, run once at calibration
+    * time, no global sort. The declared d_ppjoin query keeps
+    * `Int.MaxValue` (full completeness); this helper is the deployment
+    * path (ScaleSpec proves the derived cap bounds the adversarial corpus
+    * while keeping the planted rare-key pair). */
+  def derivePrefixDfCap(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, thresholdNum: Int, thresholdDen: Int,
+                        quantile: Double = 0.99, factor: Int = 4,
+                        floor: Int = 16): Int = {
+    val q = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
+      .groupBy("sh").agg(count(lit(1)).as("f"))
+      .agg(expr(s"approx_percentile(f, $quantile)")).first().getLong(0)
+    math.max(floor.toLong, math.min(q * factor, Int.MaxValue.toLong)).toInt
+  }
+
   /** @param maxPrefixDf RUNTIME hot-key guard: prefix KEYS that appear in
     *   more than this many docs' prefixes are excluded from the candidate
     *   join. An adversarial corpus (one shingle locally-rarest in millions

@@ -125,13 +125,17 @@ object JdbcSink {
     *
     * `failpoint` is a test seam injected between the DELETE and the
     * INSERT of phase 2 (JdbcSinkSpec proves a mid-swap crash rolls back to
-    * the pre-batch table). */
+    * the pre-batch table); `preSwapFailpoint` fires after the stage tables
+    * are loaded but before the swap transaction opens (JdbcSinkSpec proves
+    * a crash there leaves the target byte-identical — staging is invisible
+    * by construction — and the rerun completes the batch). */
   def applyCdcAtomic(spark: SparkSession, changes: DataFrame, url: String,
                      table: String, pkCols: Seq[String],
                      props: Properties = new Properties,
                      batchSize: Int = 10000,
                      opCol: String = "op", seqCol: String = "seq",
-                     failpoint: () => Unit = () => ()): Unit = {
+                     failpoint: () => Unit = () => (),
+                     preSwapFailpoint: () => Unit = () => ()): Unit = {
     require(pkCols.nonEmpty, "applyCdcAtomic requires PK columns")
     val remote = spark.read.jdbc(url, table, props)
     val latest = Loader.pickPerKey(changes, pkCols, Seq(col(seqCol).desc))
@@ -153,6 +157,7 @@ object JdbcSink {
       .option("batchsize", batchSize.toLong).jdbc(url, stageUp, props)
     deleteKeys.write.mode("overwrite")
       .option("batchsize", batchSize.toLong).jdbc(url, stageDel, props)
+    preSwapFailpoint()
     // Spark's JDBC writer maps StringType to the dialect's TEXT/CLOB, which
     // some engines (Derby) cannot IMPLICITLY compare with, or insert into,
     // the target's VARCHARs — so the swap SQL explicitly CASTs the stage's

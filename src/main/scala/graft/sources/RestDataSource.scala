@@ -49,7 +49,8 @@ class RestDataSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new RestTable(schema, opts.get("baseUrl"), opts.get("entity"),
       Option(opts.get("batchSize")).map(_.toInt).getOrElse(1000),
-      RestDataSource.authFrom(opts))
+      RestDataSource.authFrom(opts),
+      Option(opts.get("postList")).exists(_.toBoolean))
   }
 }
 
@@ -70,19 +71,21 @@ private[sources] object RestDataSource {
 
 private[sources] class RestTable(schema: StructType, baseUrl: String,
                                  entity: String, batchSize: Int,
-                                 auth: Option[RestExtract.Auth])
+                                 auth: Option[RestExtract.Auth],
+                                 postList: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"rest($entity)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(schema, baseUrl, entity, batchSize, auth)
+    new RestScanBuilder(schema, baseUrl, entity, batchSize, auth, postList)
 }
 
 private[sources] class RestScanBuilder(schema: StructType, baseUrl: String,
                                        entity: String, batchSize: Int,
-                                       auth: Option[RestExtract.Auth])
+                                       auth: Option[RestExtract.Auth],
+                                       postList: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var watermark: Option[String] = None
@@ -107,7 +110,8 @@ private[sources] class RestScanBuilder(schema: StructType, baseUrl: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new RestScan(schema, RestExtract.Api(baseUrl, batchSize, auth = auth),
+    new RestScan(schema,
+      RestExtract.Api(baseUrl, batchSize, auth = auth, postList = postList),
       entity, watermark)
 }
 
@@ -142,7 +146,11 @@ private[sources] class RestReaderFactory(schema: StructType,
     new PartitionReader[InternalRow] {
       private val items: JsonNode = {
         val body = RestExtract.getPage(api, entity, offset, wm)
-        new ObjectMapper().readTree(body).get("items")
+        // GET pages key items by "items"; the Airflow batch-list POST
+        // protocol keys them by entity ("dag_runs"/"task_instances") —
+        // getPage + itemsKey dispatch on the Api, so this reader serves
+        // both protocols unchanged
+        new ObjectMapper().readTree(body).get(RestExtract.itemsKey(api, entity))
       }
       private var i = -1
       override def next(): Boolean = { i += 1; items != null && i < items.size() }

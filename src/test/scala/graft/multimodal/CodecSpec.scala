@@ -84,4 +84,55 @@ class CodecSpec extends AnyFunSuite {
     val mixed = Multimodal.assetsFromDocuments(docs, "doc_id", "text")
     assert(Multimodal.decodeImages(mixed, PpmCodec).count() == 0)
   }
+
+  test("WavCodec: the JDK parses a handcrafted RIFF payload to known samples") {
+    // 4 samples, little-endian 16-bit mono @ 8 kHz — built by hand here
+    // (not by the generator) so the decoder is tested against the SPEC,
+    // not against the code that feeds it in production
+    val samples = Seq[Short](0, 512, -16384, 32767)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+    samples.foreach(bb.putShort)
+    val a = WavCodec.decode(bb.array())
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.map(_.toInt))
+  }
+
+  test("WavCodec: garbage payloads fail loudly, not as zero samples") {
+    intercept[Exception](WavCodec.decode("not a wav".getBytes("US-ASCII")))
+  }
+
+  test("generator → decodeAudioStats roundtrip: silence runs from real text") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, ""),          // 1 sample, amp 0 → silence run 1
+      (1L, "aa   bb"),   // len 7 → 8 samples cycling the text
+      (2L, "q")          // len 1 → 2 samples, both 'q'
+    )).toDF("doc_id", "text")
+    val stats = Multimodal.decodeAudioStats(
+      Multimodal.wavAssetsFromDocuments(docs, "doc_id", "text"), WavCodec)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r0 = stats(0L)
+    assert(r0.getInt(3) == 1 && r0.getLong(4) == 0L && r0.getInt(6) == 1)
+
+    // doc 1: samples cycle "aa   bb" then wrap to 'a' — amp('a') =
+    // (97%64-32)*512 = 512, amp(' ') = 0, amp('b') = 1024; the three
+    // spaces are the longest silence run
+    val r1 = stats(1L)
+    assert(r1.getInt(1) == 8000 && r1.getInt(2) == 1)
+    assert(r1.getInt(3) == 8)
+    assert(r1.getLong(4) == 512L + 512 + 0 + 0 + 0 + 1024 + 1024 + 512)
+    assert(r1.getInt(5) == 1024)
+    assert(r1.getInt(6) == 3)
+
+    val r2 = stats(2L)
+    assert(r2.getInt(3) == 2 && r2.getInt(6) == 0)
+    assert(r2.getLong(4) == 2L * ((('q'.toInt % 64) - 32) * 512).abs)
+  }
 }

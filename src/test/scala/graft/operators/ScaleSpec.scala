@@ -182,6 +182,93 @@ class ScaleSpec extends AnyFunSuite {
     assert(guarded.count() == 1)
   }
 
+  test("ppjoin derived cap bounds the adversarial corpus, keeps the rare-key pair") {
+    import spark.implicits._
+    // the derivePrefixDfCap calibration needs a corpus where hot keys are
+    // tail OUTLIERS, not the majority — so: the same adversarial block as
+    // above (4 keys in ~100 prefixes each), a planted rare-key near-dup
+    // pair, and a background of docs with unique tokens supplying the
+    // rare-key mass a real corpus has (prefix-key df ≈ 1)
+    val hotDocs = (0 until 400).map { i =>
+      val c = s"common${i % 4}"
+      (i.toLong, s"$c $c $c $c alpha beta gamma delta epsilon")
+    }
+    val pair = Seq(
+      (10000L, "red orange yellow green blue indigo violet gold silver bronze"),
+      (10001L, "red orange yellow green blue indigo violet gold silver copper"))
+    val background = (0 until 2000).map { i =>
+      (20000L + i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    }
+    val docs = (hotDocs ++ pair ++ background).toDF("doc_id", "text")
+    val cap = TextDedup.derivePrefixDfCap(docs, "doc_id", "text", 5, 7, 10)
+    // the derived cap must sit BETWEEN the rare-pair's shared-key df (2)
+    // and the planted hot keys' df (~100): calibrated from the corpus, no
+    // hand tuning
+    val byKey = TextDedup.ppjoinPrefix(docs, "doc_id", "text", 5, 7, 10)
+      .groupBy("sh").agg(count(lit(1)).as("f"))
+    val maxF = byKey.agg(max(col("f"))).first().getLong(0)
+    assert(maxF >= 100, s"corpus must plant a hot prefix key, hottest f=$maxF")
+    assert(cap < maxF, s"derived cap $cap fails to bound the hot keys (f=$maxF)")
+    val guarded = TextDedup.ppjoinPairs(docs, "doc_id", "text", 5, 7, 10,
+      maxPrefixDf = cap)
+    assert(guarded.filter(col("doc_a") === 10000L && col("doc_b") === 10001L)
+      .count() == 1, s"derived cap $cap must not drop the rare-key pair")
+    // with the cap on, surviving candidate fan-out is bounded by cap²
+    // per key — the adversarial block's 4·C(100,2) pairs are gone
+    assert(guarded.count() == 1)
+  }
+
+  test("topk row-budget degrade tracks the sort-based WindowGroupLimit") {
+    // perf probe for the b7f41a5 spill fallback: adversarial key
+    // cardinality (keys == rows) with a 64k row budget forces the degrade
+    // — retained heaps hand off to the external spilling sort — on every
+    // partition. The claim under test: the lazily-degraded path costs
+    // about what Spark's own sort-based WindowGroupLimit plan (the plan
+    // it degrades TO) would have, i.e. the budget buys OOM safety without
+    // a cliff. Wall-clock asserts are kept loose (3×) for CI stability;
+    // the measured quiet-host ratio is recorded in DESIGN.md.
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.expressions.Window
+    val n = 2000000L
+    val data = spark.range(n).select(
+      col("id").as("k"),
+      (col("id") * 2654435761L % 1000003L).as("v")).persist()
+    data.count()
+    def timeMin(reps: Int)(f: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    try {
+      spark.conf.set("spark.graft.topk.rowBudget", (1 << 16).toString)
+      val budgeted = GraftPlanBridge.topKPerKey(data,
+        Seq("k"), Seq("v" -> true), k = 1)
+      // keys == rows, k=1: the answer is the whole input — the degenerate
+      // shape where heap state would equal the partition without a budget
+      assert(budgeted.count() == n)
+      val tBudget = timeMin(3)(budgeted.count())
+      // stock comparator: the row_number idiom with the rewrite excluded,
+      // so Spark's own InferWindowGroupLimit sort-based plan runs
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "graft.plans.WindowTopKRewrite")
+      val w = Window.partitionBy("k").orderBy("v", "k")
+      val stock = data.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1).drop("rn")
+      val planStr = stock.queryExecution.executedPlan.toString
+      assert(!planStr.contains("TopKPerKey"),
+        "exclusion failed: the rewrite still fired, nothing stock to compare")
+      assert(planStr.contains("WindowGroupLimit"), planStr.take(600))
+      val tStock = timeMin(3)(stock.count())
+      println(f"[scale] topk degrade probe: budgeted=$tBudget%.3f s " +
+        f"stock=$tStock%.3f s ratio=${tBudget / tStock}%.2f (n=$n, keys=n, k=1)")
+      assert(tBudget <= tStock * 3.0,
+        f"degraded path $tBudget%.2f s vs stock $tStock%.2f s exceeds 3x")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+      spark.conf.unset("spark.graft.topk.rowBudget")
+      data.unpersist()
+    }
+  }
+
   test("kmv overlap: every post-sketch stage is sketch-sized, not data-sized") {
     // the DESIGN claim behind q_kmv_overlap's 100 TB story, measured:
     // after the per-type top-K synopsis, no intermediate exceeds

@@ -140,6 +140,37 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(after == Map("r1" -> "success"))
   }
 
+  test("applyCdcAtomic: a crash between stage-load and swap leaves the target untouched") {
+    val url = freshDb()
+    JdbcSink.dedupAppend(spark, df(("r1", "running", 1.0), ("r2", "queued", 2.0)),
+      url, "runs", Seq("run_id"))
+    val ts = java.sql.Timestamp.valueOf("2022-03-02 00:00:00")
+    val changes = Seq(
+      ("U", 1L, "r1", "success", 9.0, ts),
+      ("D", 1L, "r2", null, 0.0, ts),
+      ("I", 1L, "r4", "queued", 4.0, ts)
+    ).toDF("op", "seq", "run_id", "state", "score", "seen_at")
+    // phase-1/phase-2 boundary: stages are fully loaded, the swap
+    // transaction has NOT opened — the atomicity contract says staging is
+    // invisible, so the target must be byte-identical to pre-batch
+    val boom = intercept[RuntimeException] {
+      JdbcSink.applyCdcAtomic(spark, changes, url, "runs", Seq("run_id"),
+        preSwapFailpoint = () => throw new RuntimeException("crash before swap"))
+    }
+    assert(boom.getMessage.contains("crash before swap"))
+    val out = readBack(url).collect()
+      .map(r => (r.getAs[String]("run_id"),
+        r.getAs[String]("state"), r.getAs[Double]("score"))).toSet
+    assert(out == Set(("r1", "running", 1.0), ("r2", "queued", 2.0)),
+      "a pre-swap crash must not leak any staged row or delete into the target")
+    // rerun with no failpoint: the stage overwrite + idempotent swap
+    // complete the batch as if the crash never happened
+    JdbcSink.applyCdcAtomic(spark, changes, url, "runs", Seq("run_id"))
+    val after = readBack(url).collect()
+      .map(r => r.getAs[String]("run_id") -> r.getAs[String]("state")).toMap
+    assert(after == Map("r1" -> "success", "r4" -> "queued"))
+  }
+
   test("applyCdc: upserts non-D latest, batch-DELETEs D latest, idempotent") {
     val url = freshDb()
     JdbcSink.dedupAppend(spark, df(("r1", "running", 1.0), ("r2", "queued", 2.0)),

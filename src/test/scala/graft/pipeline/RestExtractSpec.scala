@@ -337,6 +337,41 @@ class RestExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       .distinct.sorted.toSeq == Seq(0, 7, 14, 21))
   }
 
+  test("DSv2 connector: postList option speaks the batch-list protocol end-to-end") {
+    // the O7 pagination protocol through the DSv2 layer: planning probes
+    // total_entries once, each page is one InputPartition fetched by a
+    // POST on the executors, and the pushed watermark rides in EVERY page
+    // body — live cross-dag extraction is now executor-parallel through
+    // the same connector that serves the GET protocol
+    postReqs.clear()
+    val df = spark.read.format("graft.sources.RestDataSource")
+      .option("baseUrl", postBase).option("entity", "dag_run")
+      .option("batchSize", "10").option("postList", "true")
+      .load()
+    val wmI = java.time.Instant.parse("2022-03-01T00:00:05Z").plusSeconds(3600L * 4)
+    val filtered = df.filter(col("start_date") > lit(java.sql.Timestamp.from(wmI)))
+    // server returns 21 rows (inclusive >=); the residual strict > drops
+    // the boundary run exactly like the GET path
+    assert(filtered.count() == 20)
+    val reqs = postReqs.toArray(Array.empty[(String, String, String)])
+    assert(reqs.nonEmpty && reqs.forall(_._1 == "POST"),
+      "every DSv2 batch-list request must POST")
+    assert(reqs.forall(_._2 == "/post/dags/~/dagRuns/list"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val bodies = reqs.map(r => mapper.readTree(r._3))
+    // probe(s) at offset 0 + ceil(21/10)=3 page partitions (planning may
+    // probe more than once — e.g. statistics + execution) → every page
+    // window requested exactly, nothing beyond 20
+    assert(bodies.map(_.get("page_offset").asInt).distinct.sorted.toSeq ==
+      Seq(0, 10, 20))
+    assert(bodies.forall(b => Option(b.get("start_date_gte"))
+      .exists(_.asText == wmI.toString)),
+      "the pushed watermark must ride in every page body, probe included")
+    // and without a filter the full set pages through
+    postReqs.clear()
+    assert(df.count() == 25)
+  }
+
   test("batch-list POST mode runs the full extract→stage→load incrementally") {
     Catalog.drop(spark); Catalog.ensure(spark)
     val api = RestExtract.Api(postBase, batchSize = 10, postList = true)

@@ -46,7 +46,8 @@ object Plans {
       // round 8: the last two slowest-10 members without an audit entry
       // (the round-7 verdict's residual `weak` pair), plus the round's
       // new operators
-      "g_linkpred", "t_fuzzy_curate", "v_kmeans_conv", "m_wav_stats")
+      "g_linkpred", "t_fuzzy_curate", "v_kmeans_conv", "m_wav_stats",
+      "g_pagerank_conv")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -292,6 +293,17 @@ object Plans {
         "rounds are data-dependent (sf0.001→4, sf0.01→3, sf0.1→2) and " +
         "the stop_round column puts the termination decision itself " +
         "under the hash gate."),
+      "g_pagerank_conv" -> ("100× plan: the convergence idiom on the " +
+        "second iterative family — per round the audited g_pagerank " +
+        "shape (edge×rank key-equality join + decimal-exact dst sum, " +
+        "edge-sized shuffles) plus ONE driver scalar: the max relative " +
+        "rank movement, a node-cardinality join collapsed to one row. " +
+        "Ranks localCheckpoint every round (each frame is consumed " +
+        "twice: movement probe + next round), lineage O(1). Rounds are " +
+        "data-dependent (sf0.001→4, sf0.01/0.1→5, cap 6 never hit) and " +
+        "stop_round puts the termination decision under the hash gate. " +
+        "The audited plan below is the stopping round's checkpoint + " +
+        "rounding projection."),
       "m_wav_stats" -> ("100× plan: one narrow scan of documents → " +
         "per-partition WAV synthesis + REAL RIFF parse (the JDK's " +
         "WaveFileReader) + amplitude/silence stats, all inside ONE " +

@@ -149,6 +149,40 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-clip waveform polarity fingerprint from DECODED PCM — the audio
+    * analogue of [[imageHashes]]: bit i (i < min(62, n_samples)) is set
+    * iff sample i > 0. 62 bits, not 64, because the DuckDB oracle's
+    * signed `1::BIGINT << i` overflows at 63 — the cap is part of the
+    * cross-engine contract. Clips shorter than `minSamples` are dropped
+    * (a 3-sample clip's fingerprint collides with half the corpus;
+    * real near-dup audio needs enough waveform to be distinctive).
+    * Emitted as (asset_id, hi, lo) 32-bit halves so the banded
+    * [[phashPairs]] candidate join applies unchanged — fingerprints are
+    * 16 bytes per clip; raw samples never leave the decode stage. */
+  def audioFingerprints(assets: DataFrame, codec: AudioCodec,
+                        minSamples: Int): DataFrame = {
+    val enc = ExpressionEncoder(hashSchema)
+    assets
+      .filter(lower(col("format")).isin(codec.formats.toSeq: _*))
+      .select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val a = codec.decode(r.getAs[Array[Byte]](1))
+          if (a.samples.length < minSamples) None
+          else {
+            var fp = 0L
+            var i = 0
+            val n = math.min(62, a.samples.length)
+            while (i < n) {
+              if (a.samples(i) > 0) fp |= 1L << i
+              i += 1
+            }
+            Some(Row(r.getLong(0), fp >>> 32, fp & 0xFFFFFFFFL))
+          }
+        }
+      }(enc)
+  }
+
   /** Decoded-image schema produced by a real [[Codec]]: raster dims plus
     * `px_sum` (the decoder's sample checksum — exact integer arithmetic,
     * so it oracle-checks) and the raster itself for downstream stages. */

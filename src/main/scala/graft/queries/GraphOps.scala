@@ -36,6 +36,22 @@ object GraphOps {
     "g_pagerank" -> ((s, dir) =>
       PageRank.run(edges(s, dir), "src", "dst", iters = 3)
         .select(col("node"), round(col("rank"), 6).as("rank"))),
+    "g_pagerank_conv" -> ((s, dir) => {
+      // convergence-terminated PageRank (the v_kmeans_conv idiom on the
+      // second iterative family): rounds run until the max RELATIVE rank
+      // movement < 2.0, capped at 6. The max-relative movement decays at
+      // ~the damping factor per round, so the threshold lands on a
+      // data-dependent stopping round — measured round 4 at sf0.001 and
+      // round 5 at sf0.01/sf0.1, never the cap — and stop_round puts
+      // that termination decision under the hash gate. The threshold is
+      // deliberately coarse: it is the max over ALL nodes (including
+      // teleport-floor leaves with large relative swings), and the point
+      // is the deterministic data-driven termination MECHANISM.
+      val (ranks, stopR) = PageRank.runConverged(edges(s, dir), "src", "dst",
+        maxIters = 6, relEps = 2.0)
+      ranks.select(col("node"), round(col("rank"), 6).as("rank"),
+        lit(stopR).as("stop_round"))
+    }),
     "g_degree_dist" -> ((s, dir) =>
       // degree distribution per bipartite side — the 1-pass profile that
       // sizes every downstream graph join (skew detection at 100 TB)
@@ -284,6 +300,34 @@ object GraphOps {
          i2 AS ${iterSql("i1", "outd")},
          i3 AS ${iterSql("i2", "outd")}
          SELECT node, round(rank, 6) AS rank FROM i3""",
+    "g_pagerank_conv" ->
+      // 6 rounds unrolled + a relative-movement scalar per round + the
+      // min-round stop pick (the v_kmeans_conv oracle idiom). Each i_r is
+      // MATERIALIZED — referenced by i_{r+1}, d_r, d_{r+1} AND the final
+      // union, an inlining planner would re-derive the round chain
+      // exponentially (the g_kcore lesson). The movement is IEEE
+      // subtract/abs/divide over bit-identical doubles, so the stopping
+      // decision cannot diverge between engines.
+      s"""WITH $edgesSql,
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         outd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+         ${(1 to 6).map { r =>
+           val p = if (r == 1) "r0" else s"i${r - 1}"
+           s"""i$r AS MATERIALIZED ${iterSql(p, "outd")},
+         d$r AS (SELECT max(abs(n.rank - p.rank) / p.rank) AS mv
+                 FROM i$r n JOIN $p p ON n.node = p.node)"""
+         }.mkString(",\n         ")},
+         deltas AS (${(1 to 6).map(r =>
+           s"SELECT $r AS r, mv FROM d$r").mkString(" UNION ALL ")}),
+         stop AS (SELECT CAST(coalesce(min(r), 6) AS INTEGER) AS rs
+                  FROM deltas WHERE mv < 2.0),
+         allr AS (${(1 to 6).map(r =>
+           s"SELECT $r AS r, node, rank FROM i$r").mkString(" UNION ALL ")})
+         SELECT node, round(rank, 6) AS rank,
+                (SELECT rs FROM stop) AS stop_round
+         FROM allr WHERE r = (SELECT rs FROM stop)""",
     "g_degree_dist" ->
       s"""WITH $edgesSql,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)

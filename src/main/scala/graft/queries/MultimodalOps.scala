@@ -73,6 +73,21 @@ object MultimodalOps {
         .select("asset_id", "sample_rate", "channels", "n_samples",
           "amp_sum", "amp_max", "max_silence_run")
     }),
+    "m_wav_neardup" -> ((s, dir) => {
+      // audio × dedup crossover (the m_phash idiom on the new modality):
+      // REAL decoded PCM (WavCodec) → 62-bit waveform polarity
+      // fingerprint → the pigeonhole-complete 4-band join at Hamming ≤ 3,
+      // clips of ≥ 32 samples only. The oracle computes ALL-PAIRS
+      // distances from the construction arithmetic with no blocking, so
+      // the hash gate again proves the banding loses no pair — now for
+      // audio fingerprints.
+      Multimodal.phashPairs(
+        Multimodal.audioFingerprints(
+          Multimodal.wavAssetsFromDocuments(
+            Tables.load(s, dir, "documents"), "doc_id", "text"),
+          graft.multimodal.WavCodec, minSamples = 32),
+        maxDist = 3)
+    }),
     "m_phash" -> ((s, dir) => {
       // multimodal × dedup crossover: REAL decoded rasters (PpmCodec) →
       // 64-bit average-hash → banded near-dup join at Hamming ≤ 3. The
@@ -202,6 +217,23 @@ object MultimodalOps {
                       i -> unicode(text[(i % length(text)) + 1])),
                     (a, b) -> a + b) END AS BIGINT) AS px_sum
          FROM documents""",
+    "m_wav_neardup" ->
+      // fingerprint replayed from the construction arithmetic (bit i set
+      // iff sample i > 0, i < min(62, n), clips with n >= 32), then
+      // ALL-PAIRS Hamming with no blocking — the completeness check for
+      // the engine's banded candidate join
+      """WITH f AS (
+           SELECT doc_id, 1 + length(text) % 64 AS n,
+                  (SELECT CAST(coalesce(sum(
+                     CASE WHEN (unicode(text[(i % length(text)) + 1]) % 64 - 32) > 0
+                          THEN (1::BIGINT << i) ELSE 0 END), 0) AS BIGINT)
+                   FROM unnest(range(0, least(62, 1 + length(text) % 64))) AS t(i)) AS fp
+           FROM documents
+           WHERE length(text) > 0 AND 1 + length(text) % 64 >= 32)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
     "m_wav_stats" ->
       // replays wavAssetsFromDocuments' sample arithmetic: n = 1+len%64
       // samples, amp_i = (unicode(text[i%len+1]) % 64 - 32) * 512 (space

@@ -135,4 +135,28 @@ class CodecSpec extends AnyFunSuite {
     assert(r2.getInt(3) == 2 && r2.getInt(6) == 0)
     assert(r2.getLong(4) == 2L * ((('q'.toInt % 64) - 32) * 512).abs)
   }
+
+  test("audioFingerprints: polarity bits from decoded PCM, short clips dropped") {
+    // len 38 → n = 39 samples: long enough; len 3 → n = 4: dropped.
+    // 'a' (code 97) → amp +512 → bit set; ' ' → 0 → clear; 'p' (112) →
+    // 112%64-32 = 16 → positive; 'A' (65) → 65%64-32 = -31 → negative.
+    val longText = ("a" * 10) + " " + ("A" * 27) // len 38
+    val docs = spark.createDataFrame(Seq(
+      (1L, longText),
+      (2L, "abc") // n = 4 < 32: dropped
+    )).toDF("doc_id", "text")
+    val fps = Multimodal.audioFingerprints(
+      Multimodal.wavAssetsFromDocuments(docs, "doc_id", "text"),
+      WavCodec, minSamples = 32).collect()
+    assert(fps.map(_.getLong(0)).toSet == Set(1L), "short clip must be dropped")
+    val r = fps.head
+    val fp = (r.getLong(1) << 32) | r.getLong(2)
+    // expected: samples cycle the 38-char text over n = 39 samples,
+    // bit i set iff char i%38 maps positive (i < 62 cap; n = 39 < 62)
+    val expected = (0 until 39).foldLeft(0L) { (acc, i) =>
+      val c = longText.charAt(i % 38)
+      if ((c.toInt % 64 - 32) > 0) acc | (1L << i) else acc
+    }
+    assert(fp == expected, f"fp=0x$fp%016x expected=0x$expected%016x")
+  }
 }

@@ -47,7 +47,7 @@ object Plans {
       // (the round-7 verdict's residual `weak` pair), plus the round's
       // new operators
       "g_linkpred", "t_fuzzy_curate", "v_kmeans_conv", "m_wav_stats",
-      "g_pagerank_conv")
+      "g_pagerank_conv", "m_wav_neardup", "v_knn_ivf_trained")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -304,6 +304,27 @@ object Plans {
         "stop_round puts the termination decision under the hash gate. " +
         "The audited plan below is the stopping round's checkpoint + " +
         "rounding projection."),
+      "m_wav_neardup" -> ("100× plan: decode + fingerprint fuse into the " +
+        "scan stage (16 bytes per clip emitted, samples never shuffle); " +
+        "candidates come from 4 band-key equality joins — and the " +
+        "fingerprint is CYCLED dense across all 62 bits precisely so no " +
+        "band is systematically zero: the zero-padded first cut put " +
+        "every sub-48-sample clip in ONE top-band bucket, a hot key " +
+        "quadratic in the short-clip population (measured ~half the " +
+        "corpus, 6.5 s at sf0.1; cycled, the hottest bucket holds <7% " +
+        "and the query runs ~1 s). The exact Hamming check is codegen'd " +
+        "xor+bit_count per candidate."),
+      "v_knn_ivf_trained" -> ("100× plan: train → index → serve in one " +
+        "declarative composition — the 2 training rounds run inside " +
+        "eager localCheckpoints (k·d-row frames, lineage O(1)), and the " +
+        "serving plan is exactly v_knn_ivf's audited shape with TRAINED " +
+        "centroids in place of seeds: corpus × broadcast(16 centroid " +
+        "rows) argmax (map-side combined, one row per vector on the " +
+        "exchange), an nprobe-row broadcast probe-cell pick scored " +
+        "in-plan with the same decimal cosine, and exact rerank over " +
+        "only the probed cells. Training quality changes WHICH cells " +
+        "exist, not the plan shape — at scale the trained assignment is " +
+        "the corpus bucketing column like the sampled variant."),
       "m_wav_stats" -> ("100× plan: one narrow scan of documents → " +
         "per-partition WAV synthesis + REAL RIFF parse (the JDK's " +
         "WaveFileReader) + amplitude/silence stats, all inside ONE " +

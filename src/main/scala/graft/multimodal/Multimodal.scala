@@ -150,15 +150,21 @@ object Multimodal {
   }
 
   /** Per-clip waveform polarity fingerprint from DECODED PCM — the audio
-    * analogue of [[imageHashes]]: bit i (i < min(62, n_samples)) is set
-    * iff sample i > 0. 62 bits, not 64, because the DuckDB oracle's
-    * signed `1::BIGINT << i` overflows at 63 — the cap is part of the
-    * cross-engine contract. Clips shorter than `minSamples` are dropped
-    * (a 3-sample clip's fingerprint collides with half the corpus;
-    * real near-dup audio needs enough waveform to be distinctive).
-    * Emitted as (asset_id, hi, lo) 32-bit halves so the banded
-    * [[phashPairs]] candidate join applies unchanged — fingerprints are
-    * 16 bytes per clip; raw samples never leave the decode stage. */
+    * analogue of [[imageHashes]]: bit i (i in 0..61) is set iff sample
+    * (i mod n_samples) > 0, i.e. the polarity sequence CYCLED across all
+    * 62 bits. Cycling (rather than zero-padding short clips) is a scale
+    * requirement, not cosmetics: with padding, every clip shorter than 48
+    * samples shares an all-zero top band, and that one hot band key makes
+    * the banded candidate join quadratic in the short-clip population
+    * (measured: ~half the corpus in one bucket at sf0.1; cycled, the
+    * hottest of the 4×16-bit band buckets holds <7% of clips). 62 bits,
+    * not 64, because the DuckDB oracle's signed `1::BIGINT << i`
+    * overflows at 63 — the cap is part of the cross-engine contract.
+    * Clips shorter than `minSamples` are dropped (too little waveform to
+    * be distinctive even cycled). Emitted as (asset_id, hi, lo) 32-bit
+    * halves so the banded [[phashPairs]] candidate join applies unchanged
+    * — 16 fingerprint bytes per clip; raw samples never leave the decode
+    * stage. */
   def audioFingerprints(assets: DataFrame, codec: AudioCodec,
                         minSamples: Int): DataFrame = {
     val enc = ExpressionEncoder(hashSchema)
@@ -172,9 +178,8 @@ object Multimodal {
           else {
             var fp = 0L
             var i = 0
-            val n = math.min(62, a.samples.length)
-            while (i < n) {
-              if (a.samples(i) > 0) fp |= 1L << i
+            while (i < 62) {
+              if (a.samples(i % a.samples.length) > 0) fp |= 1L << i
               i += 1
             }
             Some(Row(r.getLong(0), fp >>> 32, fp & 0xFFFFFFFFL))

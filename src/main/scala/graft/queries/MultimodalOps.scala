@@ -81,11 +81,18 @@ object MultimodalOps {
       // distances from the construction arithmetic with no blocking, so
       // the hash gate again proves the banding loses no pair — now for
       // audio fingerprints.
+      // the fingerprint frame is localCheckpointed because the banded
+      // join references it 8× (4 bands × both sides) and the WAV decode
+      // is the expensive stage (javax.sound's per-payload reader lookup):
+      // uncheckpointed, the plan re-decodes the corpus per reference
+      // (measured 6.4 s → ~1 s at sf0.1); checkpointed, decode runs once
+      // and the join sees 16-byte rows
       Multimodal.phashPairs(
         Multimodal.audioFingerprints(
           Multimodal.wavAssetsFromDocuments(
             Tables.load(s, dir, "documents"), "doc_id", "text"),
-          graft.multimodal.WavCodec, minSamples = 32),
+          graft.multimodal.WavCodec, minSamples = 32)
+          .localCheckpoint(true),
         maxDist = 3)
     }),
     "m_phash" -> ((s, dir) => {
@@ -218,16 +225,18 @@ object MultimodalOps {
                     (a, b) -> a + b) END AS BIGINT) AS px_sum
          FROM documents""",
     "m_wav_neardup" ->
-      // fingerprint replayed from the construction arithmetic (bit i set
-      // iff sample i > 0, i < min(62, n), clips with n >= 32), then
-      // ALL-PAIRS Hamming with no blocking — the completeness check for
-      // the engine's banded candidate join
+      // fingerprint replayed from the construction arithmetic: bit i
+      // (0..61) set iff sample (i mod n) > 0 — the polarity sequence
+      // cycled dense across all 62 bits (zero-padding would put every
+      // short clip in one all-zero band bucket; see audioFingerprints) —
+      // clips with n >= 32 only; then ALL-PAIRS Hamming with no blocking,
+      // the completeness check for the engine's banded candidate join
       """WITH f AS (
            SELECT doc_id, 1 + length(text) % 64 AS n,
                   (SELECT CAST(coalesce(sum(
-                     CASE WHEN (unicode(text[(i % length(text)) + 1]) % 64 - 32) > 0
+                     CASE WHEN (unicode(text[((i % (1 + length(text) % 64)) % length(text)) + 1]) % 64 - 32) > 0
                           THEN (1::BIGINT << i) ELSE 0 END), 0) AS BIGINT)
-                   FROM unnest(range(0, least(62, 1 + length(text) % 64))) AS t(i)) AS fp
+                   FROM unnest(range(0, 62)) AS t(i)) AS fp
            FROM documents
            WHERE length(text) > 0 AND 1 + length(text) % 64 >= 32)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,

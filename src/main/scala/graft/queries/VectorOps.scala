@@ -214,6 +214,77 @@ object VectorOps {
       upd.select(col("cell"), col("pos"), round(col("um"), 6).as("c_val"),
         col("n_members"), lit(r).as("stop_round"))
     }),
+    "v_knn_ivf_trained" -> ((s, dir) => {
+      // TRAINED-centroid IVF, fully hash-gated: 2 Lloyd rounds (the
+      // v_kmeans_iter recurrence) train the cells, then the corpus is
+      // assigned to the TRAINED centroids and the query probes the 4
+      // nearest of them — train → index → serve as one oracled
+      // composition. This closes the round-6 caveat that the trained
+      // variant was spec-gated (MLlib's trainer isn't SQL-expressible):
+      // the engine's OWN iterated k-means is, so its centroids can feed
+      // the IVF path under the full decimal-exact contract. At scale the
+      // trained assignment is the corpus bucketing column exactly like
+      // the sampled variant — training quality changes WHICH cells exist,
+      // not the serving plan shape.
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      var cent: DataFrame = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("cell"), col("pos"), col("xf").cast("double").as("m"))
+      (1 to 2).foreach { _ =>
+        val centArr = cent.groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            st => st.getField("m")).as("ce"))
+        val assigned = e.crossJoin(broadcast(centArr))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(
+              Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
+              (-col("cell")).as("nc"))).as("mx"),
+            first(col("embedding")).as("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            (-col("mx.nc")).cast("int").as("cell"))
+        val upd = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(col("x").cast("double").cast(DecimalType(28, 16)))
+              .cast("double") / count(lit(1))).as("um"))
+          .localCheckpoint(true)
+        cent = cent.as("p")
+          .join(upd.select(col("cell"), col("pos"), col("um")),
+            Seq("cell", "pos"), "left")
+          .select(col("cell"), col("pos"), coalesce(col("um"), col("m")).as("m"))
+      }
+      val centArr = cent.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          st => st.getField("m")).as("ce"))
+      // final assignment of the corpus to the trained centroids
+      val assigned = e.crossJoin(broadcast(centArr))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(
+            Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
+            (-col("cell")).as("nc"))).as("mx"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("mx.nc")).cast("int").as("cell"))
+      val query = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      // probe-cell selection IN-PLAN with the same decimal cosine the
+      // assignment used (the probeCells rationale: driver double-math
+      // could flip near-tied centroids vs the oracle)
+      val probes = centArr
+        .select(col("cell"),
+          Similarity.cosineCols(typedLit(query), col("ce")).as("qc"))
+        .orderBy(col("qc").desc, col("cell").asc)
+        .limit(4)
+        .select("cell")
+      assigned.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          Similarity.cosineToQuery(col("embedding"), query).as("c_raw"))
+        .orderBy(col("c_raw").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
+    }),
     "v_knn_ivf_probe" -> ((s, dir) => {
       // the SERVING number for IVF: assignment loaded from the persisted
       // index table (built once per corpus by loadOrBuildSampled), so this
@@ -536,6 +607,63 @@ object VectorOps {
          FROM allm WHERE r = (SELECT rs FROM stop)""",
     "v_knn_ivf" -> ivfOracle,
     "v_knn_ivf_probe" -> ivfOracle,
+    "v_knn_ivf_trained" ->
+      // 2 Lloyd rounds unrolled (the v_kmeans_iter CTE blocks), then the
+      // ivfOracle shape against the TRAINED centroids: final assignment =
+      // argmax over corpus × c2, probes = vec 0's top-4 trained cells,
+      // exact rerank over probed vectors — train → index → serve replayed
+      // end to end
+      s"""WITH gs AS (SELECT unnest(generate_series(1, 64)) AS i),
+         c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                       CAST(embedding[gs.i] AS DOUBLE) AS m
+                FROM embeddings, gs WHERE vec_id < 16),
+         ${(1 to 2).map { r =>
+           val p = s"c${r - 1}"
+           s"""pu$r AS (SELECT e.vec_id, c.cell,
+                  CAST(e.embedding[c.pos + 1] AS DOUBLE) AS x, c.m AS y
+                FROM embeddings e CROSS JOIN $p c),
+         pd$r AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(x*y AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu$r GROUP BY 1, 2),
+         cn$r AS (SELECT cell, CAST(sum(CAST(m*m AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM $p GROUP BY 1),
+         cc$r AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd$r pd JOIN cn$r cn ON pd.cell = cn.cell),
+         a$r AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                FROM cc$r GROUP BY 1),
+         m$r AS (SELECT a.cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                  CAST(sum(CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE)
+                    / count(*) AS um
+                FROM embeddings e JOIN a$r a ON e.vec_id = a.vec_id CROSS JOIN gs
+                GROUP BY 1, 2),
+         c$r AS (SELECT p.cell, p.pos, coalesce(u.um, p.m) AS m
+                FROM $p p LEFT JOIN m$r u ON p.cell = u.cell AND p.pos = u.pos)"""
+         }.mkString(",\n         ")},
+         puF AS (SELECT e.vec_id, c.cell,
+                  CAST(e.embedding[c.pos + 1] AS DOUBLE) AS x, c.m AS y
+                FROM embeddings e CROSS JOIN c2 c),
+         pdF AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(x*y AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(x*x AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM puF GROUP BY 1, 2),
+         cnF AS (SELECT cell, CAST(sum(CAST(m*m AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM c2 GROUP BY 1),
+         ccF AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pdF pd JOIN cnF cn ON pd.cell = cn.cell),
+         aF AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                FROM ccF GROUP BY 1),
+         probes AS (SELECT cell FROM ccF WHERE vec_id = 0
+                    ORDER BY c DESC, cell ASC LIMIT 4),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cand_emb AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                      JOIN aF a ON e.vec_id = a.vec_id
+                      JOIN probes p ON a.cell = p.cell
+                      WHERE e.vec_id <> 0),
+         ${accumSql("cand_emb")}
+         SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
+         FROM d, qn
+         ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
     "v_knn_pq" ->
       // full PQ replay: per-subspace codebooks from vec_ids 0..15, encode =
       // argmin decimal squared-L2 (ties → smallest code via min(struct)),

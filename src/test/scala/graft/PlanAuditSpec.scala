@@ -36,7 +36,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_kmv_overlap", // event-type dim broadcast (~8 rows) into sketch pairs
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
     "v_knn_ivf", "v_knn_ivfpq", // corpus x broadcast(nCells=16 seeds)
-    "v_kmeans") // same assignSampled corpus x broadcast(16 seeds) shape
+    "v_kmeans", // same assignSampled corpus x broadcast(16 seeds) shape
+    "v_knn_ivf_trained") // corpus x broadcast(16 TRAINED centroid rows) —
+    // the training rounds checkpoint away, but the final assignment's
+    // argmax (the v_knn_ivf shape, trained centroids instead of seeds)
+    // is in the serving plan
     // (v_kmeans_iter's per-round broadcast argmax runs inside eager
     // localCheckpoints — its audited final plan is a checkpoint scan +
     // projection, the g_kcore situation)

@@ -151,10 +151,11 @@ class CodecSpec extends AnyFunSuite {
     assert(fps.map(_.getLong(0)).toSet == Set(1L), "short clip must be dropped")
     val r = fps.head
     val fp = (r.getLong(1) << 32) | r.getLong(2)
-    // expected: samples cycle the 38-char text over n = 39 samples,
-    // bit i set iff char i%38 maps positive (i < 62 cap; n = 39 < 62)
-    val expected = (0 until 39).foldLeft(0L) { (acc, i) =>
-      val c = longText.charAt(i % 38)
+    // expected: clip has n = 39 samples (chars cycled from the 38-char
+    // text); the fingerprint cycles the polarity sequence densely over
+    // all 62 bits — bit i = sign of sample (i mod 39)
+    val expected = (0 until 62).foldLeft(0L) { (acc, i) =>
+      val c = longText.charAt((i % 39) % 38)
       if ((c.toInt % 64 - 32) > 0) acc | (1L << i) else acc
     }
     assert(fp == expected, f"fp=0x$fp%016x expected=0x$expected%016x")

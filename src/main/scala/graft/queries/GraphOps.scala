@@ -163,6 +163,52 @@ object GraphOps {
       }
       dist
     }),
+    "g_bfs_conv" -> ((s, dir) => {
+      // FIXPOINT-terminated BFS — the convergence idiom's third family
+      // (after v_kmeans_conv and g_pagerank_conv), and the semantics a
+      // user actually wants from BFS: g_bfs's fixed 3 rounds cannot CLAIM
+      // its distances are final; this variant relaxes until a round
+      // changes nothing (a PURE INTEGER test — count of nodes whose
+      // distance changed — so determinism needs no FP argument at all)
+      // and emits the stopping round. On the co-order graph the ~1% seed
+      // set reaches every reachable node in 2 hops (measured: changed
+      // counts go N, M, 0 at every SF), so the fixpoint lands at round 3
+      // with rounds 4-5 of the cap never run — the hash gate proves BOTH
+      // the final distances AND that the engine detected the fixpoint at
+      // the same round the oracle's static unroll does.
+      val pp = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var dist = sym.select(col("u")).distinct()
+        .filter(col("u") % 100 === 0)
+        .select(col("u").as("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      var r = 0
+      var stopped = false
+      while (r < 5 && !stopped) {
+        r += 1
+        val relaxed = sym
+          .join(dist.withColumnRenamed("node", "u"), "u")
+          .select(col("v").as("node"), (col("dist") + lit(1)).as("dist"))
+        val next = dist.union(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+        val changed = next.select(col("node"), col("dist").as("nd"))
+          .join(dist.select(col("node"), col("dist").as("pd")),
+            Seq("node"), "left")
+          .filter(col("pd").isNull || col("nd") =!= col("pd"))
+          .count()
+        if (changed == 0L) stopped = true
+        dist = next
+      }
+      dist.withColumn("stop_round", lit(r))
+    }),
     "g_linkpred" -> ((s, dir) => {
       // neighbor-overlap link scoring (common-neighbors + Jaccard) — the
       // item-item collaborative-filter / link-prediction primitive: score
@@ -273,6 +319,37 @@ object GraphOps {
            FROM (SELECT DISTINCT u FROM s0) n WHERE u % 100 = 0)
          ${(1 to 3).map(i => bfsSql(i, s"f${i - 1}")).mkString}
          SELECT node, dist FROM f3""",
+    "g_bfs_conv" ->
+      // 5 relaxation rounds unrolled + a changed-node COUNT per round (an
+      // integer — no FP determinism argument needed) + the first-zero
+      // stop pick; rounds past the fixpoint are stable so the unused
+      // unrolled tail is cheap. MATERIALIZED per the g_bfs/g_kcore
+      // inlining lesson.
+      s"""WITH pp AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         s0 AS MATERIALIZED (
+           SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         f0 AS MATERIALIZED (
+           SELECT u AS node, 0 AS dist
+           FROM (SELECT DISTINCT u FROM s0) n WHERE u % 100 = 0)
+         ${(1 to 5).map(i => bfsSql(i, s"f${i - 1}")).mkString},
+         ${(1 to 5).map { i =>
+           s"""ch$i AS (SELECT count(*) AS c FROM f$i n
+                 LEFT JOIN f${i - 1} p ON n.node = p.node
+                 WHERE p.node IS NULL OR n.dist <> p.dist)"""
+         }.mkString(",\n         ")},
+         deltas AS (${(1 to 5).map(i =>
+           s"SELECT $i AS r, c FROM ch$i").mkString(" UNION ALL ")}),
+         stop AS (SELECT CAST(coalesce(min(r), 5) AS INTEGER) AS rs
+                  FROM deltas WHERE c = 0),
+         allf AS (${(1 to 5).map(i =>
+           s"SELECT $i AS r, node, dist FROM f$i").mkString(" UNION ALL ")})
+         SELECT node, dist, (SELECT rs FROM stop) AS stop_round
+         FROM allf WHERE r = (SELECT rs FROM stop)""",
     "g_kcore" ->
       s"""WITH pp AS MATERIALIZED (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

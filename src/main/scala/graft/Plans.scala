@@ -47,7 +47,10 @@ object Plans {
       // (the round-7 verdict's residual `weak` pair), plus the round's
       // new operators
       "g_linkpred", "t_fuzzy_curate", "v_kmeans_conv", "m_wav_stats",
-      "g_pagerank_conv", "m_wav_neardup", "v_knn_ivf_trained")
+      "g_pagerank_conv", "m_wav_neardup", "v_knn_ivf_trained",
+      // round-8 second half: the javax.imageio modalities (PNG round
+      // trip, lossy JPEG invariants, multi-frame GIF fan-out)
+      "m_png_codec", "m_jpeg_meta", "m_gif_frames")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -325,6 +328,27 @@ object Plans {
         "only the probed cells. Training quality changes WHICH cells " +
         "exist, not the plan shape — at scale the trained assignment is " +
         "the corpus bucketing column like the sampled variant."),
+      "m_png_codec" -> ("100× plan: scan → synthesize → PNG ENCODE " +
+        "(DEFLATE) → PNG DECODE (inflate) → stats, all fused into one " +
+        "mapPartitions chain over the scan with NO shuffle — the " +
+        "compressed payload and the decoded raster both live and die " +
+        "inside the stage; only the 5-column stats row is emitted. " +
+        "Codec work is per-row independent (embarrassingly parallel); at " +
+        "100 TB the only knob is input split size, and a real media lake " +
+        "would read payloads via binaryFile with the same stage shape."),
+      "m_jpeg_meta" -> ("100× plan: identical stage shape to m_png_codec " +
+        "(scan-fused encode→decode, zero shuffles) with the real " +
+        "baseline-DCT codec; the emitted row is narrower still (dims + " +
+        "channels). DCT cost dominates and scales with pixels per " +
+        "payload, not corpus size — per-row independence holds."),
+      "m_gif_frames" -> ("100× plan: scan-fused multi-frame encode → " +
+        "GIF89a block walk + per-frame LZW decode → flatMap fan-out of " +
+        "fixed-width per-frame stats rows, no shuffle anywhere. The " +
+        "fan-out multiplies rows by the container's frame count (≤6 " +
+        "here; a real video corpus keyframe-samples to a bounded count " +
+        "per asset the same way), and frame rasters never leave the " +
+        "stage — the downstream sees 24-byte rows, so the plan's output " +
+        "volume is frames × 24 B regardless of resolution."),
       "m_wav_stats" -> ("100× plan: one narrow scan of documents → " +
         "per-partition WAV synthesis + REAL RIFF parse (the JDK's " +
         "WaveFileReader) + amplitude/silence stats, all inside ONE " +

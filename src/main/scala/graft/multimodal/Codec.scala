@@ -83,6 +83,100 @@ object WavCodec extends AudioCodec {
   }
 }
 
+/** The video half of the codec seam: a multi-frame payload decodes to an
+  * ordered frame sequence. [[GifCodec]] is the reference implementation
+  * (animated GIF — the one multi-frame container the JDK decodes without
+  * native libs; MP4/H.264 remain out of scope, no demuxer in the JDK). */
+trait FrameCodec extends Serializable {
+  def formats: Set[String]
+  def decodeFrames(payload: Array[Byte]): IndexedSeq[Codec.Image]
+}
+
+/** Shared `javax.imageio` plumbing for the JDK's pure-Java image codecs
+  * (PNG/JPEG/BMP/GIF readers and writers ship in every JDK — no native
+  * libs, headless-safe, same situation as `javax.sound` for WAV). */
+private[multimodal] object ImageIoSupport {
+  // memory-backed ImageInputStreams: the default file-cache would hit
+  // executor-local disk per payload for no benefit at our payload sizes
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decoded BufferedImage → the seam's packed RGB byte raster. getRGB
+    * normalizes every source color model (indexed, gray, 3BYTE_BGR) to
+    * sRGB ints, so one conversion covers all four formats. */
+  def toRgbBytes(img: java.awt.image.BufferedImage): Codec.Image = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Codec.Image(w, h, 3, out)
+  }
+}
+
+/** PNG/JPEG/BMP decode via the JDK's `javax.imageio` service registry —
+  * real DEFLATE (PNG) and DCT (JPEG) codecs, pure JVM. Output is always
+  * normalized to 3-channel packed RGB regardless of the file's native
+  * color model. PNG round-trips losslessly (hash-gated in `m_png_codec`);
+  * JPEG decode is real but lossy, so only its lossless invariants
+  * (dimensions, channel count) are oracle-checked (`m_jpeg_meta`) and the
+  * pixel fidelity bound lives in CodecSpec. */
+object ImageIoCodec extends Codec {
+
+  override val formats: Set[String] = Set("png", "jpeg", "jpg", "bmp")
+
+  override def decode(payload: Array[Byte]): Codec.Image = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "imageio could not decode payload (no reader claimed it)")
+    ImageIoSupport.toRgbBytes(img)
+  }
+}
+
+/** Animated-GIF frame decode via the JDK's GIF plugin: the reader walks
+  * the GIF89a block structure and LZW-decompresses each image descriptor;
+  * `getNumImages(true)` scans the stream so multi-frame payloads fan out
+  * to real per-frame rasters — the video modality's frame-sampling
+  * primitive with a real container, not byte chunking.
+  *
+  * Encoder caveat (documented because the fixture builder must avoid it):
+  * the JDK GIF WRITER defaults to interlaced output, and the JDK reader
+  * drops every row after the first interlace pass for images of height
+  * 2..4 (measured exhaustively: heights 1 and >=5 round-trip at any
+  * width, heights 2..4 lose rows 1..h-1 at every width). Writing with
+  * `ImageWriteParam.setProgressiveMode(MODE_DISABLED)` produces
+  * non-interlaced frames that round-trip at every size — which is what
+  * [[Multimodal.gifAssetsFromDocuments]] does. */
+object GifCodec extends FrameCodec {
+
+  override val formats: Set[String] = Set("gif")
+
+  override def decodeFrames(payload: Array[Byte]): IndexedSeq[Codec.Image] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n > 0, "no frames in GIF payload")
+      (0 until n).map(i => ImageIoSupport.toRgbBytes(reader.read(i)))
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+}
+
 /** Netpbm binary formats: P6 (RGB, 3 channels) and P5 (grayscale, 1
   * channel). Header = magic, whitespace-separated width/height/maxval
   * with `#` comments allowed, ONE whitespace byte, then the raw raster.

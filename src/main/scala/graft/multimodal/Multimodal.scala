@@ -63,6 +63,168 @@ object Multimodal {
       }(enc)
   }
 
+  /** The deterministic raster every image-format builder shares: width =
+    * 1 + len%16, height = 1 + (len/16)%16, RGB bytes cycled from the
+    * text's code points (empty docs → 1×1 black) — the same arithmetic as
+    * [[ppmAssetsFromDocuments]], so every lossless format's decoded
+    * output oracles with the same replay SQL. */
+  private def rgbRaster(text: String): (Int, Int, Array[Byte]) = {
+    val len = text.length
+    val w = 1 + len % 16
+    val h = 1 + (len / 16) % 16
+    val px = Array.tabulate(w * h * 3)(i =>
+      if (len == 0) 0.toByte else text.charAt(i % len).toByte)
+    (w, h, px)
+  }
+
+  /** Packed-RGB raster → BufferedImage for the `javax.imageio` encoders. */
+  private def toBufferedRgb(w: Int, h: Int,
+                            px: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((px(i) & 0xff) << 16) |
+          ((px(i + 1) & 0xff) << 8) | (px(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic PNG asset per document — the [[rgbRaster]] pixels run
+    * through the JDK's REAL PNG encoder (DEFLATE + filtering) on the
+    * executors; [[ImageIoCodec]] then runs the real inflater on the way
+    * back. PNG is lossless, so the decoded raster equals the constructed
+    * one byte-for-byte and the m_codec oracle arithmetic applies
+    * unchanged — the hash gate spans a genuine compressed-format round
+    * trip, not a header parse. */
+  def pngAssetsFromDocuments(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    imageioAssets(docs, idCol, textCol, "png")
+
+  /** Deterministic JPEG asset per document — the same raster through the
+    * JDK's REAL baseline-DCT JPEG encoder (default quality). Lossy: only
+    * the lossless invariants (dims, channels) are oracle-gated
+    * (`m_jpeg_meta`); CodecSpec holds the pixel-fidelity bound. */
+  def jpegAssetsFromDocuments(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    imageioAssets(docs, idCol, textCol, "jpeg")
+
+  private def imageioAssets(docs: DataFrame, idCol: String, textCol: String,
+                            format: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, px) = rgbRaster(r.getString(1))
+          val bo = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(toBufferedRgb(w, h, px), format, bo)
+          val payload = bo.toByteArray
+          Row(id, "image", payload, payload.length, format)
+        }
+      }(enc)
+  }
+
+  /** Deterministic multi-frame animated-GIF asset per document: 1 +
+    * len%6 frames of the document's raster dims, frame f's gray sample at
+    * flat index i = code(text[(i + 7f) mod len]) — each frame is the text
+    * cycled at a different phase, so consecutive frames genuinely differ
+    * (a static animation would make frame indexing untestable). Frames
+    * are indexed 256-level gray (GIF's palette model, exact) and written
+    * NON-interlaced — the JDK reader drops rows of interlaced frames with
+    * height 2..4, see [[GifCodec]]'s caveat — via one writer per
+    * partition ([[GifCodec]] then walks the real GIF89a block structure
+    * on the way back). */
+  def gifAssetsFromDocuments(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        val grays = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val len = text.length
+          val w = 1 + len % 16
+          val h = 1 + (len / 16) % 16
+          val nFrames = 1 + len % 6
+          val bo = new java.io.ByteArrayOutputStream()
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+          val param = wr.getDefaultWriteParam
+          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          try {
+            wr.setOutput(ios)
+            wr.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = if (len == 0) 0
+                    else text.charAt((y * w + x + f * 7) % len).toInt
+                  raster.setSample(x, y, 0, v)
+                  x += 1
+                }
+                y += 1
+              }
+              wr.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), param)
+              f += 1
+            }
+            wr.endWriteSequence()
+          } finally {
+            wr.dispose()
+            ios.close()
+          }
+          val payload = bo.toByteArray
+          Row(id, "video", payload, payload.length, "gif")
+        }
+      }(enc)
+  }
+
+  /** Per-frame stats schema for the [[FrameCodec]] decode pass. */
+  val frameStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false)))
+
+  /** The multi-frame decode pass: one output row per DECODED frame —
+    * real frame fan-out (row multiplication driven by the container's
+    * actual frame count, not metadata arithmetic). Same discipline as the
+    * other decode passes: rasters die in the scan stage, only the
+    * fixed-width stats rows flow on. */
+  def decodeFrameStats(assets: DataFrame, codec: FrameCodec): DataFrame = {
+    val enc = ExpressionEncoder(frameStatsSchema)
+    assets
+      .filter(lower(col("format")).isin(codec.formats.toSeq: _*))
+      .select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          codec.decodeFrames(r.getAs[Array[Byte]](1)).zipWithIndex.map {
+            case (img, f) =>
+              var sum = 0L
+              img.pixels.foreach(b => sum += (b & 0xff))
+              Row(id, f, img.width, img.height, sum)
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic RIFF/WAVE PCM asset per document — REAL audio payloads
     * for the [[AudioCodec]] path: mono 16-bit signed little-endian PCM at
     * 8 kHz, n = 1 + len%64 samples, sample i = (code(text[i % len]) % 64

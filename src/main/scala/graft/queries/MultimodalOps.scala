@@ -95,6 +95,48 @@ object MultimodalOps {
           .localCheckpoint(true),
         maxDist = 3)
     }),
+    "m_png_codec" -> ((s, dir) => {
+      // the seam with the JDK's REAL compressed-image codec: deterministic
+      // rasters → javax.imageio PNG ENCODE (DEFLATE + scanline filtering,
+      // executor-side) → ImageIoCodec DECODE (real inflater) → dims +
+      // pixel checksum. PNG is lossless, so the oracle replays the raster
+      // construction arithmetic (identical to m_codec's — the two queries
+      // share the raster formula by design); the hash gate therefore
+      // proves the full encode→compress→decode round trip is exact, a
+      // strictly stronger claim than m_codec's header-parse proof.
+      Multimodal.decodeImages(
+        Multimodal.pngAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.ImageIoCodec)
+        .select("asset_id", "width", "height", "channels", "px_sum")
+    }),
+    "m_jpeg_meta" -> ((s, dir) => {
+      // REAL lossy decode: the same rasters through the JDK's baseline-DCT
+      // JPEG encoder, decoded back by ImageIoCodec. Only the lossless
+      // invariants (dims, channel count) are selected — they hash-gate
+      // that a genuine JPEG parse ran per asset (a failed or wrong-size
+      // decode breaks the hash); pixel fidelity is bounded in CodecSpec,
+      // where lossy error belongs (the oracle cannot replay a DCT).
+      Multimodal.decodeImages(
+        Multimodal.jpegAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.ImageIoCodec)
+        .select("asset_id", "width", "height", "channels")
+    }),
+    "m_gif_frames" -> ((s, dir) => {
+      // REAL multi-frame container: animated GIFs (1 + len%6 frames each,
+      // frame f = the raster cycled at phase 7f) written executor-side,
+      // then GifCodec walks the GIF89a block structure and LZW-decodes
+      // every frame — the frame fan-out is driven by the container's
+      // actual frame count. Replaces the m_frames byte-chunk stub with a
+      // real video-modality primitive; the oracle replays the per-frame
+      // construction arithmetic, so the hash gates frame COUNT, ORDER,
+      // dims, and pixel content simultaneously.
+      Multimodal.decodeFrameStats(
+        Multimodal.gifAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.GifCodec)
+    }),
     "m_phash" -> ((s, dir) => {
       // multimodal × dedup crossover: REAL decoded rasters (PpmCodec) →
       // 64-bit average-hash → banded near-dup join at Hamming ≤ 3. The
@@ -208,6 +250,54 @@ object MultimodalOps {
                      bit_count(xor(a.hi, b.hi)) AS INTEGER) AS dist
          FROM h a JOIN h b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""",
+    "m_png_codec" ->
+      // identical replay SQL to m_codec — the PNG builder constructs the
+      // SAME raster, and PNG is lossless, so decoded output must equal the
+      // construction arithmetic exactly; any encoder/decoder disagreement
+      // (filtering, DEFLATE, color model) breaks the hash
+      """SELECT doc_id AS asset_id,
+                CAST(1 + length(text) % 16 AS INTEGER) AS width,
+                CAST(1 + (length(text) // 16) % 16 AS INTEGER) AS height,
+                3 AS channels,
+                CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+                  list_reduce(
+                    list_transform(
+                      range(0, (1 + length(text) % 16) * (1 + (length(text) // 16) % 16) * 3),
+                      i -> unicode(text[(i % length(text)) + 1])),
+                    (a, b) -> a + b) END AS BIGINT) AS px_sum
+         FROM documents""",
+    "m_jpeg_meta" ->
+      // only the lossless invariants of the lossy codec: dims and channel
+      // count survive DCT quantization and are fully determined by the
+      // construction; a failed decode or wrong-size frame breaks the hash
+      """SELECT doc_id AS asset_id,
+                CAST(1 + length(text) % 16 AS INTEGER) AS width,
+                CAST(1 + (length(text) // 16) % 16 AS INTEGER) AS height,
+                3 AS channels
+         FROM documents""",
+    "m_gif_frames" ->
+      // per-frame replay: nf = 1 + len%6 frames, frame f's flat-index-i
+      // gray = code(text[(i + 7f) mod len]); the decoded RGB raster is the
+      // gray tripled (palette entry i = rgb(i,i,i)), hence the 3x
+      """WITH g AS (
+           SELECT doc_id, text, length(text) AS len,
+                  1 + length(text) % 16 AS w,
+                  1 + (length(text) // 16) % 16 AS h,
+                  1 + length(text) % 6 AS nf
+           FROM documents),
+         fx AS (
+           SELECT doc_id, text, len, w, h, unnest(range(0, nf)) AS f
+           FROM g)
+         SELECT doc_id AS asset_id,
+                CAST(f AS INTEGER) AS frame_idx,
+                CAST(w AS INTEGER) AS width,
+                CAST(h AS INTEGER) AS height,
+                CAST(CASE WHEN len = 0 THEN 0 ELSE
+                  3 * list_reduce(
+                        list_transform(range(0, w * h),
+                          i -> unicode(text[CAST((i + 7 * f) % len AS INTEGER) + 1])),
+                        (a, b) -> a + b) END AS BIGINT) AS px_sum
+         FROM fx""",
     "m_codec" ->
       // replays ppmAssetsFromDocuments' construction: dims from the text
       // length, px_sum = sum of w*h*3 ASCII codes cycled through the text

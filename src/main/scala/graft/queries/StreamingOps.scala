@@ -108,6 +108,30 @@ object StreamingOps {
         "s_sessionize_timeout_sink", "append")
         .filter(col("user_id") >= 0) // drop the watermark-driver sentinels
     }),
+    "s_stream_outer" -> ((s, dir) => {
+      // LEFT-OUTER stream-stream join, oracle-gated end-to-end: unmatched
+      // clicks must emit a null-error row exactly once, which only happens
+      // when the JOINT watermark proves the click's match window closed —
+      // impossible in a single-batch drain (LeftOuterJoinSpec documents
+      // why), so both sides replay as time-ordered micro-batches with
+      // far-future sentinel rows of BOTH event types
+      // (readEventsChunkedReplayFull): sentinel batch 1 lifts both
+      // watermark nodes past every real click's deadline, sentinel batch 2
+      // triggers the eviction scan that flushes the null-error rows. The
+      // drained append output then equals the batch LEFT JOIN.
+      val clicks = EventsStream.readEventsChunkedReplayFull(s, dir, nChunks = 4)
+        .filter(col("event_type") === "click")
+      val errors = EventsStream.readEventsChunkedReplayFull(s, dir, nChunks = 4)
+        .filter(col("event_type") === "error")
+      val joined = EventsStream.clickErrorJoin(clicks, errors,
+        windowSec = 600L, joinType = "left_outer")
+      EventsStream.runToMemory(s, joined, "s_stream_outer_sink", "append")
+        .filter(col("user_id") >= 0) // drop the watermark-driver sentinels
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("error_id")).as("n_matched"),
+          sum(when(col("error_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+    }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
       // result must equal plain per-type counts of the batch table.
@@ -219,6 +243,26 @@ object StreamingOps {
          FROM z WHERE z >= 2""",
     "s_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
+    "s_stream_outer" ->
+      // the streaming left-outer result over a bounded, fully-flushed
+      // input equals the batch LEFT JOIN with the same key + time-range
+      // condition; the replay drops null user_id/ts rows, mirrored here
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+                    FROM events
+                    WHERE event_type = 'click' AND user_id IS NOT NULL
+                      AND ts IS NOT NULL),
+         e AS (SELECT user_id AS e_user_id, event_id AS error_id,
+                      epoch_us(ts) AS eus
+               FROM events
+               WHERE event_type = 'error' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL),
+         j AS (SELECT c.user_id, c.click_id, e.error_id
+               FROM c LEFT JOIN e ON c.user_id = e.e_user_id
+                 AND e.eus >= c.cus AND e.eus <= c.cus + 600000000)
+         SELECT user_id, count(*) AS n_rows,
+                CAST(count(error_id) AS BIGINT) AS n_matched,
+                CAST(count(*) - count(error_id) AS BIGINT) AS n_unmatched
+         FROM j GROUP BY user_id""",
     "s_sessionize_timeout" ->
       // the closed-session set is batch-replayable: the streaming op closes
       // a session when the NEXT event is > gap after the session end (or the

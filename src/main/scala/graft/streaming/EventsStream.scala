@@ -160,6 +160,43 @@ object EventsStream {
     val batch = graft.Tables.load(spark, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("user_id"), col("ts"))
+    stageChunkedReplay(spark, batch, nChunks, maxUs =>
+      Seq(10, 20).map(days => Seq((-1L,
+        new java.sql.Timestamp(maxUs / 1000L + days * 86400000L)))
+        .toDF("user_id", "ts")))
+  }
+
+  /** Full-column variant of [[readEventsChunkedReplay]] for multi-INPUT
+    * stateful queries: keeps (event_id, ts, user_id, event_type) so the
+    * replayed stream can be filtered into several sides of a join. Each
+    * sentinel batch therefore carries one far-future row PER event type a
+    * consumer might filter on ('click' and 'error') — a stream-stream
+    * join's watermark is the min over BOTH its watermark nodes, so a
+    * sentinel that advanced only one side would never move the joint
+    * watermark and outer-join null emissions would sit in state forever. */
+  def readEventsChunkedReplayFull(spark: SparkSession, dir: String,
+                                  nChunks: Int): DataFrame = {
+    import spark.implicits._
+    val batch = graft.Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+    stageChunkedReplay(spark, batch, nChunks, maxUs =>
+      Seq(10, 20).zipWithIndex.map { case (days, j) =>
+        val far = new java.sql.Timestamp(maxUs / 1000L + days * 86400000L)
+        Seq((-1L - 2 * j, far, -1L, "click"),
+            (-2L - 2 * j, far, -1L, "error"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+      })
+  }
+
+  /** Shared staging for the chunked replays: slice `batch` into `nChunks`
+    * event-time-ordered parquet files plus the given sentinel batches,
+    * pinned to increasing synthetic mtimes, and stream them back one file
+    * per trigger. `sentinels(maxUs)` returns one DataFrame per extra
+    * sentinel micro-batch, schema-identical to `batch`. */
+  private def stageChunkedReplay(spark: SparkSession, batch: DataFrame,
+      nChunks: Int, sentinels: Long => Seq[DataFrame]): DataFrame = {
     val bounds = batch.agg(min(unix_micros(col("ts"))),
       max(unix_micros(col("ts")))).first()
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
@@ -188,9 +225,8 @@ object EventsStream {
     // two sentinels, each its own batch: the FIRST lifts the watermark past
     // every real deadline at its batch's end; the SECOND's (data) batch then
     // fires the expired timers — no reliance on no-data micro-batches.
-    Seq(10, 20).zipWithIndex.foreach { case (days, j) =>
-      stage(Seq((-1L, new java.sql.Timestamp(maxUs / 1000L + days * 86400000L)))
-        .toDF("user_id", "ts"), nChunks + j)
+    sentinels(maxUs).zipWithIndex.foreach { case (df, j) =>
+      stage(df, nChunks + j)
     }
     spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")

@@ -136,6 +136,115 @@ class CodecSpec extends AnyFunSuite {
     assert(r2.getLong(4) == 2L * ((('q'.toInt % 64) - 32) * 512).abs)
   }
 
+  test("ImageIoCodec: PNG round-trips the raster losslessly at every size") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, ""),                 // 1x1 black
+      (1L, "abc"),              // 4x1
+      (2L, "The quick brown fox jumps over the lazy dog"), // 12x3
+      (3L, "z" * 255)           // 16x16
+    )).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeImages(
+      Multimodal.pngAssetsFromDocuments(docs, "doc_id", "text"), ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- Seq(0L -> "", 1L -> "abc",
+        2L -> "The quick brown fox jumps over the lazy dog", 3L -> "z" * 255)) {
+      val len = text.length
+      val (w, h) = (1 + len % 16, 1 + (len / 16) % 16)
+      val expected = Array.tabulate(w * h * 3)(i =>
+        if (len == 0) 0.toByte else text.charAt(i % len).toByte)
+      val r = decoded(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == 3)
+      assert(r.getAs[Array[Byte]](5).toSeq == expected.toSeq,
+        s"doc $id: PNG decode differs from constructed raster")
+    }
+  }
+
+  test("ImageIoCodec: a handcrafted BMP decodes to known pixels") {
+    // built via the JDK encoder from a raster defined HERE (not by the
+    // production generator), then decoded — spec-vs-spec like the WAV test
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0x808080)
+    val bo = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bo)
+    val out = ImageIoCodec.decode(bo.toByteArray)
+    assert(out.width == 2 && out.height == 2 && out.channels == 3)
+    assert(out.pixels.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0,  0, 255, 0,
+      0, 0, 255,  128, 128, 128))
+  }
+
+  test("ImageIoCodec: undecodable payloads fail loudly") {
+    intercept[IllegalArgumentException](
+      ImageIoCodec.decode("not an image".getBytes("US-ASCII")))
+  }
+
+  test("JPEG: dims/channels exact, pixel error bounded (lossy contract)") {
+    val text = "Sphinx of black quartz, judge my vow. " * 3 // len 114 → 3x8
+    val docs = spark.createDataFrame(Seq((7L, text))).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeImages(
+      Multimodal.jpegAssetsFromDocuments(docs, "doc_id", "text"), ImageIoCodec)
+      .collect().head
+    val len = text.length
+    val (w, h) = (1 + len % 16, 1 + (len / 16) % 16)
+    assert(decoded.getInt(1) == w && decoded.getInt(2) == h &&
+      decoded.getInt(3) == 3)
+    val expected = Array.tabulate(w * h * 3)(i => text.charAt(i % len).toInt)
+    val got = decoded.getAs[Array[Byte]](5).map(_ & 0xff)
+    val meanErr = expected.zip(got).map { case (a, b) => (a - b).abs }.sum /
+      expected.length.toDouble
+    // ASCII-noise rasters are the worst case for DCT quantization; the
+    // JDK's default-quality encoder measures ~21 mean abs error on them.
+    // The bound asserts the decode is a real DCT reconstruction (error
+    // far below random-bytes ~85) without over-fitting the encoder.
+    assert(meanErr < 48.0, f"JPEG mean abs pixel error $meanErr%.1f")
+  }
+
+  test("GifCodec: frame count, order, and pixels decode exactly") {
+    val text = "animated gif frames!" // len 20 → w=5, h=2, nf=3
+    val docs = spark.createDataFrame(Seq((9L, text), (10L, "")))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.decodeFrameStats(
+      Multimodal.gifAssetsFromDocuments(docs, "doc_id", "text"), GifCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    val len = text.length
+    assert(rows.keySet == Set((9L, 0), (9L, 1), (9L, 2), (10L, 0)),
+      "frame fan-out must follow 1 + len%6")
+    for (f <- 0 until 3) {
+      val r = rows((9L, f))
+      assert(r.getInt(2) == 5 && r.getInt(3) == 2)
+      val want = 3L * (0 until 10).map(i => text.charAt((i + f * 7) % len).toInt).sum
+      assert(r.getLong(4) == want, s"frame $f px_sum")
+    }
+    assert(rows((10L, 0)).getLong(4) == 0L)
+  }
+
+  test("GIF heights 2..4 survive because frames are written non-interlaced") {
+    // regression pin for the JDK pair bug this codec documents: the GIF
+    // writer's default INTERLACED output loses rows 1..h-1 at heights
+    // 2..4 through the JDK reader. The generator writes MODE_DISABLED;
+    // this drives a worst-case-height corpus through the full path and
+    // cross-checks decoded px_sum against the construction arithmetic.
+    val cases = Seq(
+      (20L, "abcdefghijklmnopq" * 2), // len 34 → w=3, h=3 (buggy zone)
+      (21L, "0123456789abcdef" * 3)   // len 48 → w=1, h=4 (buggy zone)
+    )
+    val docs = spark.createDataFrame(cases).toDF("doc_id", "text")
+    val rows = Multimodal.decodeFrameStats(
+      Multimodal.gifAssetsFromDocuments(docs, "doc_id", "text"), GifCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(4)).toMap
+    for ((id, text) <- cases; f <- 0 until (1 + text.length % 6)) {
+      val len = text.length
+      val (w, h) = (1 + len % 16, 1 + (len / 16) % 16)
+      assert(h >= 2 && h <= 4, s"case $id must sit in the buggy height zone, got h=$h")
+      val want = 3L * (0 until w * h)
+        .map(i => text.charAt((i + f * 7) % len).toInt).sum
+      assert(rows((id, f)) == want,
+        s"doc $id frame $f: interlace bug would zero rows 1..${h - 1}")
+    }
+  }
+
   test("audioFingerprints: polarity bits from decoded PCM, short clips dropped") {
     // len 38 → n = 39 samples: long enough; len 3 → n = 4: dropped.
     // 'a' (code 97) → amp +512 → bit set; ' ' → 0 → clear; 'p' (112) →

@@ -11,10 +11,12 @@ import graft.TestSpark
 /** Left-outer stream-stream join semantics: matched pairs emit immediately;
   * an unmatched click emits with a NULL error only after the joint
   * watermark proves no error can still arrive for its window — and it
-  * emits exactly once. The bounded batch drain cannot show this (its final
-  * watermark never passes the tail), which is why the declared streaming
-  * queries use the inner join; this spec drives the outer path with
-  * controlled watermark advances. */
+  * emits exactly once. A single-batch drain cannot show this (its final
+  * watermark never passes the tail); this spec drives the outer path with
+  * controlled MemoryStream watermark advances, and the declared
+  * `s_stream_outer` query drives it end-to-end via the sentinel-batch
+  * chunked replay (readEventsChunkedReplayFull) under the oracle hash
+  * gate. */
 class LeftOuterJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 

@@ -49,8 +49,9 @@ object Plans {
       "g_linkpred", "t_fuzzy_curate", "v_kmeans_conv", "m_wav_stats",
       "g_pagerank_conv", "m_wav_neardup", "v_knn_ivf_trained",
       // round-8 second half: the javax.imageio modalities (PNG round
-      // trip, lossy JPEG invariants, multi-frame GIF fan-out)
-      "m_png_codec", "m_jpeg_meta", "m_gif_frames")
+      // trip, lossy JPEG invariants, multi-frame GIF fan-out) and the
+      // recursive CTE
+      "m_png_codec", "m_jpeg_meta", "m_gif_frames", "q_recursive_cte")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -328,6 +329,15 @@ object Plans {
         "only the probed cells. Training quality changes WHICH cells " +
         "exist, not the plan shape — at scale the trained assignment is " +
         "the corpus bucketing column like the sampled variant."),
+      "q_recursive_cte" -> ("100× plan: Spark plans WITH RECURSIVE as a " +
+        "UnionLoop — the anchor scan plus one iterated step per level; " +
+        "each step is a frontier-sized self-map (node DIV 2), never a " +
+        "growing join, and depth is log2 of the key space (7 levels at " +
+        "sf0.01, 10 at sf0.1), so total work is depth × |frontier| with " +
+        "the frontier BOUNDED by the supplier count. The join back to " +
+        "supplier broadcasts the dim side and the final agg is " +
+        "partial-aggregated. At 100 TB the recursion cost is rounds × " +
+        "one narrow column, dwarfed by the single base-table scan."),
       "m_png_codec" -> ("100× plan: scan → synthesize → PNG ENCODE " +
         "(DEFLATE) → PNG DECODE (inflate) → stats, all fused into one " +
         "mapPartitions chain over the scan with NO shuffle — the " +

@@ -1423,6 +1423,82 @@ object Core {
                                    WHERE c_mktsegment = 'BUILDING')
            GROUP BY o_orderstatus""")
     }),
+    "q_sql_udf" -> ((s, dir) => {
+      // Spark 4 SQL-defined function (CREATE FUNCTION ... RETURN expr):
+      // unlike a Scala/Python UDF, the analyzer INLINES the body into the
+      // plan, so it stays inside whole-stage codegen and predicate
+      // pushdown — the UDF mechanism with zero of the UDF cost (the plan
+      // shows the CASE expression, no black-box call). Banding uses pure
+      // comparisons on the 2-decimal price, so both engines agree exactly.
+      t(s, dir, "orders").createOrReplaceTempView("sqludf_orders")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_price_band(p DOUBLE)
+               RETURNS STRING
+               RETURN CASE WHEN p < 50000 THEN 'low'
+                           WHEN p < 150000 THEN 'mid'
+                           ELSE 'high' END""")
+      s.sql(
+        """SELECT graft_price_band(o_totalprice) AS band,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM sqludf_orders
+           GROUP BY graft_price_band(o_totalprice)""")
+    }),
+    "q_variant" -> ((s, dir) => {
+      // Spark 4 VARIANT (open semi-structured type): build a nested JSON
+      // document per order (integer cents — embedding doubles in JSON
+      // text would be a formatting trap), parse_json → VARIANT, extract
+      // typed fields by path (nested object, array index, missing key),
+      // aggregate. The codec-query philosophy applied to semi-structured
+      // data: construct → encode(JSON) → VARIANT decode → extract, with
+      // the oracle replaying the construction arithmetic from the base
+      // columns — the hash gates the whole parse/shred/extract round
+      // trip. At scale VARIANT's binary encoding shreds once at the scan
+      // instead of re-parsing JSON text per extraction.
+      t(s, dir, "orders")
+        .withColumn("doc", expr(
+          """parse_json(concat('{"id":', o_orderkey,
+             ',"cust":{"key":', o_custkey,
+             '},"price_cents":', CAST(round(o_totalprice * 100) AS BIGINT),
+             ',"tags":["', o_orderpriority, '","', o_orderstatus, '"]}'))"""))
+        .select(
+          expr("variant_get(doc, '$.tags[0]', 'string')").as("prio"),
+          expr("variant_get(doc, '$.cust.key', 'bigint')").as("cust_key"),
+          expr("variant_get(doc, '$.price_cents', 'bigint')").as("cents"),
+          // a missing path must be NULL, not an error (try semantics)
+          expr("try_variant_get(doc, '$.discount', 'double')").as("missing"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"),
+          max(col("cust_key")).as("max_cust"),
+          count(col("missing")).as("n_missing"))
+    }),
+    "q_recursive_cte" -> ((s, dir) => {
+      // RECURSIVE CTE (Spark 4's WITH RECURSIVE): ancestor-chain walk over
+      // the implicit binary tree on supplier keys (parent(k) = k DIV 2) —
+      // a data-DEPENDENT recursion depth (~log2 of the key space, so it
+      // deepens with scale factor), joined back to the table and
+      // aggregated per leaf. Each recursion step is one self-join over the
+      // frontier — frontier size never exceeds the supplier count and
+      // depth is logarithmic, so the iterative plan scales; DuckDB runs
+      // the identical recursion (`//` for DIV), making the whole
+      // recursive evaluation hash-gated.
+      t(s, dir, "supplier").createOrReplaceTempView("rcte_supplier")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+             SELECT s_suppkey AS leaf, s_suppkey AS node, 0 AS depth
+             FROM rcte_supplier
+             UNION ALL
+             SELECT leaf, node DIV 2 AS node, depth + 1 AS depth
+             FROM anc WHERE node > 1
+           )
+           SELECT anc.leaf AS s_suppkey,
+                  CAST(max(anc.depth) AS INT) AS depth,
+                  CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS chain_acctbal
+           FROM anc JOIN rcte_supplier s ON anc.node = s.s_suppkey
+           GROUP BY anc.leaf""")
+    }),
     "q_join_multi" -> ((s, dir) => {
       // TPC-H Q5-shaped star join: facts shuffle on keys, dims broadcast.
       val c = t(s, dir, "customer")
@@ -2781,6 +2857,45 @@ object Core {
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                  WHERE c_mktsegment = 'BUILDING')
          GROUP BY o_orderstatus""",
+    "q_sql_udf" ->
+      // the UDF body inlined by hand — which is exactly what Spark's
+      // analyzer does with it too
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'high' END AS band,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders
+         GROUP BY 1""",
+    "q_variant" ->
+      // replays the construction from base columns (no JSON at all):
+      // equality proves Spark's JSON→VARIANT→typed-path extraction is the
+      // identity on the constructed document; n_missing counts non-null
+      // extractions of an absent path, which must be 0
+      """SELECT o_orderpriority AS prio,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                CAST(max(o_custkey) AS BIGINT) AS max_cust,
+                CAST(0 AS BIGINT) AS n_missing
+         FROM orders GROUP BY o_orderpriority""",
+    "q_recursive_cte" ->
+      // the IDENTICAL recursion in DuckDB's WITH RECURSIVE (`//` = DIV):
+      // both engines iterate the same frontier to the same depth, so the
+      // hash gates the whole recursive evaluation, not just the final agg
+      """WITH RECURSIVE anc AS (
+           SELECT s_suppkey AS leaf, s_suppkey AS node, 0 AS depth
+           FROM supplier
+           UNION ALL
+           SELECT leaf, node // 2, depth + 1 FROM anc WHERE node > 1
+         )
+         SELECT anc.leaf AS s_suppkey,
+                CAST(max(anc.depth) AS INTEGER) AS depth,
+                CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS chain_acctbal
+         FROM anc JOIN supplier s ON anc.node = s.s_suppkey
+         GROUP BY anc.leaf""",
     "q_window_firstlast" ->
       // epoch_us, NOT raw ts: DuckDB reads events.ts at ns precision while
       // Spark floors to µs, so a raw-ts ORDER BY would tie-break by ns

@@ -119,9 +119,13 @@ object StreamingOps {
       // watermark nodes past every real click's deadline, sentinel batch 2
       // triggers the eviction scan that flushes the null-error rows. The
       // drained append output then equals the batch LEFT JOIN.
-      val clicks = EventsStream.readEventsChunkedReplayFull(s, dir, nChunks = 4)
+      // stage the replay ONCE; each join side opens its own independent
+      // streaming source over the same staged files (halves staging cost)
+      val (path, schema) =
+        EventsStream.stageEventsChunkedReplayFull(s, dir, nChunks = 4)
+      val clicks = EventsStream.readStagedReplay(s, path, schema)
         .filter(col("event_type") === "click")
-      val errors = EventsStream.readEventsChunkedReplayFull(s, dir, nChunks = 4)
+      val errors = EventsStream.readStagedReplay(s, path, schema)
         .filter(col("event_type") === "error")
       val joined = EventsStream.clickErrorJoin(clicks, errors,
         windowSec = 600L, joinType = "left_outer")
@@ -131,6 +135,66 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_rows"),
           count(col("error_id")).as("n_matched"),
           sum(when(col("error_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+    }),
+    "s_session_hourly" -> ((s, dir) => {
+      // CHAINED stateful operators (Spark 3.4+ multi-stateful support):
+      // session-window aggregation feeding a tumbling-window rollup in ONE
+      // streaming query — sessions close as the watermark passes, flow
+      // into the hourly count, and the hourly windows flush on the
+      // propagated watermark. THREE sentinel batches (not two): each
+      // chained layer adds one batch of flush latency — the last session
+      // leaves layer 1 only when a sentinel batch evicts it, and its hour
+      // window then needs one more batch to leave layer 2.
+      //
+      // NO sentinel filter inside the stream: a `user_id >= 0` filter
+      // between the layers gets PUSHED below the watermark node to the
+      // scan (user_id is a grouping key, so the optimizer is free to),
+      // silently deleting the sentinel rows — the watermark then never
+      // passes the real max event and the final session + final hour
+      // stay in state forever (found the hard way; the debug trail is
+      // DESIGN.md's round-8 section). Sentinel-driven phantom hours are
+      // instead dropped POST-drain by bounding hour_ts to the corpus
+      // max — a 1-row driver agg, the bounded-scalar idiom the ANN
+      // queries already use.
+      // bound = corpus max + the session gap: a session ending at the
+      // corpus max has window end (and so hour bucket) up to gap later;
+      // sentinel-driven phantom hours sit 10+ days beyond either way
+      val maxTs = graft.Tables.load(s, dir, "events")
+        .agg(max(col("ts"))).first().getTimestamp(0)
+      val bound = new java.sql.Timestamp(maxTs.getTime + 1800 * 1000L)
+      val ev = EventsStream.readEventsChunkedReplay(s, dir, nChunks = 4,
+          sentinelBatches = 3)
+        .withWatermark("ts", "0 seconds")
+      val sessions = ev
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val hourly = sessions
+        .groupBy(window(col("session_window"), "1 hour"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_session_events"))
+        .select(col("window.start").as("hour_ts"), col("n_sessions"),
+          col("n_session_events"))
+      EventsStream.runToMemory(s, hourly, "s_session_hourly_sink", "append")
+        .filter(col("hour_ts") <= lit(bound))
+    }),
+    "s_tws_stats" -> ((s, dir) => {
+      // Spark 4 transformWithState (the [flat]mapGroupsWithState
+      // successor): typed ValueState per event type, RocksDB state store
+      // (TWS requires its column-family API; conf scoped to this drain
+      // and restored after). Single-batch emission = the batch aggregate.
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val ev = EventsStream.readEvents(s, dir)
+        EventsStream.runToMemory(s,
+          graft.streaming.StatefulOps.streamingTypeStatsTws(s, ev).toDF(),
+          "s_tws_stats_sink", "update")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }),
     "s_dedup" -> ((s, dir) => {
       // duplicate the stream (union with itself), then stateful dedup —
@@ -243,6 +307,40 @@ object StreamingOps {
          FROM z WHERE z >= 2""",
     "s_dedup" ->
       """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
+    "s_tws_stats" ->
+      // the TWS processor's integer-cent accumulation replayed as a batch
+      // aggregate (Math.round(v*100) == DuckDB round(value*100) on
+      // 2-decimal values — the established cents contract)
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL
+         GROUP BY event_type""",
+    "s_session_hourly" ->
+      // sessions by the gap rule (identical to s_sessionize_timeout's),
+      // then bucketed by the hour of the SESSION WINDOW'S END (last event
+      // + gap — Spark's session_window end, which is what the chained
+      // window() buckets on; pinned empirically, 531/531 hour rows)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         flagged AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         sess AS (
+           SELECT user_id, us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         s2 AS (SELECT user_id, sid, max(us) AS end_us, count(*) AS n
+                FROM sess GROUP BY 1, 2)
+         SELECT CAST(date_trunc('hour', make_timestamp(end_us + 1800000000))
+                  AS TIMESTAMP) AS hour_ts,
+                count(*) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_session_events
+         FROM s2 GROUP BY 1""",
     "s_stream_outer" ->
       // the streaming left-outer result over a bounded, fully-flushed
       // input equals the batch LEFT JOIN with the same key + time-range

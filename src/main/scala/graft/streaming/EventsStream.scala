@@ -154,16 +154,23 @@ object EventsStream {
     * deterministic regardless of how the driver partitions the parquet.
     * File order is pinned with explicit increasing mtimes (the file
     * source's ordering key). */
+  /** `sentinelBatches` controls how many far-future watermark-driver
+    * batches trail the real chunks: 2 drains ONE stateful layer (lift the
+    * watermark, then fire the eviction scan); every additional CHAINED
+    * stateful operator adds one batch of flush latency — its input only
+    * arrives when the upstream layer evicts — so a query with k stateful
+    * layers needs k+1 sentinels to flush end to end (s_session_hourly: 3). */
   def readEventsChunkedReplay(spark: SparkSession, dir: String,
-                              nChunks: Int): DataFrame = {
+                              nChunks: Int,
+                              sentinelBatches: Int = 2): DataFrame = {
     import spark.implicits._
     val batch = graft.Tables.load(spark, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("user_id"), col("ts"))
     stageChunkedReplay(spark, batch, nChunks, maxUs =>
-      Seq(10, 20).map(days => Seq((-1L,
-        new java.sql.Timestamp(maxUs / 1000L + days * 86400000L)))
-        .toDF("user_id", "ts")))
+      (1 to sentinelBatches).map(j => Seq((-1L,
+        new java.sql.Timestamp(maxUs / 1000L + j * 10 * 86400000L)))
+        .toDF("user_id", "ts")))._3
   }
 
   /** Full-column variant of [[readEventsChunkedReplay]] for multi-INPUT
@@ -176,19 +183,37 @@ object EventsStream {
     * watermark and outer-join null emissions would sit in state forever. */
   def readEventsChunkedReplayFull(spark: SparkSession, dir: String,
                                   nChunks: Int): DataFrame = {
+    val (path, schema) = stageEventsChunkedReplayFull(spark, dir, nChunks)
+    readStagedReplay(spark, path, schema)
+  }
+
+  /** Stage the full-column replay ONCE and return (path, schema): a
+    * multi-input query (e.g. both sides of a stream-stream join) opens
+    * two independent [[readStagedReplay]] sources over the same staged
+    * files instead of paying the chunk-staging write twice. */
+  def stageEventsChunkedReplayFull(spark: SparkSession, dir: String,
+      nChunks: Int): (String, org.apache.spark.sql.types.StructType) = {
     import spark.implicits._
     val batch = graft.Tables.load(spark, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id").cast("long").as("event_id"), col("ts"),
         col("user_id").cast("long").as("user_id"), col("event_type"))
-    stageChunkedReplay(spark, batch, nChunks, maxUs =>
+    val staged = stageChunkedReplay(spark, batch, nChunks, maxUs =>
       Seq(10, 20).zipWithIndex.map { case (days, j) =>
         val far = new java.sql.Timestamp(maxUs / 1000L + days * 86400000L)
         Seq((-1L - 2 * j, far, -1L, "click"),
             (-2L - 2 * j, far, -1L, "error"))
           .toDF("event_id", "ts", "user_id", "event_type")
       })
+    (staged._1, staged._2)
   }
+
+  /** One-file-per-trigger streaming read over a staged replay dir. */
+  def readStagedReplay(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
 
   /** Shared staging for the chunked replays: slice `batch` into `nChunks`
     * event-time-ordered parquet files plus the given sentinel batches,
@@ -196,7 +221,8 @@ object EventsStream {
     * per trigger. `sentinels(maxUs)` returns one DataFrame per extra
     * sentinel micro-batch, schema-identical to `batch`. */
   private def stageChunkedReplay(spark: SparkSession, batch: DataFrame,
-      nChunks: Int, sentinels: Long => Seq[DataFrame]): DataFrame = {
+      nChunks: Int, sentinels: Long => Seq[DataFrame]): (String,
+      org.apache.spark.sql.types.StructType, DataFrame) = {
     val bounds = batch.agg(min(unix_micros(col("ts"))),
       max(unix_micros(col("ts")))).first()
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
@@ -228,9 +254,8 @@ object EventsStream {
     sentinels(maxUs).zipWithIndex.foreach { case (df, j) =>
       stage(df, nChunks + j)
     }
-    spark.readStream.schema(batch.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
+    (streamDir.toString, batch.schema,
+      readStagedReplay(spark, streamDir.toString, batch.schema))
   }
 
   /** Drain a (bounded) streaming DataFrame through a memory sink and return

@@ -208,6 +208,58 @@ object StatefulOps {
       }
   }
 
+  case class TypeStats(event_type: String, n_events: Long, sum_cents: Long)
+
+  /** Per-type running totals on Spark 4's `transformWithState` — the
+    * successor API to [flat]mapGroupsWithState: typed state handles
+    * (ValueState/ListState/MapState) with optional TTL, timers decoupled
+    * from output mode, and a processor OBJECT whose `init` acquires state
+    * by name (so the same processor composes several state variables).
+    * State here is one ValueState[(n, cents)] per event type — exact
+    * integer units (the streaming twin of the DECIMAL-sum contract),
+    * O(keys) state forever. Requires the RocksDB state store provider
+    * (the HDFS-backed default does not implement the TWS column-family
+    * API) — the declared query scopes that conf to its drain. */
+  class TypeStatsProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[String, (String, Long), TypeStats] {
+    @transient private var acc:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      acc = getHandle.getValueState[(Long, Long)]("acc",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeStats] = {
+      var (n, cents) = if (acc.exists()) acc.get() else (0L, 0L)
+      rows.foreach { r => n += 1; cents += r._2 }
+      acc.update((n, cents))
+      Iterator.single(TypeStats(key, n, cents))
+    }
+  }
+
+  /** The transformWithState pipeline: events keyed by type → running
+    * (count, cent-sum) per key, one emission per key per batch (update
+    * mode). Single-batch emission equals the batch aggregate — the
+    * driver-gated contract (s_tws_stats); the multi-batch incremental
+    * merge is asserted in StreamingSpec. */
+  def streamingTypeStatsTws(spark: SparkSession,
+                            events: DataFrame): Dataset[TypeStats] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .map { case (t, v) => (t, Math.round(v * 100.0)) }
+      .groupByKey(_._1)
+      .transformWithState(new TypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Running per-user totals, emitted on every update. */
   def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
     import spark.implicits._

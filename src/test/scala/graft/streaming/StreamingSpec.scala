@@ -115,6 +115,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals merge incrementally across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(String, Double)]
+    val df = ms.toDF.toDF("event_type", "value")
+    val stats = StatefulOps.streamingTypeStatsTws(spark, df).toDF
+    val q = stats.writeStream.format("memory").queryName("spec_tws")
+      .outputMode("update").start()
+    try {
+      ms.addData(("a", 1.25), ("a", 2.50), ("b", 0.10))
+      q.processAllAvailable()
+      def latest(): Map[String, (Long, Long)] =
+        spark.table("spec_tws").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1)
+          // update mode appends per-batch rows to the memory sink; the
+          // running total is each key's max-n emission
+          .map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest() == Map("a" -> ((2L, 375L)), "b" -> ((1L, 10L))))
+      // batch 2: 'a' accumulates onto RocksDB state; 'c' starts fresh;
+      // 'b' saw no rows and must not re-emit
+      ms.addData(("a", 0.25), ("c", 9.99))
+      q.processAllAvailable()
+      assert(latest() == Map("a" -> ((3L, 400L)), "b" -> ((1L, 10L)),
+        "c" -> ((1L, 999L))))
+      val bRows = spark.table("spec_tws").collect()
+        .count(_.getString(0) == "b")
+      assert(bRows == 1, "a key with no new rows must not re-emit in update mode")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming KMV: sketch state merges across batches to the batch estimate") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1423,6 +1423,59 @@ object Core {
                                    WHERE c_mktsegment = 'BUILDING')
            GROUP BY o_orderstatus""")
     }),
+    "q_xml" -> ((s, dir) => {
+      // XML ingestion (from_xml landed in Spark 4 core): construct an XML
+      // document per order, parse with an explicit schema, extract typed
+      // fields — plus an xpath_long extraction over the same document,
+      // cross-checked against the schema'd parse inside the query
+      // (n_mismatch must be 0). Integer cents as always; the oracle
+      // replays the construction from base columns (codec philosophy —
+      // DuckDB has no XML functions, and does not need any: the gate is
+      // that parse∘construct is the identity).
+      t(s, dir, "orders").createOrReplaceTempView("xml_orders")
+      s.sql(
+        """WITH x AS (
+             SELECT concat('<o><id>', o_orderkey, '</id><cust>', o_custkey,
+                           '</cust><cents>',
+                           CAST(round(o_totalprice * 100) AS BIGINT),
+                           '</cents><prio>', o_orderpriority,
+                           '</prio></o>') AS doc
+             FROM xml_orders),
+           p AS (
+             SELECT from_xml(doc,
+                      'id BIGINT, cust BIGINT, cents BIGINT, prio STRING') AS r,
+                    xpath_long(doc, '/o/cust') AS xp_cust
+             FROM x)
+           SELECT r.prio AS prio,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(r.cents AS DECIMAL(18,0))) AS BIGINT)
+                    AS sum_cents,
+                  CAST(sum(CASE WHEN xp_cust = r.cust THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_mismatch
+           FROM p GROUP BY r.prio""")
+    }),
+    "q_try_funcs" -> ((s, dir) => {
+      // error-safe evaluation (the ANSI-mode companion family): dirty
+      // strings → try_cast, data-dependent zero divisors → try_divide,
+      // out-of-bounds array access → try_element_at; NULL instead of a
+      // failed job, with the failure COUNTS surfaced — the data-quality
+      // triage shape (quarantine-and-count, never crash the batch).
+      t(s, dir, "orders").createOrReplaceTempView("tryf_orders")
+      s.sql(
+        """SELECT count(*) AS n,
+                  count(try_cast(CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+                                      ELSE CAST(o_orderkey AS STRING) END
+                                 AS BIGINT)) AS n_cast_ok,
+                  CAST(sum(CASE WHEN try_divide(100.0, o_orderkey % 5) IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+                  max(try_cast(CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+                                    ELSE CAST(o_orderkey AS STRING) END
+                               AS BIGINT)) AS max_cast,
+                  count(try_element_at(array(o_orderstatus),
+                                       CAST(o_orderkey % 3 AS INT) + 1))
+                    AS n_elem_ok
+           FROM tryf_orders""")
+    }),
     "q_sql_udf" -> ((s, dir) => {
       // Spark 4 SQL-defined function (CREATE FUNCTION ... RETURN expr):
       // unlike a Scala/Python UDF, the analyzer INLINES the body into the
@@ -2857,6 +2910,29 @@ object Core {
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                  WHERE c_mktsegment = 'BUILDING')
          GROUP BY o_orderstatus""",
+    "q_xml" ->
+      // construction replay from base columns: equality proves Spark's
+      // XML parse (schema'd from_xml AND the xpath extraction, which the
+      // query cross-checks into n_mismatch) is the identity on the
+      // constructed documents
+      """SELECT o_orderpriority AS prio,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                CAST(0 AS BIGINT) AS n_mismatch
+         FROM orders GROUP BY 1""",
+    "q_try_funcs" ->
+      // each try_* replayed as the success-condition CASE
+      """SELECT count(*) AS n,
+                count(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderkey END) AS n_cast_ok,
+                CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_div_null,
+                CAST(max(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                              ELSE o_orderkey END) AS BIGINT) AS max_cast,
+                count(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END)
+                  AS n_elem_ok
+         FROM orders""",
     "q_sql_udf" ->
       // the UDF body inlined by hand — which is exactly what Spark's
       // analyzer does with it too

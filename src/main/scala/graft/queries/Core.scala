@@ -1423,6 +1423,64 @@ object Core {
                                    WHERE c_mktsegment = 'BUILDING')
            GROUP BY o_orderstatus""")
     }),
+    "q_params" -> ((s, dir) => {
+      // parameterized SQL (spark.sql(text, args)): named :markers bound
+      // as LITERALS by the parser — like IDENTIFIER() for names, this is
+      // the injection-safe path for values, and the bound literal
+      // constant-folds/pushes down like any other
+      t(s, dir, "orders").createOrReplaceTempView("param_orders")
+      s.sql(
+        """SELECT o_orderpriority AS prio, count(*) AS n_orders
+           FROM param_orders
+           WHERE o_totalprice > :minPrice AND o_orderstatus = :status
+           GROUP BY o_orderpriority""",
+        Map("minPrice" -> 150000, "status" -> "F"))
+    }),
+    "q_lateral_alias" -> ((s, dir) => {
+      // lateral column alias: later SELECT items reference earlier
+      // aliases in the same list — no subquery nesting, evaluated once
+      t(s, dir, "lineitem").createOrReplaceTempView("lca_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS gross,
+                  gross * 0.9 AS net,
+                  net - gross AS delta
+           FROM lca_lineitem
+           GROUP BY l_returnflag""")
+    }),
+    "q_collation" -> ((s, dir) => {
+      // Spark 4 collations: mixed-case labels compared/grouped under
+      // UTF8_LCASE — the engine merges case variants at the COMPARISON
+      // level (hash/sort keys are collation keys), no data normalization
+      // pass. Output projects lower(seg) because a collated GROUP BY
+      // returns an arbitrary case representative; CAST back to plain
+      // STRING strips the collation from the output schema.
+      t(s, dir, "customer").createOrReplaceTempView("coll_customer")
+      s.sql(
+        """WITH c AS (
+             SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                         ELSE lower(c_mktsegment)
+                    END COLLATE UTF8_LCASE AS seg,
+                    c_acctbal
+             FROM coll_customer)
+           SELECT CAST(lower(seg) AS STRING) AS seg,
+                  count(*) AS n_customers,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total_bal
+           FROM c GROUP BY seg""")
+    }),
+    "q_identifier" -> ((s, dir) => {
+      // IDENTIFIER() clause: dynamic table/column names resolved as
+      // identifiers, not spliced strings — the SQL-injection-safe form of
+      // parameterized DDL/DML tooling
+      t(s, dir, "orders").createOrReplaceTempView("ident_orders")
+      s.sql(
+        """SELECT IDENTIFIER('o_orderstatus') AS status,
+                  count(*) AS n_orders
+           FROM IDENTIFIER('ident_orders')
+           GROUP BY IDENTIFIER('o_orderstatus')""")
+    }),
     "q_xml" -> ((s, dir) => {
       // XML ingestion (from_xml landed in Spark 4 core): construct an XML
       // document per order, parse with an explicit schema, extract typed
@@ -2910,6 +2968,34 @@ object Core {
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                  WHERE c_mktsegment = 'BUILDING')
          GROUP BY o_orderstatus""",
+    "q_params" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n_orders
+         FROM orders
+         WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+         GROUP BY 1""",
+    "q_lateral_alias" ->
+      // double × 0.9 is IEEE-identical in both engines; delta = -0.1×gross
+      // through the same lateral chain
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS gross,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  * 0.9 AS net,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  * 0.9
+                - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS delta
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_collation" ->
+      // the oracle normalizes with lower() — equality proves the collated
+      // GROUP BY merged the case variants exactly as normalization would
+      """SELECT lower(c_mktsegment) AS seg, count(*) AS n_customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_bal
+         FROM customer GROUP BY 1""",
+    "q_identifier" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders
+         FROM orders GROUP BY 1""",
     "q_xml" ->
       // construction replay from base columns: equality proves Spark's
       // XML parse (schema'd from_xml AND the xpath extraction, which the

@@ -1610,6 +1610,83 @@ object Core {
            FROM anc JOIN rcte_supplier s ON anc.node = s.s_suppkey
            GROUP BY anc.leaf""")
     }),
+    "q_sql_pipe" -> ((s, dir) => {
+      // SQL pipe syntax (Spark 4 `|>`): the linear FROM → WHERE → EXTEND →
+      // AGGREGATE → WHERE chain, each stage consuming the previous stage's
+      // output — the composable form of scan→filter→derive→agg→having.
+      // Purely parser surface: the plan is the SAME Aggregate-over-Filter
+      // Catalyst produces for the nested SELECT (pushdown/codegen intact),
+      // which is exactly what the oracle runs as classic SQL.
+      t(s, dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+      s.sql(
+        """FROM pipe_lineitem
+           |> WHERE l_quantity >= 10
+           |> EXTEND l_extendedprice * (1.0 - l_discount) AS disc_price
+           |> AGGREGATE count(*) AS n_items,
+                CAST(sum(CAST(disc_price AS DECIMAL(18,4))) AS DOUBLE)
+                  AS revenue
+              GROUP BY l_returnflag
+           |> WHERE n_items > 0""")
+    }),
+    "q_exec_immediate" -> ((s, dir) => {
+      // EXECUTE IMMEDIATE: SQL-from-a-string with named parameter binding
+      // (`:lo` bound via USING) — the dynamic-SQL entry point for tooling
+      // that assembles statements at runtime. The parameter binds as a
+      // LITERAL (injection-safe, like q_params), so it constant-folds and
+      // pushes down; the oracle runs the resolved statement directly.
+      t(s, dir, "orders").createOrReplaceTempView("ei_orders")
+      s.sql(
+        """EXECUTE IMMEDIATE
+             'SELECT o_orderstatus AS status, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+              FROM ei_orders WHERE o_totalprice > :lo
+              GROUP BY o_orderstatus'
+           USING 100000 AS lo""")
+    }),
+    "q_sql_script" -> ((s, dir) => {
+      // SQL scripting (Spark 4 BEGIN…END): DECLAREd variables + a WHILE
+      // loop driving three partitioned scalar subqueries whose running
+      // totals must equal the one-pass whole-table aggregate the oracle
+      // runs — control flow is on the driver, each loop body statement is
+      // a full distributed query, and the hash gates the accumulation.
+      // Cents are exact integers, so += across iterations is associative.
+      t(s, dir, "orders").createOrReplaceTempView("script_orders")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        """BEGIN
+             DECLARE i INT DEFAULT 0;
+             DECLARE n_total BIGINT DEFAULT 0;
+             DECLARE cents BIGINT DEFAULT 0;
+             WHILE i < 3 DO
+               SET n_total = n_total + (
+                 SELECT count(*) FROM script_orders WHERE o_orderkey % 3 = i);
+               SET cents = cents + (
+                 SELECT COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                 FROM script_orders WHERE o_orderkey % 3 = i);
+               SET i = i + 1;
+             END WHILE;
+             SELECT n_total AS n_orders, cents AS sum_cents;
+           END""")
+    }),
+    "q_higher_order" -> ((s, dir) =>
+      // higher-order array functions (lambda surface): transform / filter /
+      // exists / forall / zip_with / aggregate over the embedding column.
+      // Every fold runs in INDEX order with a 0.0 init (0+x is exact), and
+      // floats widen to double before arithmetic, so each IEEE sequence is
+      // bit-identical to the oracle's list_transform/list_reduce replay.
+      // Lambdas are codegen'd expressions — no UDF boundary; at scale this
+      // is per-row work fused into the scan stage.
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("sum_all"),
+        expr("size(filter(embedding, x -> CAST(x AS DOUBLE) > 0.0D))").as("n_pos"),
+        expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.9D)").as("has_big"),
+        expr("forall(embedding, x -> abs(CAST(x AS DOUBLE)) <= 2.0D)").as("bounded2"),
+        expr("""aggregate(zip_with(embedding, reverse(embedding),
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE), (a, v) -> a + v)""").as("dot_rev"))),
     "q_join_multi" -> ((s, dir) => {
       // TPC-H Q5-shaped star join: facts shuffle on keys, dims broadcast.
       val c = t(s, dir, "customer")
@@ -3042,6 +3119,47 @@ object Core {
                 CAST(max(o_custkey) AS BIGINT) AS max_cust,
                 CAST(0 AS BIGINT) AS n_missing
          FROM orders GROUP BY o_orderpriority""",
+    "q_sql_pipe" ->
+      // the pipe chain resolved to classic SQL: same filter, same derived
+      // column, same decimal aggregate, HAVING for the post-agg WHERE
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem WHERE l_quantity >= 10
+         GROUP BY l_returnflag HAVING count(*) > 0""",
+    "q_exec_immediate" ->
+      // the dynamic statement with :lo resolved to its bound literal
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders WHERE o_totalprice > 100000
+         GROUP BY o_orderstatus""",
+    "q_sql_script" ->
+      // the loop's three disjoint o_orderkey%3 partitions cover the table,
+      // so the accumulated totals equal the one-pass aggregate
+      """SELECT count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders""",
+    "q_higher_order" ->
+      // list_reduce has no init operand → prepend 0.0 (0+x is IEEE-exact),
+      // then fold in the same index order as Spark's aggregate(); list_zip
+      // structs are unnamed → positional s[1]/s[2] access
+      """SELECT vec_id,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                  (a, x) -> a + x) AS sum_all,
+                CAST(len(list_filter(embedding,
+                    x -> CAST(x AS DOUBLE) > 0.0)) AS INTEGER) AS n_pos,
+                len(list_filter(embedding,
+                    x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS has_big,
+                len(list_filter(embedding,
+                    x -> abs(CAST(x AS DOUBLE)) > 2.0)) = 0 AS bounded2,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(list_zip(embedding, list_reverse(embedding)),
+                      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))),
+                  (a, v) -> a + v) AS dot_rev
+         FROM embeddings""",
     "q_recursive_cte" ->
       // the IDENTICAL recursion in DuckDB's WITH RECURSIVE (`//` = DIV):
       // both engines iterate the same frontier to the same depth, so the

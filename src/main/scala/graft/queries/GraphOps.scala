@@ -52,6 +52,34 @@ object GraphOps {
       ranks.select(col("node"), round(col("rank"), 6).as("rank"),
         lit(stopR).as("stop_round"))
     }),
+    "g_lpa" -> ((s, dir) => {
+      // label propagation communities (Raghavan et al. 2007), SYNCHRONOUS
+      // variant with a deterministic update: labels start as the node id,
+      // each round every node adopts the most frequent label among its
+      // neighbours (ties → smallest label, row_number over (count desc,
+      // label asc)), 3 fixed rounds. Per round: one edge-sized join + one
+      // (node,label) partial agg + one per-node window — the same
+      // edge-bound communication as a PageRank round, O(1) lineage via
+      // localCheckpoint. The symmetrized graph has no isolated nodes, so
+      // every node receives messages every round and the node set is
+      // round-invariant. The full (node, label) assignment is hash-gated
+      // against 3 unrolled oracle rounds.
+      val e = edges(s, dir)
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to 3) {
+        val counts = e.join(labels, e("src") === labels("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("dst")
+          .orderBy(col("cnt").desc, col("label").asc)
+        labels = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("node"), col("label"))
+          .localCheckpoint()
+      }
+      labels
+    }),
     "g_degree_dist" -> ((s, dir) =>
       // degree distribution per bipartite side — the 1-pass profile that
       // sizes every downstream graph join (skew detection at 100 TB)
@@ -367,6 +395,27 @@ object GraphOps {
            WHERE r.rn = t.tgt)
          ${(1 to 4).map(i => peelSql(i, if (i == 1) "s0" else s"s${i - 1}")).mkString}
          SELECT u AS node, count(*) AS core_deg FROM s4 GROUP BY 1""",
+    "g_lpa" ->
+      // 3 unrolled synchronous rounds; every c_r/l_r is referenced by the
+      // next round, MATERIALIZED per the g_kcore inlining lesson. The
+      // row_number tie-break (cnt DESC, label ASC) is total, so each
+      // round's assignment — and therefore the whole trajectory — is
+      // deterministic in both engines.
+      s"""WITH $edgesSql,
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, src AS label FROM edges),
+         ${(1 to 3).map { r =>
+           s"""c$r AS MATERIALIZED (
+           SELECT e.dst AS node, l.label, count(*) AS cnt
+           FROM edges e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         l$r AS MATERIALIZED (
+           SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                      ORDER BY cnt DESC, label ASC) AS rn
+             FROM c$r) WHERE rn = 1)"""
+         }.mkString(",\n         ")}
+         SELECT node, label FROM l3""",
     "g_pagerank" ->
       s"""WITH $edgesSql,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),

@@ -26,6 +26,58 @@ object VectorOps {
       Similarity.knnLsh(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10, nBits = 4)),
     "v_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", nBits = 8, minCosine = 0.35)),
+    "v_quantize_int8" -> ((s, dir) =>
+      // symmetric int8 scalar quantization of the embedding column — the
+      // 4× embedding-store compression every 100 TB vector corpus applies
+      // before indexing. Per vector: amax (exact float→double max-abs),
+      // scale = amax/127, codes = floor(x/scale + 0.5) clamped to ±127
+      // (floor(x+0.5) instead of round(): identical HALF-UP semantics in
+      // both engines with no rounding-mode ambiguity), then the
+      // reconstruction error (x − q·scale)² folded in index order. All
+      // IEEE-deterministic, all codegen'd lambdas fused into the scan —
+      // the whole quantize→reconstruct→evaluate loop is hash-gated.
+      emb(s, dir)
+        .withColumn("amax", expr(
+          """aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))"""))
+        .filter(col("amax") > 0.0)
+        .withColumn("scale", col("amax") / 127.0)
+        .withColumn("qarr", expr(
+          """transform(embedding,
+               x -> least(greatest(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D)
+                                        AS DOUBLE), -127.0D), 127.0D))"""))
+        .withColumn("sq_err", expr(
+          """aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),
+                                qarr,
+                                (x, q) -> (x - q * scale) * (x - q * scale)),
+                       CAST(0.0 AS DOUBLE), (a, v) -> a + v)"""))
+        .select(col("vec_id"), col("scale"),
+          expr("size(filter(qarr, q -> abs(q) = 127.0D))").as("n_sat"),
+          (col("sq_err") / size(col("embedding")).cast("double")).as("mse"))),
+    "v_semdedup" -> ((s, dir) => {
+      // SemDeDup (semantic dedup, Abbas et al. 2023 — public recipe):
+      // cluster the corpus, then prune near-duplicates WITHIN clusters
+      // only, keeping each dup-pair's smallest id. The cluster step reuses
+      // the IVF sampled-centroid assignment (cells seeded by vec_ids
+      // 0..15, decimal-exact argmax — the v_kmeans contract); the pair
+      // step is a cell-keyed self-join, so the quadratic term is bounded
+      // per cell (312 vectors/cell at sf0.1, never corpus²) — at 100 TB
+      // `cell` is the bucketing column and each bucket dedups
+      // independently. Two-phase verification like nearDupPairs: a
+      // codegen'd double cosine prefilters with a 1e-9 margin, the
+      // decimal-exact cosine decides. Output = surviving (vec_id, cell).
+      val assigned = IvfIndex.assignSampled(emb(s, dir), "vec_id", "embedding", 16)
+      val a = assigned.select(col("cell"), col("vec_id").as("ka"),
+        col("embedding").as("va"))
+      val b = assigned.select(col("cell").as("cb"), col("vec_id").as("kb"),
+        col("embedding").as("vb"))
+      val losers = a.join(b, col("cell") === col("cb") && col("ka") < col("kb"))
+        .filter(Similarity.cosineFast(col("va"), col("vb")) >= 0.35 - 1e-9)
+        .filter(Similarity.cosineCols(col("va"), col("vb")) >= 0.35)
+        .select(col("kb").as("loser")).distinct()
+      assigned.join(losers, col("vec_id") === col("loser"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+    }),
     "v_knn_native" -> ((s, dir) => {
       // throughput path: the codegen'd FloatCosine expression. Plain double
       // accumulation, but the loop order is fixed (index order), so the
@@ -435,6 +487,73 @@ object VectorOps {
        FROM est ORDER BY est ASC, vid ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
+    "v_quantize_int8" ->
+      // the identical quantize→reconstruct→error chain: list_reduce folds
+      // replay Spark's index-ordered aggregates (0.0-prepend seed is
+      // IEEE-exact), floor(x/scale + 0.5) is the shared HALF-UP rounding,
+      // and list_zip's unnamed struct is accessed positionally
+      """WITH b AS (
+           SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                    (a, x) -> greatest(a, x)) AS amax
+           FROM embeddings),
+         s AS (SELECT vec_id, embedding, amax / 127.0 AS scale
+               FROM b WHERE amax > 0),
+         qq AS (SELECT vec_id, embedding, scale,
+                  list_transform(embedding,
+                    x -> least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5),
+                                        -127.0), 127.0)) AS qarr
+                FROM s),
+         e AS (SELECT vec_id, scale, qarr,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(list_zip(embedding, qarr),
+                       p -> (CAST(p[1] AS DOUBLE) - p[2] * scale)
+                          * (CAST(p[1] AS DOUBLE) - p[2] * scale))),
+                   (a, v) -> a + v) AS sq_err,
+                 len(embedding) AS dim
+               FROM qq)
+         SELECT vec_id, scale,
+                CAST(len(list_filter(qarr, q -> abs(q) = 127.0)) AS INTEGER)
+                  AS n_sat,
+                sq_err / CAST(dim AS DOUBLE) AS mse
+         FROM e""",
+    "v_semdedup" ->
+      // assignment CTEs identical to v_kmeans's replay, then the
+      // within-cell pair join with the decimal-exact cosine and the
+      // keep-smallest-id rule; MATERIALIZED where a CTE is referenced
+      // more than once (the g_kcore inlining lesson)
+      """WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                        FROM embeddings WHERE vec_id < 16),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, CAST(-((max(struct_pack(c := c, nc := -cell))).nc) AS INTEGER) AS cell
+           FROM cc GROUP BY 1),
+         pairs AS (SELECT a1.vec_id AS ka, a2.vec_id AS kb
+                   FROM assigned a1 JOIN assigned a2
+                     ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id),
+         px AS (SELECT p.ka, p.kb, unnest(e1.embedding) AS x, unnest(e2.embedding) AS y
+                FROM pairs p JOIN embeddings e1 ON e1.vec_id = p.ka
+                             JOIN embeddings e2 ON e2.vec_id = p.kb),
+         pc AS (SELECT ka, kb,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS na,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS nb
+                FROM px GROUP BY 1, 2),
+         losers AS (SELECT DISTINCT kb FROM pc
+                    WHERE dot/greatest(sqrt(na)*sqrt(nb), 1e-12) >= 0.35)
+         SELECT a.vec_id, a.cell FROM assigned a
+         WHERE a.vec_id NOT IN (SELECT kb FROM losers)""",
     "v_knn_native" ->
       // FloatCosine accumulates dot/norms left-to-right in index order;
       // list_reduce replays the same IEEE addition sequence (its

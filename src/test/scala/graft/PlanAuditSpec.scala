@@ -37,6 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
     "v_knn_ivf", "v_knn_ivfpq", // corpus x broadcast(nCells=16 seeds)
     "v_kmeans", // same assignSampled corpus x broadcast(16 seeds) shape
+    "v_semdedup", // same assignSampled corpus x broadcast(16 seeds) shape;
+    // the within-cell pair join itself is a key-equality join on cell
     "v_knn_ivf_trained") // corpus x broadcast(16 TRAINED centroid rows) —
     // the training rounds checkpoint away, but the final assignment's
     // argmax (the v_knn_ivf shape, trained centroids instead of seeds)

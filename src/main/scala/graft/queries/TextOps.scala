@@ -170,6 +170,33 @@ object TextOps {
           Seq("source"), Seq("n_tokens" -> false, "doc_id" -> true), k = 5)
         .select("source", "doc_id", "n_tokens")
     }),
+    "t_mix_sqrt" -> ((s, dir) => {
+      // temperature-balanced source mixing (the multilingual-sampling
+      // recipe at α = 0.5): sampling share per source ∝ √(token count),
+      // up-weighting small sources against head domains. α = 0.5 is the
+      // one temperature whose power function (sqrt) is IEEE-exact in both
+      // engines — no libm pow in the contract. The √w terms are cast to
+      // DECIMAL(28,16) before the global sum so the denominator is
+      // order-independent; the share is then a single double division and
+      // the integer budget allocation floors it. The global window runs
+      // on the ALREADY-AGGREGATED per-source frame (one row per source),
+      // so at 100 TB it is a dims-sized operation after one map-side
+      // combined corpus pass.
+      import org.apache.spark.sql.expressions.Window
+      val agg = docs(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("wdec",
+          sqrt(col("n_tokens").cast("double")).cast(DecimalType(28, 16)))
+      val wtot = Window.partitionBy()
+      agg
+        .withColumn("share", col("wdec").cast("double") /
+          sum(col("wdec")).over(wtot).cast("double"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 6).as("share"),
+          floor(col("share") * 100000.0).cast("long").as("target_docs"))
+    }),
     "t_weighted_sample" -> ((s, dir) => {
       // deterministic IMPORTANCE sampling: keep probability proportional to
       // a per-doc quality weight (token count capped at 1.0), decided by
@@ -666,6 +693,25 @@ object TextOps {
                         ORDER BY n_tokens DESC, doc_id ASC) AS rn
                FROM d)
          SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5""",
+    "t_mix_sqrt" ->
+      // identical √-weight chain: per-source token sum, sqrt (IEEE-exact
+      // at α = 0.5), DECIMAL(28,16)-cast terms into an order-independent
+      // windowed total, one double division, floored integer allocation
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                             AS n_tokens
+                    FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs, n_tokens,
+                      CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,16))
+                        AS wdec
+               FROM a),
+         sh AS (SELECT source, n_docs, n_tokens,
+                       CAST(wdec AS DOUBLE)
+                         / CAST(sum(wdec) OVER () AS DOUBLE) AS share
+                FROM w)
+         SELECT source, n_docs, n_tokens, round(share, 6) AS share,
+                CAST(floor(share * 100000.0) AS BIGINT) AS target_docs
+         FROM sh""",
     "t_weighted_sample" ->
       """WITH t AS (SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

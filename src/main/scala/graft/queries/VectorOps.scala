@@ -78,6 +78,40 @@ object VectorOps {
       assigned.join(losers, col("vec_id") === col("loser"), "left_anti")
         .select(col("vec_id"), col("cell"))
     }),
+    "v_prototypicality" -> ((s, dir) => {
+      // prototypicality pruning (the SSL-prototypes recipe of Sorscher et
+      // al. 2022, "Beyond neural scaling laws" — public): score every
+      // vector by cosine to its cluster centroid, then DROP each cell's
+      // most prototypical 20% (the easy/redundant examples; hard examples
+      // survive). Centroid = the v_kmeans decimal-mean update collected
+      // into one array per cell and broadcast back, so the per-row score
+      // is a single decimal-exact cosine — no corpus explode in the scoring
+      // pass, and at 100 TB the plan is one (cell,dim) rollup + one
+      // broadcast join + one per-cell window over cell-bucketed data.
+      // The cut index is integer arithmetic (ceil via (n+4) div 5), the
+      // rank order (score desc, vec_id) is total — membership, rank, and
+      // the score itself are all hash-gated.
+      import org.apache.spark.sql.expressions.Window
+      val assigned = IvfIndex.assignSampled(emb(s, dir), "vec_id", "embedding", 16)
+      val memd = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      val centd = memd.groupBy("cell", "pos")
+        .agg((sum(col("x").cast("double").cast(DecimalType(28, 16))).cast("double")
+          / count(lit(1))).as("m"))
+      val centArr = centd.groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("carr"))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("proto_raw").desc, col("vec_id").asc)
+      val wc = Window.partitionBy("cell")
+      assigned.join(broadcast(centArr), "cell")
+        .select(col("vec_id"), col("cell"),
+          Similarity.cosineCols(col("embedding"), col("carr")).as("proto_raw"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_cell", count(lit(1)).over(wc))
+        .filter(col("rn") > expr("(n_cell + 4) div 5"))
+        .select(col("vec_id"), col("cell"), round(col("proto_raw"), 6).as("proto"))
+    }),
     "v_knn_native" -> ((s, dir) => {
       // throughput path: the codegen'd FloatCosine expression. Plain double
       // accumulation, but the loop order is fixed (index order), so the
@@ -518,6 +552,57 @@ object VectorOps {
                   AS n_sat,
                 sq_err / CAST(dim AS DOUBLE) AS mse
          FROM e""",
+    "v_prototypicality" ->
+      // assignment replay (the v_kmeans CTEs), per-(cell,pos) decimal
+      // means, then the member-vs-own-centroid cosine via the joined
+      // (cell,pos) products (only the assigned centroid — no cross join),
+      // the per-cell rank, and the integer 20% cut. c2 (centroid
+      // self-norm) comes from the same mean table, decimal-accumulated
+      // like the engine's decDot.
+      """WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                        FROM embeddings WHERE vec_id < 16),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, CAST(-((max(struct_pack(c := c, nc := -cell))).nc) AS INTEGER) AS cell
+           FROM cc GROUP BY 1),
+         memd AS MATERIALIZED (
+           SELECT a.cell, e.vec_id, CAST(gs.i - 1 AS INTEGER) AS pos,
+                  CAST(e.embedding[gs.i] AS DOUBLE) AS x
+           FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs),
+         centd AS MATERIALIZED (
+           SELECT cell, pos,
+                  CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) / count(*) AS m
+           FROM memd GROUP BY 1, 2),
+         acc AS (SELECT md.vec_id, md.cell,
+                   CAST(sum(CAST(md.x * cd.m AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                   CAST(sum(CAST(md.x * md.x AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                 FROM memd md JOIN centd cd
+                   ON md.cell = cd.cell AND md.pos = cd.pos
+                 GROUP BY 1, 2),
+         cnorm AS (SELECT cell,
+                     CAST(sum(CAST(m * m AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                   FROM centd GROUP BY 1),
+         scored AS (SELECT acc.vec_id, acc.cell,
+                      dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS proto_raw
+                    FROM acc JOIN cnorm ON acc.cell = cnorm.cell),
+         ranked AS (SELECT vec_id, cell, proto_raw,
+                      row_number() OVER (PARTITION BY cell
+                        ORDER BY proto_raw DESC, vec_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY cell) AS n_cell
+                    FROM scored)
+         SELECT vec_id, cell, round(proto_raw, 6) AS proto
+         FROM ranked WHERE rn > (n_cell + 4) // 5""",
     "v_semdedup" ->
       // assignment CTEs identical to v_kmeans's replay, then the
       // within-cell pair join with the decimal-exact cosine and the

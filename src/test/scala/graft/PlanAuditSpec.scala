@@ -39,6 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "v_kmeans", // same assignSampled corpus x broadcast(16 seeds) shape
     "v_semdedup", // same assignSampled corpus x broadcast(16 seeds) shape;
     // the within-cell pair join itself is a key-equality join on cell
+    "v_prototypicality", // assignSampled broadcast(16 seeds) + broadcast
+    // of the 16-row centroid-array frame into the scoring join
     "v_knn_ivf_trained") // corpus x broadcast(16 TRAINED centroid rows) —
     // the training rounds checkpoint away, but the final assignment's
     // argmax (the v_knn_ivf shape, trained centroids instead of seeds)

@@ -66,7 +66,12 @@ object VectorOps {
       // independently. Two-phase verification like nearDupPairs: a
       // codegen'd double cosine prefilters with a 1e-9 margin, the
       // decimal-exact cosine decides. Output = surviving (vec_id, cell).
+      // The assignment feeds THREE plan branches (both pair sides + the
+      // anti-join base) — localCheckpoint computes the decimal argmax
+      // once (9.9 → 5.4 s median at sf0.1; at scale this is the
+      // materialized index table of v_knn_ivf_probe).
       val assigned = IvfIndex.assignSampled(emb(s, dir), "vec_id", "embedding", 16)
+        .localCheckpoint()
       val a = assigned.select(col("cell"), col("vec_id").as("ka"),
         col("embedding").as("va"))
       val b = assigned.select(col("cell").as("cb"), col("vec_id").as("kb"),
@@ -92,7 +97,10 @@ object VectorOps {
       // rank order (score desc, vec_id) is total — membership, rank, and
       // the score itself are all hash-gated.
       import org.apache.spark.sql.expressions.Window
+      // assignment feeds two branches (centroid rollup + scoring join):
+      // localCheckpoint computes the decimal argmax once
       val assigned = IvfIndex.assignSampled(emb(s, dir), "vec_id", "embedding", 16)
+        .localCheckpoint()
       val memd = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       val centd = memd.groupBy("cell", "pos")

@@ -37,10 +37,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
     "v_knn_ivf", "v_knn_ivfpq", // corpus x broadcast(nCells=16 seeds)
     "v_kmeans", // same assignSampled corpus x broadcast(16 seeds) shape
-    "v_semdedup", // same assignSampled corpus x broadcast(16 seeds) shape;
-    // the within-cell pair join itself is a key-equality join on cell
-    "v_prototypicality", // assignSampled broadcast(16 seeds) + broadcast
-    // of the 16-row centroid-array frame into the scoring join
+    // (v_semdedup / v_prototypicality run the same assignSampled argmax,
+    // but behind an eager localCheckpoint — their audited final plans are
+    // checkpoint scans + key-equality joins, the g_kcore situation)
     "v_knn_ivf_trained") // corpus x broadcast(16 TRAINED centroid rows) —
     // the training rounds checkpoint away, but the final assignment's
     // argmax (the v_knn_ivf shape, trained centroids instead of seeds)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.PageRank
@@ -21,6 +22,35 @@ import graft.operators.PageRank
   * the identical three iterations as chained CTEs.
   */
 object GraphOps {
+
+  /** Symmetrized distinct supplier–part edges with LONG node ids
+    * (s<k> → 2k, p<k> → 2k+1 — bijective, fixed-width messages). */
+  private def longEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.load(s, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Synchronous deterministic LPA over [[longEdges]]: per round one
+    * edge-sized join + two map-side-combined hash aggregates (the
+    * max(struct(cnt, -label)) argmax; ties → smallest label), O(1)
+    * lineage via localCheckpoint. Shared by g_lpa and g_modularity. */
+  private def lpaLabels(e: DataFrame, rounds: Int): DataFrame = {
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 
   /** Symmetrized distinct supplier–part edges: s<k> <-> p<k>. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
@@ -69,23 +99,43 @@ object GraphOps {
       // two key spaces cannot collide) so the per-round argmax is the
       // max(struct(cnt, -label)) two-stage HASH aggregate (map-side
       // combined, no per-node sort) instead of a row_number window.
-      val e0 = Tables.load(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("src"),
-                (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      var labels = e.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-      for (_ <- 1 to 3) {
-        labels = e.join(labels, e("src") === labels("node"))
-          .groupBy(col("dst"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-          .select(col("dst").as("node"), (-col("m.nl")).as("label"))
-          .localCheckpoint()
-      }
-      labels
+      lpaLabels(longEdges(s, dir), rounds = 3)
+    }),
+    "g_modularity" -> ((s, dir) => {
+      // modularity (Newman 2004) of the g_lpa partition — the
+      // community-quality gate a production clustering rollout checks
+      // before the partition drives downstream sampling. Over the
+      // symmetrized DIRECTED edge table (M2 = 2m): Q = Σ_c (w_c/M2 −
+      // (d_c/M2)²) with w_c = within-community directed edges and d_c =
+      // community degree sum — both INTEGER counts, so each per-community
+      // term is a fixed IEEE chain, and the terms are DECIMAL(28,16)-cast
+      // before the final sum (order-independent; the sum-of-doubles trap
+      // is the same one t_mix_sqrt's denominator avoids). M2 arrives as a
+      // window total over the ALREADY-AGGREGATED per-community frame, so
+      // no 1-row broadcast appears. At 100 TB: LPA's edge-bound rounds +
+      // two edge-sized label joins + community-sized arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      val e = longEdges(s, dir)
+      val labels = lpaLabels(e, rounds = 3)
+      val withSrc = e.join(labels.withColumnRenamed("node", "src")
+        .withColumnRenamed("label", "lsrc"), "src")
+      val dC = withSrc.groupBy("lsrc").agg(count(lit(1)).as("d_c"))
+      val wC = withSrc.join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "ldst"), "dst")
+        .filter(col("lsrc") === col("ldst"))
+        .groupBy("lsrc").agg(count(lit(1)).as("w_c"))
+      val wtot = Window.partitionBy()
+      dC.join(wC, Seq("lsrc"), "left")
+        .withColumn("w_c", coalesce(col("w_c"), lit(0L)))
+        .withColumn("m2", sum(col("d_c")).over(wtot))
+        .withColumn("term",
+          (col("w_c").cast("double") / col("m2").cast("double")
+            - (col("d_c").cast("double") / col("m2").cast("double"))
+              * (col("d_c").cast("double") / col("m2").cast("double")))
+            .cast(DecimalType(28, 16)))
+        .agg(count(lit(1)).as("n_communities"),
+          max(col("m2")).as("m2"),
+          round(sum(col("term")).cast("double"), 6).as("modularity"))
     }),
     "g_degree_dist" -> ((s, dir) =>
       // degree distribution per bipartite side — the 1-pass profile that
@@ -427,6 +477,49 @@ object GraphOps {
            FROM c$r GROUP BY node)"""
          }.mkString(",\n         ")}
          SELECT node, label FROM l3""",
+    "g_modularity" ->
+      // the g_lpa rounds replayed, then the integer community moments
+      // (w_c within-edges, d_c degree sums), the windowed M2 total, the
+      // per-community IEEE term, and the order-independent decimal sum
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                             l_partkey * 2 + 1 AS dst
+                      FROM lineitem),
+         edges AS MATERIALIZED (
+           SELECT src, dst FROM e0
+           UNION ALL
+           SELECT dst AS src, src AS dst FROM e0),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, src AS label FROM edges),
+         ${(1 to 3).map { r =>
+           s"""c$r AS MATERIALIZED (
+           SELECT e.dst AS node, l.label, count(*) AS cnt
+           FROM edges e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         l$r AS MATERIALIZED (
+           SELECT node, -((max(struct_pack(cnt := cnt, nl := -label))).nl)
+                    AS label
+           FROM c$r GROUP BY node)"""
+         }.mkString(",\n         ")},
+         ws AS MATERIALIZED (
+           SELECT e.src, e.dst, l.label AS lsrc
+           FROM edges e JOIN l3 l ON e.src = l.node),
+         dc AS (SELECT lsrc, CAST(count(*) AS BIGINT) AS d_c
+                FROM ws GROUP BY 1),
+         wc AS (SELECT ws.lsrc, CAST(count(*) AS BIGINT) AS w_c
+                FROM ws JOIN l3 l2 ON ws.dst = l2.node
+                WHERE ws.lsrc = l2.label GROUP BY 1),
+         t AS (SELECT dc.lsrc, COALESCE(wc.w_c, 0) AS w_c, dc.d_c,
+                      CAST(sum(dc.d_c) OVER () AS BIGINT) AS m2
+               FROM dc LEFT JOIN wc ON dc.lsrc = wc.lsrc),
+         u AS (SELECT m2,
+                      CAST(CAST(w_c AS DOUBLE) / CAST(m2 AS DOUBLE)
+                           - (CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+                             * (CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+                           AS DECIMAL(28,16)) AS term
+               FROM t)
+         SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                CAST(max(m2) AS BIGINT) AS m2,
+                round(CAST(sum(term) AS DOUBLE), 6) AS modularity
+         FROM u""",
     "g_pagerank" ->
       s"""WITH $edgesSql,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),

@@ -82,6 +82,42 @@ object PipelineOps {
         snap("1998-01-01 00:00:00", "2000-01-01 00:00:00"),
         Seq("o_custkey"))
     }),
+    "p_partition_overwrite" -> ((s, dir) => {
+      // dynamic partition overwrite — the BACKFILL primitive: re-running
+      // one day's corrected job replaces exactly that day's partition and
+      // touches nothing else (static overwrite mode would truncate the
+      // whole table; the oracle equality over ALL days proves the other
+      // partitions survived). The patch runs TWICE — partition overwrite
+      // is the idempotence mechanism here, where p_reporting_e2e uses
+      // anti-join dedup and p_incr_rollup additive merge. At 100 TB this
+      // is the partition-pruned write path: each backfill touches
+      // 1/n_days of the table, and the day column prunes reads too.
+      import org.apache.spark.sql.functions.{count => cnt, lit => l, min => mn, sum => sm}
+      val table = "rpt_po_events"
+      Catalog.dropManaged(s, table)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("day"))
+      ev.write.partitionBy("day").format("parquet").saveAsTable(table)
+      // the corrected derivation for the earliest day (a 1-row driver
+      // scalar, the watermark idiom)
+      val day0 = ev.agg(mn(col("day"))).first().getTimestamp(0)
+      val patch = ev.filter(col("day") === l(day0))
+        .withColumn("value", col("value") * 2)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        patch.write.mode("overwrite").insertInto(table)
+        patch.write.mode("overwrite").insertInto(table) // idempotent re-run
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.table(table).groupBy("day")
+        .agg(cnt(l(1)).as("n_events"),
+          sm(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+    }),
     "p_incr_rollup" -> ((s, dir) => {
       // incremental materialized-view maintenance: a daily rollup table is
       // maintained by merging each batch's PARTIAL aggregates additively
@@ -284,6 +320,18 @@ object PipelineOps {
         """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1""",
+      "p_partition_overwrite" ->
+        // the corrected full recompute: earliest day doubled, all other
+        // days untouched — equality proves the dynamic overwrite replaced
+        // exactly one partition (twice, idempotently)
+        """WITH ev AS (SELECT event_id, value, date_trunc('day', ts) AS day
+                       FROM events),
+           d0 AS (SELECT min(day) AS day0 FROM ev)
+           SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(CASE WHEN day = (SELECT day0 FROM d0)
+                                     THEN value * 2 ELSE value END
+                                AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM ev GROUP BY 1""",
       "p_cdc" ->
         s"""WITH snap AS (
               SELECT dag_id, dag_run_id, state

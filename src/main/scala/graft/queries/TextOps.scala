@@ -170,6 +170,40 @@ object TextOps {
           Seq("source"), Seq("n_tokens" -> false, "doc_id" -> true), k = 5)
         .select("source", "doc_id", "n_tokens")
     }),
+    "t_diversity" -> ((s, dir) =>
+      // lexical diversity as Gini–Simpson index: 1 − Σc_i²/N² over the
+      // per-doc token histogram — the LOG-FREE diversity signal (token
+      // entropy needs libm log, which is not bit-identical across
+      // engines; Gini–Simpson ranks repetitive docs the same way on
+      // integer moments and one IEEE division). Complements t_repetition:
+      // that flags repeated n-GRAMS, this flags skewed unigram mass.
+      // One corpus pass → two map-side-combined aggregates, both integer.
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("c")).as("s2"), sum(col("c")).as("n"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(lit(1.0) - col("s2").cast("double")
+            / (col("n") * col("n")).cast("double"), 6).as("diversity"))),
+    "d_canonical" -> ((s, dir) =>
+      // dedup ENDGAME: one canonical document per near-dup cluster — the
+      // step that turns pair/cluster discovery into an actual curation
+      // decision. Clusters come from the declared SimHash → connected-
+      // components pipeline; the representative is the longest member
+      // (doc_id tie-break) via the max(struct(n_chars, -doc_id)) hash
+      // argmax — map-side combined, no per-cluster sort, cluster-sized
+      // output. At 100 TB this composes with d_incremental: the canonical
+      // table is what new batches match against.
+      clustersVia(s, dir, Components.connectedComponents(_, _, _))
+        .select("doc_id", "cluster_id")
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("m.nd")).as("canonical_doc"),
+          col("m.n_chars").as("canonical_chars"))),
     "t_mix_sqrt" -> ((s, dir) => {
       // temperature-balanced source mixing (the multilingual-sampling
       // recipe at α = 0.5): sampling share per source ∝ √(token count),
@@ -693,6 +727,29 @@ object TextOps {
                         ORDER BY n_tokens DESC, doc_id ASC) AS rn
                FROM d)
          SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5""",
+    "t_diversity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS s2,
+                      CAST(sum(c) AS BIGINT) AS n
+               FROM c GROUP BY 1)
+         SELECT doc_id, n AS n_tokens,
+                round(CAST(1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+                  AS diversity
+         FROM a""",
+    "d_canonical" ->
+      // the d_dedup_clusters replay + the longest-member argmax
+      s"""WITH $clustersCteSql,
+         j AS (SELECT l.cluster_id, d.doc_id, d.n_chars
+               FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                -((max(struct_pack(n_chars := n_chars, nd := -doc_id))).nd)
+                  AS canonical_doc,
+                (max(struct_pack(n_chars := n_chars, nd := -doc_id))).n_chars
+                  AS canonical_chars
+         FROM j GROUP BY 1""",
     "t_mix_sqrt" ->
       // identical √-weight chain: per-source token sum, sqrt (IEEE-exact
       // at α = 0.5), DECIMAL(28,16)-cast terms into an order-independent

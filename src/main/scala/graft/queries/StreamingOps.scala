@@ -16,6 +16,46 @@ import graft.streaming.EventsStream
 object StreamingOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_incr_rollup" -> ((s, dir) => {
+      // STREAMING materialized-view maintenance — p_incr_rollup's additive
+      // merge driven by foreachBatch over a 4-micro-batch event-time
+      // replay: each batch's hour×type PARTIAL aggregates merge additively
+      // (existing + delta, decimal-exact) into the rollup via the PK
+      // upsert. The event-time quartile boundaries split hours across
+      // batches, so row replacement would silently drop earlier halves —
+      // the oracle (the full recompute) gates the additive path. No
+      // watermark/state layer: the rollup TABLE is the state, which is the
+      // production pattern for continuously-maintained reporting marts; at
+      // 100 TB each micro-batch aggregates map-side to hours×types
+      // cardinality before touching the rollup.
+      import org.apache.spark.sql.types.DecimalType
+      val table = "rpt_s_incr_rollup"
+      graft.pipeline.Catalog.dropManaged(s, table)
+      s.sql(s"""CREATE TABLE $table (hour_ts TIMESTAMP, event_type STRING,
+                n_events BIGINT, sum_value DECIMAL(18,2)) USING parquet""")
+      val stream = EventsStream.readEventsChunkedReplayValue(s, dir, nChunks = 4)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val partial = batch.groupBy(
+              date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+          val existing = ss.table(table)
+          val combined = partial.as("d")
+            .join(existing.as("e"), Seq("hour_ts", "event_type"), "left")
+            .select(col("hour_ts"), col("event_type"),
+              (col("d.n_events") + coalesce(col("e.n_events"), lit(0L)))
+                .as("n_events"),
+              (col("d.sum_value") + coalesce(col("e.sum_value"),
+                lit(java.math.BigDecimal.ZERO))).as("sum_value"))
+          graft.pipeline.Loader.upsert(ss, combined, table,
+            Seq("hour_ts", "event_type"))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(table).select(col("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value").cast("double").as("sum_value"))
+    }),
     "s_hourly" -> ((s, dir) => {
       val out = EventsStream.runToMemory(
         s, EventsStream.hourlyAgg(EventsStream.readEvents(s, dir)),
@@ -219,6 +259,12 @@ object StreamingOps {
     "s_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
                 count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "s_incr_rollup" ->
+      // the full recompute the incrementally-maintained rollup must equal
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "s_sliding" ->

@@ -170,6 +170,26 @@ object TextOps {
           Seq("source"), Seq("n_tokens" -> false, "doc_id" -> true), k = 5)
         .select("source", "doc_id", "n_tokens")
     }),
+    "t_window_chunk" -> ((s, dir) =>
+      // context-window chunking — the embedding/RAG ingestion shape: each
+      // doc splits into 64-token windows at stride 48 (16-token overlap so
+      // no boundary context is lost), each chunk identified by its md5 —
+      // the chunk table that feeds an embedding job and later joins chunks
+      // back to docs. Pure per-row generation (sequence → explode → slice
+      // → hash, all codegen'd); output is chunks-sized, shuffle-free, and
+      // every column — including the md5 over the joined window — is
+      // hash-gated. At 100 TB: chunk fan-out is ~n_tokens/48 per doc and
+      // the generator fuses into the scan stage.
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tokens", size(col("toks")))
+        .select(col("doc_id"), col("n_tokens"), col("toks"),
+          explode(expr("sequence(1, greatest(n_tokens, 1), 48)")).as("start"))
+        .select(col("doc_id"),
+          expr("(start - 1) div 48").cast(IntegerType).as("chunk_id"),
+          col("start").cast(IntegerType).as("start"),
+          expr("size(slice(toks, start, 64))").as("chunk_tokens"),
+          md5(expr("array_join(slice(toks, start, 64), ' ')")).as("chunk_md5"))),
     "t_diversity" -> ((s, dir) =>
       // lexical diversity as Gini–Simpson index: 1 − Σc_i²/N² over the
       // per-doc token histogram — the LOG-FREE diversity signal (token
@@ -727,6 +747,24 @@ object TextOps {
                         ORDER BY n_tokens DESC, doc_id ASC) AS rn
                FROM d)
          SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5""",
+    "t_window_chunk" ->
+      // identical window arithmetic: generate_series starts, inclusive
+      // 1-based list_slice (same tail truncation as Spark's slice), md5
+      // over the space-joined window
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks), 1), 48))
+                        AS start
+               FROM t)
+         SELECT doc_id,
+                CAST((start - 1) // 48 AS INTEGER) AS chunk_id,
+                CAST(start AS INTEGER) AS start,
+                CAST(len(list_slice(toks, start, start + 63)) AS INTEGER)
+                  AS chunk_tokens,
+                md5(array_to_string(list_slice(toks, start, start + 63), ' '))
+                  AS chunk_md5
+         FROM g""",
     "t_diversity" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),

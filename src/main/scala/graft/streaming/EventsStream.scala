@@ -173,6 +173,17 @@ object EventsStream {
         .toDF("user_id", "ts")))._3
   }
 
+  /** Value-carrying chunked replay (ts, event_type, value) for STATELESS
+    * foreachBatch consumers — no watermark state to flush, so no sentinel
+    * batches: exactly `nChunks` micro-batches in event-time order. */
+  def readEventsChunkedReplayValue(spark: SparkSession, dir: String,
+                                   nChunks: Int): DataFrame = {
+    val batch = graft.Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .select(col("ts"), col("event_type"), col("value"))
+    stageChunkedReplay(spark, batch, nChunks, _ => Seq.empty)._3
+  }
+
   /** Full-column variant of [[readEventsChunkedReplay]] for multi-INPUT
     * stateful queries: keeps (event_id, ts, user_id, event_type) so the
     * replayed stream can be filtered into several sides of a join. Each

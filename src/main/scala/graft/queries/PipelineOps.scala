@@ -82,6 +82,32 @@ object PipelineOps {
         snap("1998-01-01 00:00:00", "2000-01-01 00:00:00"),
         Seq("o_custkey"))
     }),
+    "p_schema_evolution" -> ((s, dir) => {
+      // additive schema DRIFT: batch 1 (even keys) lands with the v1
+      // schema, batch 2 (odd keys) arrives carrying a NEW column;
+      // mergeSchema unifies the footer schemas at read time and v1 rows
+      // surface as NULL in the added column — the contract that lets a
+      // long-lived ingestion path evolve without rewriting history. The
+      // aggregate's LEGACY bucket is exactly the v1 rows, so the oracle
+      // (replaying the drift from the base table) gates both the merge
+      // and the NULL semantics. At 100 TB mergeSchema is a footer-only
+      // operation (schema union across files, no data read).
+      import org.apache.spark.sql.functions.{coalesce => coal, count => cnt, lit => l, sum => sm}
+      val root = java.nio.file.Files.createTempDirectory("graft-evolve-").toString
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/batch1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$root/batch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/batch1", s"$root/batch2")
+        .groupBy(coal(col("o_orderpriority"), l("LEGACY")).as("prio"))
+        .agg(cnt(l(1)).as("n_orders"),
+          sm(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+    }),
     "p_partition_overwrite" -> ((s, dir) => {
       // dynamic partition overwrite — the BACKFILL primitive: re-running
       // one day's corrected job replaces exactly that day's partition and
@@ -320,6 +346,15 @@ object PipelineOps {
         """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1""",
+      "p_schema_evolution" ->
+        // the drift replayed from the base table: odd keys carry the new
+        // column, even keys are the LEGACY (pre-evolution) bucket
+        """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                       ELSE 'LEGACY' END AS prio,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM orders GROUP BY 1""",
       "p_partition_overwrite" ->
         // the corrected full recompute: earliest day doubled, all other
         // days untouched — equality proves the dynamic overwrite replaced

@@ -120,6 +120,42 @@ object VectorOps {
         .filter(col("rn") > expr("(n_cell + 4) div 5"))
         .select(col("vec_id"), col("cell"), round(col("proto_raw"), 6).as("proto"))
     }),
+    "v_knn_refine" -> ((s, dir) => {
+      // two-stage quantized retrieval — the production serving pattern
+      // that v_quantize_int8 exists for: the corpus is scored COARSELY
+      // against the full-precision query through its int8 reconstruction
+      // (cheap double arithmetic; at 100 TB the int8 corpus is 4× less
+      // I/O and the reconstruct+score fuses into the scan), a 5×
+      // overfetch (top-50) survives, and the exact decimal cosine reranks
+      // only the survivors to the final top-10. Both stage boundaries
+      // order by (score desc, vec_id) — total orders, so candidate set,
+      // rerank, and output are all hash-gated.
+      val e = emb(s, dir)
+      val qRows = e.filter(col("vec_id") === 0L).select(col("embedding")).take(1)
+      require(qRows.nonEmpty, "query vector vec_id=0 not found")
+      val qv: Seq[Float] = qRows.head.getSeq[Float](0)
+      val recon = e.filter(col("vec_id") =!= 0L)
+        .withColumn("amax", expr(
+          """aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))"""))
+        .filter(col("amax") > 0.0)
+        .withColumn("scale", col("amax") / 127.0)
+        .withColumn("recon", expr(
+          """transform(embedding,
+               x -> least(greatest(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D)
+                                        AS DOUBLE), -127.0D), 127.0D) * scale)"""))
+      val coarse = recon
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosineFast(col("recon"), typedLit(qv)).as("coarse"))
+        .orderBy(col("coarse").desc, col("vec_id").asc)
+        .limit(50)
+      coarse
+        .select(col("vec_id"),
+          Similarity.cosineToQuery(col("embedding"), qv).as("c_raw"))
+        .orderBy(col("c_raw").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
+    }),
     "v_knn_native" -> ((s, dir) => {
       // throughput path: the codegen'd FloatCosine expression. Plain double
       // accumulation, but the loop order is fixed (index order), so the
@@ -560,6 +596,54 @@ object VectorOps {
                   AS n_sat,
                 sq_err / CAST(dim AS DOUBLE) AS mse
          FROM e""",
+    "v_knn_refine" ->
+      // both stages replayed: the int8 quantize→reconstruct chain, the
+      // index-ordered double coarse fold (0.0-prepend seed), the top-50
+      // cut on (coarse desc, vec_id), then the decimal-exact rerank via
+      // zipped unnest over only the survivors
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         b AS (SELECT vec_id, embedding,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                   (a, x) -> greatest(a, x)) AS amax
+               FROM embeddings WHERE vec_id <> 0),
+         s AS (SELECT vec_id, embedding, amax / 127.0 AS scale
+               FROM b WHERE amax > 0),
+         r AS (SELECT vec_id, embedding,
+                 list_transform(embedding,
+                   x -> least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5),
+                                       -127.0), 127.0) * scale) AS recon
+               FROM s),
+         co AS (SELECT vec_id, embedding,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(list_zip(recon, qe),
+                        p -> p[1] * CAST(p[2] AS DOUBLE))),
+                    (a, v) -> a + v) AS dot,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(recon, x -> x * x)),
+                    (a, v) -> a + v) AS na,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                    (a, v) -> a + v) AS nb
+                FROM r, q),
+         top50 AS (SELECT vec_id, embedding FROM co
+                   ORDER BY dot / greatest(sqrt(na) * sqrt(nb), 1e-12) DESC,
+                            vec_id ASC LIMIT 50),
+         px AS (SELECT t.vec_id, unnest(t.embedding) AS x, unnest(q.qe) AS y
+                FROM top50 t, q),
+         pc AS (SELECT vec_id,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS na
+                FROM px GROUP BY 1),
+         qn AS (SELECT CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS nb
+                FROM (SELECT unnest(qe) AS y FROM q))
+         SELECT vec_id,
+                round(dot / greatest(sqrt(pc.na) * sqrt(qn.nb), 1e-12), 6)
+                  AS cosine
+         FROM pc, qn
+         ORDER BY dot / greatest(sqrt(pc.na) * sqrt(qn.nb), 1e-12) DESC,
+                  vec_id ASC LIMIT 10""",
     "v_prototypicality" ->
       // assignment replay (the v_kmeans CTEs), per-(cell,pos) decimal
       // means, then the member-vs-own-centroid cosine via the joined

@@ -47,6 +47,13 @@ object Similarity {
     decDot(vec, q) / safeDenom(sqrt(decDot(vec, vec)) * sqrt(decDot(q, q)))
   }
 
+  /** Exact decimal-accumulated SUM of products of two scalar columns —
+    * the grouped-aggregate twin of decDot for (key,dim)-exploded frames
+    * (per-product decimal cast, associative-exact accumulation, same
+    * values as the oracle's sum(CAST(a*b AS DECIMAL(28,16)))). */
+  def decDotCols(a: Column, b: Column): Column =
+    sum((a * b).cast(dec)).cast("double")
+
   /** Exact cosine between two embedding COLUMNS (both sides vary per row) —
     * same decimal accumulation contract as cosineToQuery, for operators
     * that score against a joined frame (e.g. IVF centroid assignment). */

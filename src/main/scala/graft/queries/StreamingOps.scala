@@ -16,6 +16,59 @@ import graft.streaming.EventsStream
 object StreamingOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_cdc_stream" -> ((s, _) => {
+      // STREAMING CDC consumption: the change feed arrives as two
+      // seq-ordered micro-batches (a file-source replay with pinned
+      // mtimes, the EventsStream staging idiom) and foreachBatch applies
+      // each through the same latest-op-wins I/U/D merge the batch path
+      // uses (p_cdc). Because every seq in batch 2 exceeds every seq in
+      // batch 1, sequential per-batch application provably equals the
+      // one-shot latest-wins apply — which is exactly what the shared
+      // oracle states. This is the Debezium-consumer shape: at 100 TB
+      // each micro-batch's merge is change-set-sized, never table-sized.
+      import graft.pipeline.{Catalog => Cat, Fixtures, Loader => Ld, Schemas => Sch, Staging => Stg}
+      val fixtureDir = Fixtures.dir
+      Cat.drop(s); Cat.ensure(s)
+      val table = Cat.tableName("dag_run")
+      val pk = Sch.pkOf("dag_run")
+      val snapshot = Stg.readStaged(s, "dag_run",
+        Seq(s"$fixtureDir/dagRuns1.json"))
+      Ld.dedupAppend(s, snapshot, table, pk)
+      val cdcSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType) +:
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType) +:
+        Sch.byEntity("dag_run").fields.toSeq)
+      val changes = s.read.schema(cdcSchema).option("multiLine", "true")
+        .json(s"$fixtureDir/cdc.json")
+      val seqs = changes.select("seq").distinct().orderBy("seq")
+        .collect().map(_.getLong(0))
+      val cut = seqs(seqs.length / 2)
+      val root = java.nio.file.Files.createTempDirectory("graft-cdcstream-")
+      val streamDir = root.resolve("stream")
+      java.nio.file.Files.createDirectory(streamDir)
+      def stage(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        val st = root.resolve(s"stage_$i").toString
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val dst = streamDir.resolve(f"chunk_$i%02d.parquet").toFile
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1600000000000L + i * 60000L)
+      }
+      stage(changes.filter(col("seq") < cut), 0)
+      stage(changes.filter(col("seq") >= cut), 1)
+      val q = s.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Ld.applyCdc(batch.sparkSession, batch, table, pk)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(table).select("dag_id", "dag_run_id", "state")
+        .orderBy(col("dag_id"), col("dag_run_id"))
+    }),
     "s_incr_rollup" -> ((s, dir) => {
       // STREAMING materialized-view maintenance — p_incr_rollup's additive
       // merge driven by foreachBatch over a 4-micro-batch event-time
@@ -261,6 +314,31 @@ object StreamingOps {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "s_cdc_stream" ->
+      // identical to p_cdc's one-shot latest-wins oracle: every seq in
+      // micro-batch 2 exceeds every seq in batch 1 and non-D ops UPSERT,
+      // so sequential per-batch application provably reaches the same
+      // final state
+      s"""WITH snap AS (
+            SELECT dag_id, dag_run_id, state
+            FROM read_json('${graft.pipeline.Fixtures.dir}/dagRuns1.json', format='array',
+              columns={dag_id:'VARCHAR', dag_run_id:'VARCHAR', state:'VARCHAR'})),
+          cdc AS (
+            SELECT op, seq, dag_id, dag_run_id, state
+            FROM read_json('${graft.pipeline.Fixtures.dir}/cdc.json', format='array',
+              columns={op:'VARCHAR', seq:'BIGINT', dag_id:'VARCHAR',
+                       dag_run_id:'VARCHAR', state:'VARCHAR'})),
+          latest AS (
+            SELECT op, dag_id, dag_run_id, state FROM (
+              SELECT *, row_number() OVER (PARTITION BY dag_id, dag_run_id
+                         ORDER BY seq DESC) AS rn FROM cdc)
+            WHERE rn = 1)
+          SELECT s.dag_id, s.dag_run_id, s.state FROM snap s
+          WHERE NOT EXISTS (SELECT 1 FROM latest l
+                            WHERE l.dag_id = s.dag_id
+                              AND l.dag_run_id = s.dag_run_id)
+          UNION ALL
+          SELECT dag_id, dag_run_id, state FROM latest WHERE op <> 'D'""",
     "s_incr_rollup" ->
       // the full recompute the incrementally-maintained rollup must equal
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,

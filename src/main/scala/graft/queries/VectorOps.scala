@@ -120,6 +120,35 @@ object VectorOps {
         .filter(col("rn") > expr("(n_cell + 4) div 5"))
         .select(col("vec_id"), col("cell"), round(col("proto_raw"), 6).as("proto"))
     }),
+    "v_centroid_drift" -> ((s, dir) => {
+      // embedding DRIFT monitor: the corpus's two halves (vec_id parity —
+      // the deterministic stand-in for adjacent ingestion windows) assign
+      // to the SAME fixed cells, each half rolls up per-(cell,dim)
+      // decimal-mean centroids, and the per-cell drift score is the
+      // decimal-exact cosine between the two half-centroids — cells whose
+      // score drops signal a shifted embedding distribution before it
+      // poisons dedup thresholds or ANN recall. At 100 TB: two
+      // (cell,dim)-keyed partial aggregates over one assignment pass,
+      // then cell-count arithmetic; the monitor costs one corpus scan.
+      val assigned = IvfIndex.assignSampled(emb(s, dir), "vec_id", "embedding", 16)
+        .localCheckpoint()
+      def half(par: Int): DataFrame = assigned
+        .filter(pmod(col("vec_id"), lit(2)) === par)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("double").cast(DecimalType(28, 16))).cast("double")
+          / count(lit(1))).as(s"m$par"), count(lit(1)).as(s"n$par"))
+      half(0).join(half(1), Seq("cell", "pos"))
+        .groupBy("cell")
+        .agg(
+          Similarity.decDotCols(col("m0"), col("m1")).as("dot"),
+          Similarity.decDotCols(col("m0"), col("m0")).as("na"),
+          Similarity.decDotCols(col("m1"), col("m1")).as("nb"),
+          max(col("n0")).as("n_old"), max(col("n1")).as("n_new"))
+        .select(col("cell"), col("n_old"), col("n_new"),
+          round(col("dot") / greatest(sqrt(col("na")) * sqrt(col("nb")),
+            lit(1e-12)), 6).as("drift_cos"))
+    }),
     "v_knn_refine" -> ((s, dir) => {
       // two-stage quantized retrieval — the production serving pattern
       // that v_quantize_int8 exists for: the corpus is scored COARSELY
@@ -596,6 +625,51 @@ object VectorOps {
                   AS n_sat,
                 sq_err / CAST(dim AS DOUBLE) AS mse
          FROM e""",
+    "v_centroid_drift" ->
+      // assignment replay, then per-half per-(cell,pos) decimal means and
+      // the decimal-accumulated cosine between the half-centroids
+      """WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                        FROM embeddings WHERE vec_id < 16),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, CAST(-((max(struct_pack(c := c, nc := -cell))).nc) AS INTEGER) AS cell
+           FROM cc GROUP BY 1),
+         memd AS MATERIALIZED (
+           SELECT a.vec_id, a.cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+                  CAST(e.embedding[gs.i] AS DOUBLE) AS x
+           FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs),
+         h0 AS (SELECT cell, pos,
+                  CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) / count(*) AS m0,
+                  count(*) AS n0
+                FROM memd WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         h1 AS (SELECT cell, pos,
+                  CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE) / count(*) AS m1,
+                  count(*) AS n1
+                FROM memd WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+         j AS (SELECT h0.cell, h0.pos, m0, m1, n0, n1
+               FROM h0 JOIN h1 ON h0.cell = h1.cell AND h0.pos = h1.pos),
+         a AS (SELECT cell,
+                 CAST(sum(CAST(m0 * m1 AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                 CAST(sum(CAST(m0 * m0 AS DECIMAL(28,16))) AS DOUBLE) AS na,
+                 CAST(sum(CAST(m1 * m1 AS DECIMAL(28,16))) AS DOUBLE) AS nb,
+                 CAST(max(n0) AS BIGINT) AS n_old,
+                 CAST(max(n1) AS BIGINT) AS n_new
+               FROM j GROUP BY 1)
+         SELECT cell, n_old, n_new,
+                round(dot / greatest(sqrt(na) * sqrt(nb), 1e-12), 6)
+                  AS drift_cos
+         FROM a""",
     "v_knn_refine" ->
       // both stages replayed: the int8 quantize→reconstruct chain, the
       // index-ordered double coarse fold (0.0-prepend seed), the top-50

@@ -1610,6 +1610,32 @@ object Core {
            FROM anc JOIN rcte_supplier s ON anc.node = s.s_suppkey
            GROUP BY anc.leaf""")
     }),
+    "q_group_by_all" -> ((s, dir) => {
+      // GROUP BY ALL (Spark 4 and DuckDB share the syntax): every
+      // non-aggregate select item becomes a grouping key — the
+      // maintenance-proof form of wide rollups (adding a dimension to the
+      // SELECT can't silently diverge from the GROUP BY list). Resolves at
+      // analysis; the plan is the ordinary hash aggregate.
+      t(s, dir, "orders").createOrReplaceTempView("gba_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM gba_orders GROUP BY ALL""")
+    }),
+    "q_offset" -> ((s, dir) => {
+      // LIMIT ... OFFSET pagination (Spark 3.4+): page 3 of a
+      // 10-per-page listing over a TOTAL order (balance desc, key) — the
+      // offset boundary is deterministic, so the page contents hash-gate.
+      // At scale OFFSET pushes into the global TakeOrdered (limit+offset
+      // rows tracked, not a full sort); keyset pagination remains the
+      // 100 TB-polite alternative, which is exactly why the total order
+      // here is also a valid keyset.
+      t(s, dir, "customer").createOrReplaceTempView("off_customer")
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal FROM off_customer
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 20""")
+    }),
     "q_sql_pipe" -> ((s, dir) => {
       // SQL pipe syntax (Spark 4 `|>`): the linear FROM → WHERE → EXTEND →
       // AGGREGATE → WHERE chain, each stage consuming the previous stage's
@@ -3119,6 +3145,15 @@ object Core {
                 CAST(max(o_custkey) AS BIGINT) AS max_cust,
                 CAST(0 AS BIGINT) AS n_missing
          FROM orders GROUP BY o_orderpriority""",
+    "q_group_by_all" ->
+      // DuckDB shares GROUP BY ALL verbatim
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM orders GROUP BY ALL""",
+    "q_offset" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 20""",
     "q_sql_pipe" ->
       // the pipe chain resolved to classic SQL: same filter, same derived
       // column, same decimal aggregate, HAVING for the post-agg WHERE

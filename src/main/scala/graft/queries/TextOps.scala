@@ -586,6 +586,37 @@ object TextOps {
           round(col("n_tp").cast("double") / col("n_truth").cast("double"), 6)
             .as("rec"))
     }),
+    "d_threshold_sweep" -> ((s, dir) => {
+      // dedup THRESHOLD TUNING as one declared query: the d_dedup_eval
+      // acceptance gate evaluated at three LSH operating points
+      // (n_equal ≥ 3/4/5 ≈ est. Jaccard 0.2/0.27/0.33) in a single plan —
+      // pairs and ground truth are computed ONCE, the sweep is a 3-way
+      // explode over the already-joined (n_equal, matched) pair table
+      // (pairs-sized ×3, nothing corpus-sized repeats). This is how an
+      // operating point gets CHOSEN before d_dedup_eval pins it; all
+      // three (precision, recall) rows are hash-gated, so estimator
+      // drift at any operating point fails the round.
+      val d = docs(s, dir)
+      val truth = TextDedup.ngramJaccardPairs(d, "doc_id", "text", 3, 3, 10,
+          maxShingleDf = 1000)
+        .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+      val pm = TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 15, 3)
+        .join(truth, col("doc_a") === col("ta") && col("doc_b") === col("tb"),
+          "left")
+        .select(col("n_equal"), col("ta").isNotNull.as("matched"))
+      pm.select(col("n_equal"), col("matched"),
+          explode(array(lit(3), lit(4), lit(5))).as("k"))
+        .filter(col("n_equal") >= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pred"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_tp"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(col("k"), col("n_tp"), col("n_pred"), col("n_truth"),
+          round(col("n_tp").cast("double") / col("n_pred").cast("double"), 6)
+            .as("prec"),
+          round(col("n_tp").cast("double") / col("n_truth").cast("double"), 6)
+            .as("rec"))
+    }),
     "d_simhash" -> ((s, dir) =>
       TextDedup.simhash(docs(s, dir), "doc_id", "text")),
     "d_simhash_pairs" -> ((s, dir) =>
@@ -1146,6 +1177,56 @@ object TextOps {
                 round(CAST(n_tp AS DOUBLE)/CAST(n_pred AS DOUBLE), 6) AS prec,
                 round(CAST(n_tp AS DOUBLE)/CAST(n_truth AS DOUBLE), 6) AS rec
          FROM np, nt, ntp""",
+    "d_threshold_sweep" ->
+      // the d_dedup_eval CTE chain with the threshold UNFILTERED pair
+      // table, swept by a 3-row cross join — groups with zero surviving
+      // pairs vanish identically in both engines
+      s"""WITH $shingleSql,
+         dfreq AS (SELECT sh, count(*) AS df_cnt FROM sh GROUP BY 1),
+         rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfreq USING (sh)
+                  WHERE df_cnt <= 1000),
+         candt AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pt AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
+                FROM candt
+                JOIN sh a ON a.doc_id = candt.doc_a
+                JOIN sh b ON b.doc_id = candt.doc_b AND b.sh = a.sh
+                GROUP BY 1, 2),
+         truth AS MATERIALIZED (
+           SELECT doc_a, doc_b
+           FROM pt JOIN sz sa ON pt.doc_a = sa.doc_id
+                   JOIN sz sb ON pt.doc_b = sb.doc_id
+           WHERE inter_cnt * 10 >= (sa.n + sb.n - inter_cnt) * 3),
+         sigs AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS sig
+                  FROM sh, (SELECT unnest(generate_series(0, 14)) AS seed) s GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          md5(string_agg(sig, ',' ORDER BY seed)) AS bkey
+                   FROM sigs GROUP BY 1, 2),
+         candp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         predn AS (SELECT doc_a, doc_b,
+                          sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS n_equal
+                   FROM candp JOIN sigs sa ON candp.doc_a = sa.doc_id
+                              JOIN sigs sb ON candp.doc_b = sb.doc_id AND sa.seed = sb.seed
+                   GROUP BY 1, 2),
+         pm AS (SELECT p.n_equal,
+                       EXISTS (SELECT 1 FROM truth t
+                               WHERE t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+                         AS matched
+                FROM predn p),
+         ks AS (SELECT unnest([3, 4, 5]) AS k),
+         a AS (SELECT k, count(*) AS n_pred,
+                      sum(CASE WHEN matched THEN 1 ELSE 0 END) AS n_tp
+               FROM pm CROSS JOIN ks WHERE pm.n_equal >= ks.k GROUP BY 1),
+         nt AS (SELECT count(*) AS n_truth FROM truth)
+         SELECT CAST(k AS INTEGER) AS k, CAST(n_tp AS BIGINT) AS n_tp,
+                CAST(n_pred AS BIGINT) AS n_pred,
+                CAST(n_truth AS BIGINT) AS n_truth,
+                round(CAST(n_tp AS DOUBLE)/CAST(n_pred AS DOUBLE), 6) AS prec,
+                round(CAST(n_tp AS DOUBLE)/CAST(n_truth AS DOUBLE), 6) AS rec
+         FROM a, nt""",
     "d_simhash" ->
       """WITH tok AS (SELECT doc_id, tok, count(*) AS cnt
                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

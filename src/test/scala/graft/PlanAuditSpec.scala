@@ -30,6 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dq_report", // RI check: two 1-row count aggregates composed
     "q_sample_est", // sample-estimate vs exact: two 1-row aggregates composed
     "d_dedup_eval", // precision/recall: three 1-row count aggregates composed
+    "d_threshold_sweep", // same gate swept over 3 operating points: the
+    // 1-row truth-count aggregate broadcast into the 3-row sweep table
     "q_basket", // 1-row n_orders total broadcast into the pair metrics
     "q_tpch_q22", // 1-row global-avg-balance aggregate broadcast
     "q_tpch_q11", // 1-row nation-total (value, part-count) aggregate broadcast

@@ -188,6 +188,47 @@ object Core {
         kmv(col("l_partkey").cast("string")).as("kmv_estimate"),
         countDistinct(col("l_partkey")).as("exact_distinct"))
     }),
+    "q_kmv_reagg" -> ((s, dir) => {
+      // sketch MERGEABILITY as a declared query — the property that makes
+      // sketches work at 100 TB (build tiny synopses where the data
+      // lives, merge synopses instead of rescanning): per-(day,hour) KMV
+      // synopses (k = 64 smallest distinct md5(user_id)) merge into a
+      // daily synopsis, and the merged estimate must equal the
+      // direct-from-raw daily estimate EXACTLY — k-min-of-union-of-k-mins
+      // is k-min-overall, so this is an identity, and the oracle hash
+      // gates it per day (merged_equals_direct must be true everywhere).
+      // Everything after the per-hour rank runs on k·hours rows.
+      val K = 64
+      val h = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(date_trunc("day", col("ts")).as("day"),
+          hour(col("ts")).as("hr"), md5(col("user_id").cast("string")).as("h"))
+        .distinct()
+      def estimate(syn: DataFrame): DataFrame = syn
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy("h")))
+        .filter(col("rn") <= K)
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"),
+          max(when(col("rn") === K,
+            conv(substring(col("h"), 1, 12), 16, 10).cast("long"))).as("v"))
+        .select(col("day"),
+          when(col("cnt") < K, col("cnt").cast("double"))
+            .otherwise(round(lit((K - 1).toDouble) / col("v")
+              * 281474976710656.0, 4)).as("est"))
+      val hourlySyn = h
+        .withColumn("hrn", row_number().over(
+          Window.partitionBy("day", "hr").orderBy("h")))
+        .filter(col("hrn") <= K)
+        .select("day", "h").distinct()
+      val merged = estimate(hourlySyn)
+        .withColumnRenamed("est", "est_merged")
+      val direct = estimate(h.select("day", "h").distinct())
+        .withColumnRenamed("est", "est_direct")
+      merged.join(direct, "day")
+        .select(col("day"), col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("merged_equals_direct"))
+    }),
     "q_kmv_overlap" -> ((s, dir) => {
       // KMV sketch SET ALGEBRA: estimated Jaccard overlap between the
       // user populations of every event-type pair. Per type keep the
@@ -2357,6 +2398,43 @@ object Core {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 TRUE AS approx_within_10pct
          FROM lineitem GROUP BY l_returnflag""",
+    "q_kmv_reagg" ->
+      // the identical two synopsis chains: per-hour k-min → union → daily
+      // k-min (merged) vs raw → daily k-min (direct); the estimates must
+      // agree exactly, which the boolean column states and the hash gates
+      """WITH h AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                           date_part('hour', ts) AS hr,
+                           md5(CAST(user_id AS VARCHAR)) AS h
+                    FROM events WHERE user_id IS NOT NULL),
+         hs AS (SELECT day, h FROM (
+                  SELECT day, h, row_number() OVER (PARTITION BY day, hr
+                           ORDER BY h) AS hrn FROM h)
+                WHERE hrn <= 64),
+         hsd AS (SELECT DISTINCT day, h FROM hs),
+         mr AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+                FROM hsd),
+         me AS (SELECT day, count(*) AS cnt,
+                       max(CASE WHEN rn = 64
+                            THEN ('0x' || substr(h, 1, 12))::BIGINT END) AS v
+                FROM mr WHERE rn <= 64 GROUP BY day),
+         mest AS (SELECT day,
+                    CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                         ELSE round(63.0 / v * 281474976710656.0, 4) END AS est_merged
+                  FROM me),
+         dd AS (SELECT DISTINCT day, h FROM h),
+         dr AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+                FROM dd),
+         de AS (SELECT day, count(*) AS cnt,
+                       max(CASE WHEN rn = 64
+                            THEN ('0x' || substr(h, 1, 12))::BIGINT END) AS v
+                FROM dr WHERE rn <= 64 GROUP BY day),
+         dest AS (SELECT day,
+                    CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                         ELSE round(63.0 / v * 281474976710656.0, 4) END AS est_direct
+                  FROM de)
+         SELECT m.day, m.est_merged, d.est_direct,
+                m.est_merged = d.est_direct AS merged_equals_direct
+         FROM mest m JOIN dest d ON m.day = d.day""",
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
                     FROM lineitem),

@@ -137,6 +137,31 @@ object MultimodalOps {
           Tables.load(s, dir, "documents"), "doc_id", "text"),
         graft.multimodal.GifCodec)
     }),
+    "m_shot_detect" -> ((s, dir) => {
+      // shot-boundary detection over REAL decoded video frames — the
+      // classic cheap cut metric (mean absolute per-pixel intensity change
+      // between consecutive frames, cut where change ≥ 2 gray levels):
+      // the segmentation primitive a video-curation pipeline runs before
+      // sampling frames for training. Built ON the real GIF decode path
+      // (GifCodec LZW-decodes every frame), then one per-asset lag window
+      // over frame-count-sized data — the decode is the cost, the
+      // detection is free. Hash-gated per transition: delta AND the cut
+      // verdict.
+      import org.apache.spark.sql.expressions.Window
+      val stats = Multimodal.decodeFrameStats(
+        Multimodal.gifAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.GifCodec)
+      val w = Window.partitionBy("asset_id").orderBy("frame_idx")
+      stats
+        .withColumn("prev_sum", lag(col("px_sum"), 1).over(w))
+        .filter(col("prev_sum").isNotNull)
+        .withColumn("mean_delta",
+          round(abs(col("px_sum") - col("prev_sum")).cast("double")
+            / (col("width") * col("height") * 3).cast("double"), 6))
+        .select(col("asset_id"), col("frame_idx"), col("mean_delta"),
+          (col("mean_delta") >= 2.0).as("is_cut"))
+    }),
     "m_phash" -> ((s, dir) => {
       // multimodal × dedup crossover: REAL decoded rasters (PpmCodec) →
       // 64-bit average-hash → banded near-dup join at Hamming ≤ 3. The
@@ -298,6 +323,35 @@ object MultimodalOps {
                           i -> unicode(text[CAST((i + 7 * f) % len AS INTEGER) + 1])),
                         (a, b) -> a + b) END AS BIGINT) AS px_sum
          FROM fx""",
+    "m_shot_detect" ->
+      // the m_gif_frames construction replay + the same lag window; the
+      // verdict compares the ROUNDED delta in both engines
+      """WITH g AS (
+           SELECT doc_id, text, length(text) AS len,
+                  1 + length(text) % 16 AS w,
+                  1 + (length(text) // 16) % 16 AS h,
+                  1 + length(text) % 6 AS nf
+           FROM documents),
+         fx AS (
+           SELECT doc_id, text, len, w, h, unnest(range(0, nf)) AS f
+           FROM g),
+         st AS (
+           SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx, w, h,
+                  CAST(CASE WHEN len = 0 THEN 0 ELSE
+                    3 * list_reduce(
+                          list_transform(range(0, w * h),
+                            i -> unicode(text[CAST((i + 7 * f) % len AS INTEGER) + 1])),
+                          (a, b) -> a + b) END AS BIGINT) AS px_sum
+           FROM fx),
+         d AS (SELECT *, lag(px_sum) OVER (PARTITION BY asset_id
+                         ORDER BY frame_idx) AS prev_sum
+               FROM st)
+         SELECT asset_id, frame_idx,
+                round(CAST(abs(px_sum - prev_sum) AS DOUBLE)
+                      / (w * h * 3), 6) AS mean_delta,
+                round(CAST(abs(px_sum - prev_sum) AS DOUBLE)
+                      / (w * h * 3), 6) >= 2.0 AS is_cut
+         FROM d WHERE prev_sum IS NOT NULL""",
     "m_codec" ->
       // replays ppmAssetsFromDocuments' construction: dims from the text
       // length, px_sum = sum of w*h*3 ASCII codes cycled through the text

@@ -219,6 +219,46 @@ object VectorOps {
       // (4 of 16 cells), PQ ADC compresses HOW (m-byte codes + LUT)
       PqIndex.knnIvfPq(emb(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16)),
+    "v_recall_nprobe" -> ((s, dir) => {
+      // ANN TUNING SWEEP (the d_threshold_sweep theme on the index side):
+      // recall@10 of the sampled-centroid IVF probe at nprobe = 1 / 2 / 4
+      // against the exact brute top-10, in ONE plan — the curve an index
+      // rollout reads to pick its latency/recall operating point. The
+      // expensive pieces are shared: assignment runs ONCE behind a
+      // localCheckpoint, the query's cell ranking is a 16-row frame, and
+      // each operating point pays only a probed-subset rerank (nprobe/16
+      // of the corpus). Recall numbers for all three points hash-gate.
+      val e = emb(s, dir)
+      val qRows = e.filter(col("vec_id") === 0L).select(col("embedding")).take(1)
+      require(qRows.nonEmpty, "query vector vec_id=0 not found")
+      val qv: Seq[Float] = qRows.head.getSeq[Float](0)
+      val brute = Similarity.knnBrute(e, "vec_id", "embedding",
+        queryId = 0L, k = 10).select(col("vec_id")).localCheckpoint()
+      val assigned = IvfIndex.assignSampled(e, "vec_id", "embedding", 16)
+        .localCheckpoint()
+      val qcells = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("ce"))
+        .select(col("cell"), Similarity.cosineToQuery(col("ce"), qv).as("c"))
+        .withColumn("pr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("cell").asc)))
+        .select("cell", "pr").localCheckpoint()
+      def recallAt(np: Int): DataFrame = {
+        val top = assigned
+          .join(broadcast(qcells.filter(col("pr") <= np)), "cell")
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            Similarity.cosineToQuery(col("embedding"), qv).as("c_raw"))
+          .orderBy(col("c_raw").desc, col("vec_id").asc)
+          .limit(10)
+        brute.join(top.select(col("vec_id").as("iv")),
+            col("vec_id") === col("iv"), "left_semi")
+          .agg(count(lit(1)).as("n_common"))
+          .select(lit(np).as("nprobe"), col("n_common"),
+            round(col("n_common").cast("double") / 10.0, 6).as("recall_at_10"))
+      }
+      recallAt(1).union(recallAt(2)).union(recallAt(4))
+    }),
     "v_recall_eval" -> ((s, dir) => {
       // ANN evaluation as a first-class query: recall@10 of the sign-block
       // LSH path against the exact brute-force top-10, in ONE plan — the
@@ -625,6 +665,51 @@ object VectorOps {
                   AS n_sat,
                 sq_err / CAST(dim AS DOUBLE) AS mse
          FROM e""",
+    "v_recall_nprobe" ->
+      // shared assignment + query cell ranking, then one probed-subset
+      // rerank and one brute-vs-probe recall row per operating point
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                   FROM embeddings WHERE vec_id < 16),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+           FROM cc GROUP BY 1),
+         qcell AS MATERIALIZED (
+           SELECT cell, row_number() OVER (ORDER BY c DESC, cell ASC) AS pr
+           FROM cc WHERE vec_id = 0),
+         ${accumSql("embeddings", "b")},
+         brute AS MATERIALIZED (
+           SELECT vec_id FROM db, qnb WHERE vec_id <> 0
+           ORDER BY dot/greatest(sqrt(norm2)*sqrt(qnb.qnorm2), 1e-12) DESC,
+                    vec_id ASC LIMIT 10),
+         ${Seq(1, 2, 4).map { np =>
+           s"""cand$np AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                  JOIN assigned a ON e.vec_id = a.vec_id
+                  JOIN qcell p ON a.cell = p.cell AND p.pr <= $np
+                  WHERE e.vec_id <> 0),
+         ${accumSql(s"cand$np", s"p$np")},
+         ivf$np AS (SELECT vec_id FROM dp$np, qnp$np
+                    ORDER BY dot/greatest(sqrt(norm2)*sqrt(qnp$np.qnorm2), 1e-12) DESC,
+                             vec_id ASC LIMIT 10),
+         r$np AS (SELECT $np AS nprobe, count(*) AS n_common FROM brute
+                  WHERE vec_id IN (SELECT vec_id FROM ivf$np))"""
+         }.mkString(",\n         ")}
+         SELECT CAST(nprobe AS INTEGER) AS nprobe,
+                CAST(n_common AS BIGINT) AS n_common,
+                round(CAST(n_common AS DOUBLE)/10.0, 6) AS recall_at_10
+         FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+               UNION ALL SELECT * FROM r4)""",
     "v_centroid_drift" ->
       // assignment replay, then per-half per-(cell,pos) decimal means and
       // the decimal-accumulated cosine between the half-centroids

@@ -586,6 +586,40 @@ object TextOps {
           round(col("n_tp").cast("double") / col("n_truth").cast("double"), 6)
             .as("rec"))
     }),
+    "d_cascade" -> ((s, dir) => {
+      // the PRODUCTION dedup recipe as one declared query: tiers run
+      // cheapest-first, each on the previous tier's survivors — exact
+      // hash groups (md5, keep min id) first, then MinHash-LSH fuzzy
+      // pairs (n_equal ≥ 4) over ONLY the exact survivors. Ordering is
+      // the economics: at 100 TB the exact tier is one hash aggregate
+      // that typically removes the bulk of duplication for ~free, so the
+      // quadratic-ish fuzzy machinery sees a smaller corpus. Output is
+      // the per-doc disposition (kept / removed_exact / removed_fuzzy) —
+      // the lineage column a curation run writes next to the corpus, and
+      // the whole cascade (both tiers AND their composition) hash-gates.
+      // The synthetic corpus has no byte-identical documents, so the
+      // exact tier's work is made real the partsupp way: every 50th doc
+      // re-arrives as a clone under doc_id + 1e6 (an ingestion replay),
+      // mirrored row-for-row by the oracle — tier 1 must remove exactly
+      // the clones (min-id keeps the original), tier 2 the fuzzy pairs.
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = base.unionByName(base.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      val keep1 = TextDedup.exactGroups(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id")).localCheckpoint()
+      val s1 = d.join(keep1, Seq("doc_id"), "left_semi")
+      val losers2 = TextDedup.minhashLshPairs(s1, "doc_id", "text", 3, 15, 3)
+        .filter(col("n_equal") >= 4)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("l", lit(1))
+      d.select(col("doc_id"))
+        .join(keep1.withColumn("k", lit(1)), Seq("doc_id"), "left")
+        .join(losers2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("k").isNull, "removed_exact")
+            .when(col("l").isNotNull, "removed_fuzzy")
+            .otherwise("kept").as("status"))
+    }),
     "d_threshold_sweep" -> ((s, dir) => {
       // dedup THRESHOLD TUNING as one declared query: the d_dedup_eval
       // acceptance gate evaluated at three LSH operating points
@@ -1177,6 +1211,48 @@ object TextOps {
                 round(CAST(n_tp AS DOUBLE)/CAST(n_pred AS DOUBLE), 6) AS prec,
                 round(CAST(n_tp AS DOUBLE)/CAST(n_truth AS DOUBLE), 6) AS rec
          FROM np, nt, ntp""",
+    "d_cascade" ->
+      // tier 1 = the d_exact keep rule; tier 2 = the d_dedup_eval minhash
+      // chain rebuilt over tier-1 survivors only; the disposition CASE
+      // composes both
+      """WITH corpus AS MATERIALIZED (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 50 = 0),
+         keep AS MATERIALIZED (
+           SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         s1 AS (SELECT d.doc_id, d.text FROM corpus d
+                JOIN keep k ON d.doc_id = k.doc_id),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks)-2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM s1)
+           WHERE len(toks) >= 3),
+         sigs AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS sig
+                  FROM sh, (SELECT unnest(generate_series(0, 14)) AS seed) s GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 3 AS band,
+                          md5(string_agg(sig, ',' ORDER BY seed)) AS bkey
+                   FROM sigs GROUP BY 1, 2),
+         candp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         losers AS MATERIALIZED (
+           SELECT DISTINCT doc_b FROM (
+             SELECT doc_a, doc_b,
+                    sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS n_equal
+             FROM candp JOIN sigs sa ON candp.doc_a = sa.doc_id
+                        JOIN sigs sb ON candp.doc_b = sb.doc_id AND sa.seed = sb.seed
+             GROUP BY 1, 2) g
+           WHERE n_equal >= 4)
+         SELECT d.doc_id,
+                CASE WHEN k.doc_id IS NULL THEN 'removed_exact'
+                     WHEN l.doc_b IS NOT NULL THEN 'removed_fuzzy'
+                     ELSE 'kept' END AS status
+         FROM corpus d
+         LEFT JOIN keep k ON d.doc_id = k.doc_id
+         LEFT JOIN losers l ON d.doc_id = l.doc_b""",
     "d_threshold_sweep" ->
       // the d_dedup_eval CTE chain with the threshold UNFILTERED pair
       // table, swept by a 3-row cross join — groups with zero surviving

@@ -311,6 +311,41 @@ object Multimodal {
       }(enc)
   }
 
+  val audioSegSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_segments", IntegerType, nullable = false),
+    StructField("longest_segment", IntegerType, nullable = false),
+    StructField("voiced_samples", IntegerType, nullable = false),
+    StructField("loudest_energy", LongType, nullable = false)))
+
+  /** Voice-activity-style segmentation over DECODED PCM: maximal runs of
+    * non-zero samples are segments; per clip emit segment count, longest
+    * segment, voiced-sample total, and the loudest segment's |amp| energy
+    * — all exact integers, computed in the same single decode pass as
+    * [[decodeAudioStats]] so only the fixed-width row leaves the scan. */
+  def decodeAudioSegments(assets: DataFrame, codec: AudioCodec): DataFrame = {
+    val enc = ExpressionEncoder(audioSegSchema)
+    assets
+      .filter(lower(col("format")).isin(codec.formats.toSeq: _*))
+      .select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = codec.decode(r.getAs[Array[Byte]](1))
+          var nSeg = 0; var longest = 0; var voiced = 0
+          var curLen = 0; var curE = 0L; var bestE = 0L
+          a.samples.foreach { s =>
+            if (s != 0) {
+              if (curLen == 0) nSeg += 1
+              curLen += 1; voiced += 1; curE += math.abs(s)
+              if (curLen > longest) longest = curLen
+              if (curE > bestE) bestE = curE
+            } else { curLen = 0; curE = 0L }
+          }
+          Row(r.getLong(0), nSeg, longest, voiced, bestE)
+        }
+      }(enc)
+  }
+
   /** Per-clip waveform polarity fingerprint from DECODED PCM — the audio
     * analogue of [[imageHashes]]: bit i (i in 0..61) is set iff sample
     * (i mod n_samples) > 0, i.e. the polarity sequence CYCLED across all

@@ -73,6 +73,20 @@ object MultimodalOps {
         .select("asset_id", "sample_rate", "channels", "n_samples",
           "amp_sum", "amp_max", "max_silence_run")
     }),
+    "m_wav_segments" -> ((s, dir) => {
+      // audio SEGMENTATION (the m_shot_detect idea on the audio axis):
+      // voice-activity-style maximal non-silent runs over REAL decoded
+      // PCM — segment count, longest segment, voiced total, loudest
+      // segment energy, all exact integers computed in the decode pass.
+      // The segmentation a speech-data pipeline runs before clipping
+      // training windows; the oracle replays the sample construction and
+      // does the gaps-and-islands grouping in SQL, so the JDK parse, the
+      // run detection, and the per-segment energy argmax all hash-gate.
+      Multimodal.decodeAudioSegments(
+        Multimodal.wavAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.WavCodec)
+    }),
     "m_wav_neardup" -> ((s, dir) => {
       // audio × dedup crossover (the m_phash idiom on the new modality):
       // REAL decoded PCM (WavCodec) → 62-bit waveform polarity
@@ -387,6 +401,30 @@ object MultimodalOps {
                 CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
          FROM f a JOIN f b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
+    "m_wav_segments" ->
+      // the m_wav_stats sample replay + gaps-and-islands over NON-zero
+      // runs; per-segment energies close with an integer max
+      """WITH s AS (
+           SELECT doc_id, i,
+                  CASE WHEN length(text) = 0 THEN 0
+                       ELSE (unicode(text[(i % length(text)) + 1]) % 64 - 32) * 512
+                  END AS amp
+           FROM (SELECT doc_id, text, unnest(range(0, 1 + length(text) % 64)) AS i
+                 FROM documents)),
+         nz AS (SELECT doc_id, i, abs(amp) AS a,
+                       i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                FROM s WHERE amp <> 0),
+         segs AS (SELECT doc_id, grp, count(*) AS len, sum(a) AS energy
+                  FROM nz GROUP BY 1, 2),
+         agg AS (SELECT doc_id, count(*) AS n_segments, max(len) AS longest,
+                        sum(len) AS voiced, max(energy) AS loudest
+                 FROM segs GROUP BY 1)
+         SELECT d.doc_id AS asset_id,
+                CAST(coalesce(n_segments, 0) AS INTEGER) AS n_segments,
+                CAST(coalesce(longest, 0) AS INTEGER) AS longest_segment,
+                CAST(coalesce(voiced, 0) AS INTEGER) AS voiced_samples,
+                CAST(coalesce(loudest, 0) AS BIGINT) AS loudest_energy
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
     "m_wav_stats" ->
       // replays wavAssetsFromDocuments' sample arithmetic: n = 1+len%64
       // samples, amp_i = (unicode(text[i%len+1]) % 64 - 32) * 512 (space

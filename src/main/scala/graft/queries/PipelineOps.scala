@@ -82,6 +82,40 @@ object PipelineOps {
         snap("1998-01-01 00:00:00", "2000-01-01 00:00:00"),
         Seq("o_custkey"))
     }),
+    "p_retention" -> ((s, dir) => {
+      // partition RETENTION — the lifecycle twin of p_partition_overwrite:
+      // day partitions older than (earliest day + 10 days) are dropped
+      // with metadata-only ALTER TABLE ... DROP PARTITION statements, run
+      // TWICE (DROP IF EXISTS is idempotent, like every other lifecycle
+      // op here). The oracle recomputes the surviving aggregate from raw
+      // events with the same cutoff, so the equality proves exactly the
+      // right partitions died and the survivors are byte-identical. At
+      // 100 TB retention must be partition drops (O(days) catalog ops),
+      // never DELETE (a full rewrite) — which is why `day` is the
+      // partition column in the first place.
+      import org.apache.spark.sql.functions.{count => cnt, lit => l, sum => sm}
+      val table = "rpt_retention_events"
+      Catalog.dropManaged(s, table)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+      ev.write.partitionBy("day").format("parquet").saveAsTable(table)
+      val minDay = ev.agg(org.apache.spark.sql.functions.min(col("day")))
+        .first().getDate(0).toLocalDate
+      val cutoff = minDay.plusDays(10)
+      val stale = ev.select("day").distinct()
+        .filter(col("day") < l(java.sql.Date.valueOf(cutoff)))
+        .collect().map(_.getDate(0).toString)
+      (1 to 2).foreach { _ =>
+        stale.foreach { d =>
+          s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (day='$d')")
+        }
+      }
+      s.table(table).groupBy("day")
+        .agg(cnt(l(1)).as("n_events"),
+          sm(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+    }),
     "p_schema_evolution" -> ((s, dir) => {
       // additive schema DRIFT: batch 1 (even keys) lands with the v1
       // schema, batch 2 (odd keys) arrives carrying a NEW column;
@@ -346,6 +380,16 @@ object PipelineOps {
         """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1""",
+      "p_retention" ->
+        // survivors = days at or past the cutoff (earliest + 10 days)
+        """WITH ev AS (SELECT event_id, value, CAST(ts AS DATE) AS day
+                       FROM events),
+           c AS (SELECT min(day) + INTERVAL 10 DAY AS cutoff FROM ev)
+           SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_value
+           FROM ev WHERE day >= (SELECT cutoff FROM c)
+           GROUP BY 1""",
       "p_schema_evolution" ->
         // the drift replayed from the base table: odd keys carry the new
         // column, even keys are the LEGACY (pre-evolution) bucket

@@ -82,6 +82,45 @@ object PipelineOps {
         snap("1998-01-01 00:00:00", "2000-01-01 00:00:00"),
         Seq("o_custkey"))
     }),
+    "p_targeted_delete" -> ((s, dir) => {
+      // targeted row ERASURE (the GDPR/right-to-be-forgotten op) on an
+      // immutable-format table: deleting user set U rewrites ONLY the
+      // partitions that contain U — affected days come from one pruned
+      // scan (a days-sized driver list, the watermark idiom), survivors
+      // of those days are re-derived from the SOURCE frame (no
+      // read-while-overwrite), and one dynamic-overwrite insert replaces
+      // exactly the affected partitions. Run twice: erasure must be
+      // idempotent. At 100 TB the rewrite cost is (affected days /
+      // total days) of the table, never a full rewrite — the reason
+      // DELETE-heavy tables partition by the predicate's time axis.
+      import org.apache.spark.sql.functions.{coalesce => coal, count => cnt, lit => l, pmod, sum => sm}
+      val table = "rpt_erasure_events"
+      Catalog.dropManaged(s, table)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+      ev.write.partitionBy("day").format("parquet").saveAsTable(table)
+      val isTarget = coal(pmod(col("user_id"), l(97L)) === 0L, l(false))
+      val affected = ev.filter(isTarget).select("day").distinct()
+      val survivors = ev.join(affected, Seq("day"), "left_semi")
+        .filter(!isTarget)
+        // insertInto is positional and the Seq-join hoisted `day` first:
+        // restore the table's column order (partition column last)
+        .select(col("event_id"), col("user_id"), col("value"), col("day"))
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        survivors.write.mode("overwrite").insertInto(table)
+        survivors.write.mode("overwrite").insertInto(table) // idempotent
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.table(table).groupBy("day")
+        .agg(cnt(l(1)).as("n_events"),
+          sm(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+    }),
     "p_retention" -> ((s, dir) => {
       // partition RETENTION — the lifecycle twin of p_partition_overwrite:
       // day partitions older than (earliest day + 10 days) are dropped
@@ -380,6 +419,17 @@ object PipelineOps {
         """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1""",
+      "p_targeted_delete" ->
+        // the erased table recomputed from raw events: every row of the
+        // target set gone, everything else byte-identical — equality over
+        // ALL days proves unaffected partitions were never touched
+        """SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_value
+           FROM events
+           WHERE NOT COALESCE(user_id % 97 = 0, FALSE)
+           GROUP BY 1""",
       "p_retention" ->
         // survivors = days at or past the cutoff (earliest + 10 days)
         """WITH ev AS (SELECT event_id, value, CAST(ts AS DATE) AS day

@@ -170,6 +170,29 @@ object TextOps {
           Seq("source"), Seq("n_tokens" -> false, "doc_id" -> true), k = 5)
         .select("source", "doc_id", "n_tokens")
     }),
+    "t_render_sft" -> ((s, dir) =>
+      // training-record RENDERING — the last deterministic step before
+      // tokenization: each doc becomes a chat-template record (system +
+      // user turn from the first 8 tokens as a synthetic instruction +
+      // assistant turn = the document), with special-token markers and
+      // an md5 record fingerprint. Rendering is pure per-row string
+      // algebra fused into the scan; the fingerprint column is what a
+      // training run logs for exact data lineage, and the oracle
+      // re-renders byte-for-byte, so template drift (a changed marker, a
+      // lost newline) fails the hash gate. Records sort stably by doc_id
+      // for pack/shard reproducibility.
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"),
+          col("text"))
+        .select(col("doc_id"), col("lang"),
+          concat(lit("<|system|>lang="), col("lang"),
+            lit("\n<|user|>"),
+            array_join(slice(col("toks"), 1, 8), " "),
+            lit("\n<|assistant|>"), col("text"),
+            lit("<|end|>")).as("record"))
+        .select(col("doc_id"), col("lang"),
+          length(col("record")).as("record_chars"),
+          md5(col("record")).as("record_md5"))),
     "t_window_chunk" -> ((s, dir) =>
       // context-window chunking — the embedding/RAG ingestion shape: each
       // doc splits into 64-token windows at stride 48 (16-token overlap so
@@ -812,6 +835,21 @@ object TextOps {
                         ORDER BY n_tokens DESC, doc_id ASC) AS rn
                FROM d)
          SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5""",
+    "t_render_sft" ->
+      // byte-identical re-render: same markers, same 8-token instruction
+      // slice, same newlines; length + md5 gate the whole template
+      """SELECT doc_id, lang,
+                CAST(length('<|system|>lang=' || lang || chr(10) ||
+                  '<|user|>' ||
+                  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') ||
+                  chr(10) || '<|assistant|>' || text || '<|end|>') AS INTEGER)
+                  AS record_chars,
+                md5('<|system|>lang=' || lang || chr(10) ||
+                  '<|user|>' ||
+                  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') ||
+                  chr(10) || '<|assistant|>' || text || '<|end|>')
+                  AS record_md5
+         FROM documents""",
     "t_window_chunk" ->
       // identical window arithmetic: generate_series starts, inclusive
       // 1-based list_slice (same tail truncation as Spark's slice), md5

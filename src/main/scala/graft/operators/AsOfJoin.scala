@@ -94,4 +94,47 @@ object AsOfJoin {
         leftCols.map(c => col(s"__lrow.$c").as(c)) ++
         payloadCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
+
+  /** FORWARD as-of (pandas merge_asof direction='forward'): for each left
+    * row, the EARLIEST right row at or after its time — the mirrored
+    * window of [[asofJoin]]: left rows sort BEFORE right rows at equal
+    * time and the frame runs (currentRow, unboundedFollowing) closed by
+    * `first(ignoreNulls)`, so an equal-time right row is visible
+    * (inclusive) and the earliest following payload wins. Same union
+    * construction, same one-shuffle cost profile, same NULL-key caveat. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == rightTime)
+    require(payloadCols.nonEmpty,
+      s"asofJoinForward: right side needs a payload column beyond " +
+        s"keys ${keyCols.mkString(",")} and time '$rightTime'")
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val rightTagged = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(1).as("__side"),
+        payloadStruct.as("__payload")): _*)
+    val payloadType = rightTagged.schema("__payload").dataType
+    val leftCols = left.columns.filterNot(keyCols.contains)
+    val leftTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(payloadType).as("__payload")) ++
+        Seq(struct(leftCols.map(col): _*).as("__lrow")): _*)
+    val rightAligned = rightTagged
+      .withColumn("__lrow", lit(null).cast(leftTagged.schema("__lrow").dataType))
+    // left (side 0) sorts before right (side 1) at equal time → an
+    // equal-time right row is inside the following frame: inclusive.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    leftTagged.unionByName(rightAligned)
+      .withColumn("__matched", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(
+        keyCols.map(col) ++
+          leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+          payloadCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
 }

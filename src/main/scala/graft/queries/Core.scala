@@ -2204,6 +2204,23 @@ object Core {
         .asofJoin(errors, clicks, Seq("user_id"), "ts", "ts")
         .select("event_id", "user_id", "click_id")
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // FORWARD as-of (merge_asof direction='forward'): for each error,
+      // the user's EARLIEST click at or after it — the recovery-time
+      // question ("what did the user do next"), mirroring q_asof_join's
+      // backward window with the (currentRow, following) frame. Same
+      // one-shuffle union construction; DuckDB's ASOF with `<=` replays
+      // the direction natively.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin
+        .asofJoinForward(errors, clicks, Seq("user_id"), "ts", "ts")
+        .select("event_id", "user_id", "click_id")
+    }),
     "q_asof_tolerance" -> ((s, dir) => {
       // as-of with a 10-minute staleness bound (merge_asof tolerance): the
       // latest preceding click still wins, but is nulled when older than
@@ -3595,6 +3612,19 @@ object Core {
          SELECT e.event_id, e.user_id, c.click_id
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts >= c.ts""",
+    "q_asof_forward" ->
+      // same µs-floor rules as q_asof_join; `<=` flips DuckDB's ASOF to
+      // the forward direction (nearest right row at or after)
+      """WITH clicks AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                  max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         errors AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, c.click_id
+         FROM errors e ASOF LEFT JOIN clicks c
+           ON e.user_id = c.user_id AND e.ts <= c.ts""",
     "q_asof_tolerance" ->
       """WITH clicks AS (
            SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,

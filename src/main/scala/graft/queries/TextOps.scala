@@ -170,6 +170,34 @@ object TextOps {
           Seq("source"), Seq("n_tokens" -> false, "doc_id" -> true), k = 5)
         .select("source", "doc_id", "n_tokens")
     }),
+    "t_ngram_novelty" -> ((s, dir) => {
+      // train/test n-gram NOVELTY — the generalization sibling of
+      // t_decontaminate: for each test-split document, the fraction of
+      // its distinct word 3-grams never seen anywhere in the train split
+      // (md5(doc_id) prefix < 'c' ≈ 75% of docs = train, the stable
+      // hash-split rule). Low novelty means the eval set rehashes
+      // training text; the per-doc rate is the metric an eval-suite
+      // curator thresholds on. One shingle pass fans into both sides;
+      // the novel test is a bucketed left anti join on the shingle key
+      // (shingle-cardinality work, never docs²), then a per-doc ratio of
+      // exact integers.
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.shingles(col("toks"), 3))).as("sh"))
+      val isTrain = substring(md5(col("doc_id").cast("string")), 1, 1) < "c"
+      val train = sh.filter(isTrain).select(col("sh")).distinct()
+      val test = sh.filter(!isTrain)
+      val novel = test.join(train, Seq("sh"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      test.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_grams").cast("double"), 6).as("novelty_rate"))
+    }),
     "t_render_sft" -> ((s, dir) =>
       // training-record RENDERING — the last deterministic step before
       // tokenization: each doc becomes a chat-template record (system +
@@ -835,6 +863,22 @@ object TextOps {
                         ORDER BY n_tokens DESC, doc_id ASC) AS rn
                FROM d)
          SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5""",
+    "t_ngram_novelty" ->
+      // the shared shingle CTE split by the same md5 rule; NOT IN is safe
+      // (shingles are never NULL), per-doc ratio of exact integers
+      s"""WITH $shingleSql,
+         tr AS (SELECT DISTINCT sh FROM sh
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'),
+         te AS (SELECT doc_id, sh FROM sh
+                WHERE NOT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'),
+         nv AS (SELECT doc_id, count(*) AS n_novel FROM te
+                WHERE sh NOT IN (SELECT sh FROM tr) GROUP BY 1),
+         g AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY 1)
+         SELECT g.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                round(CAST(coalesce(n_novel, 0) AS DOUBLE)
+                      / CAST(n_grams AS DOUBLE), 6) AS novelty_rate
+         FROM g LEFT JOIN nv ON g.doc_id = nv.doc_id""",
     "t_render_sft" ->
       // byte-identical re-render: same markers, same 8-token instruction
       // slice, same newlines; length + md5 gate the whole template

@@ -50,6 +50,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, "L1", Some("R9")), (1L, "L2", None)))
   }
 
+  test("forward as-of picks the earliest at-or-after row, inclusive at equal time") {
+    val left = Seq((1L, 10_000_000L, "L1"), (1L, 12_000_000L, "L2"),
+        (2L, 50_000_000L, "L3"))
+      .toDF("k", "t", "lname")
+    val right = Seq((1L, 10_000_000L, "R_at_10"), (1L, 11_000_000L, "R_at_11"),
+        (2L, 40_000_000L, "R_before"))
+      .toDF("k", "t", "rname")
+    val got = AsOfJoin.asofJoinForward(left, right, Seq("k"), "t", "t")
+      .select("k", "lname", "rname")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set(
+      (1L, "L1", Some("R_at_10")),   // equal timestamp: inclusive
+      (1L, "L2", None),              // only earlier rows exist → no match
+      (2L, "L3", None)))             // right row is BEFORE the left → no match
+  }
+
   test("tolerance on a non-time-typed column is rejected with a clear error") {
     val left = Seq((1L, "a", "L1")).toDF("k", "t", "lname")
     val right = Seq((1L, "a", "R1")).toDF("k", "t", "rname")

@@ -1,6 +1,12 @@
 package graft
 
-// TEMPORARY measurement main (the DESIGN.md A/B idiom) — deleted after use.
+/** PERMANENT quiet-host measurement harness — the DESIGN.md / PLANS.md A/B
+  * protocol (warm tables, n=3, min/med/max per query, noop sink so write
+  * cost never pollutes the number). Targeted per-query timing that the
+  * full Bench run is too coarse for; every PLANS.md "quiet median" comes
+  * from this entry point. Usage:
+  *   sbt "runMain graft.TimeQ <sfDir> <query> [query...]"
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

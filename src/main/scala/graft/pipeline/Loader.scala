@@ -242,6 +242,46 @@ object Loader {
     df.select(target.map(f => col(f.name).cast(f.dataType)): _*)
   }
 
+  /** Targeted row ERASURE (GDPR / right-to-be-forgotten) on a partitioned
+    * immutable-format table: rewrite ONLY the partitions that contain
+    * target rows. `source` is the clean re-derivation frame (NOT the table
+    * being overwritten — no read-while-overwrite), `isTarget` marks rows to
+    * erase, `partCol` is the table's partition column. Affected partitions
+    * come from one pruned scan; survivors of those partitions re-insert
+    * under dynamic partition overwrite; and — because dynamic overwrite
+    * only rewrites partitions that RECEIVE rows — a partition whose rows
+    * are ALL targeted (zero survivors) is dropped explicitly, mirroring
+    * [[upsertPartitioned]]'s emptied-partition handling. Safe to run twice:
+    * the rewrite is a deterministic function of `source` and the drops are
+    * IF EXISTS. At 100 TB the cost is (affected partitions / total
+    * partitions) of the table, never a full rewrite. */
+  def eraseTargeted(spark: SparkSession, source: DataFrame, table: String,
+                    isTarget: Column, partCol: String): Unit = {
+    val affected = source.filter(isTarget).select(partCol).distinct()
+    val tableCols = spark.table(table).columns
+    val survivors = source.join(affected, Seq(partCol), "left_semi")
+      .filter(!isTarget)
+      // insertInto is positional and the Seq-join hoists the join column
+      // first: restore the table's column order (partition column last)
+      .select(tableCols.map(col): _*)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // partitions fully emptied by the erasure never received a row above —
+    // drop them explicitly. Bounded: the collect is the affected-partition
+    // metadata list (the watermark idiom), never row-shaped data.
+    val emptied = affected
+      .join(survivors.select(partCol).distinct(), Seq(partCol), "left_anti")
+      .collect().map(r => sqlLiteral(r.get(0)))
+    emptied.foreach { v =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol=$v)")
+    }
+  }
+
   /** Schema-evolution conformance for an incoming batch: target columns the
     * batch lacks are filled with typed NULLs (only legal for nullable
     * columns — a missing NOT-NULL column still fails, like the reference's

@@ -173,11 +173,20 @@ object VectorOps {
           """transform(embedding,
                x -> least(greatest(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5D)
                                         AS DOUBLE), -127.0D), 127.0D) * scale)"""))
-      val coarse = recon
+      // margined stage boundary: rather than a hard LIMIT 50 on the coarse
+      // score (which would make the candidate set — and so potentially the
+      // hash-gated top-10 — sensitive to a last-ULP tie exactly at rank
+      // 50), take the 50th score and admit EVERY candidate within 1e-9 of
+      // it. Near-ties at the boundary all reach the exact decimal rerank,
+      // which then decides under the full contract; the margin costs at
+      // most a handful of extra rerank rows.
+      val scored = recon
         .select(col("vec_id"), col("embedding"),
           Similarity.cosineFast(col("recon"), typedLit(qv)).as("coarse"))
-        .orderBy(col("coarse").desc, col("vec_id").asc)
-        .limit(50)
+      val s50 = scored.orderBy(col("coarse").desc, col("vec_id").asc)
+        .limit(50).agg(min(col("coarse")).as("s50"))
+      val coarse = scored.crossJoin(broadcast(s50))
+        .filter(col("coarse") >= col("s50") - 1e-9)
       coarse
         .select(col("vec_id"),
           Similarity.cosineToQuery(col("embedding"), qv).as("c_raw"))
@@ -786,9 +795,14 @@ object VectorOps {
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                     (a, v) -> a + v) AS nb
                 FROM r, q),
-         top50 AS (SELECT vec_id, embedding FROM co
-                   ORDER BY dot / greatest(sqrt(na) * sqrt(nb), 1e-12) DESC,
-                            vec_id ASC LIMIT 50),
+         sc AS (SELECT vec_id, embedding,
+                  dot / greatest(sqrt(na) * sqrt(nb), 1e-12) AS coarse
+                FROM co),
+         s50 AS (SELECT min(coarse) AS s50 FROM
+                 (SELECT coarse FROM sc
+                  ORDER BY coarse DESC, vec_id ASC LIMIT 50)),
+         top50 AS (SELECT vec_id, embedding FROM sc, s50
+                   WHERE coarse >= s50 - 1e-9),
          px AS (SELECT t.vec_id, unnest(t.embedding) AS x, unnest(q.qe) AS y
                 FROM top50 t, q),
          pc AS (SELECT vec_id,

@@ -25,10 +25,22 @@ object Similarity {
 
   private val dec = DecimalType(28, 16)
 
-  /** Exact decimal sum of products of two float arrays (dot product when
-    * a≠b, squared norm when a=b). Associative-exact: equals the oracle's
-    * unnest+group sum bit for bit. */
-  private def decDot(a: Column, b: Column): Column =
+  /** Exact decimal sum of products of two float/double arrays (dot product
+    * when a≠b, squared norm when a=b). Associative-exact: equals the
+    * oracle's unnest+group sum bit for bit. Since round 9 this is the
+    * native single-pass [[graft.functions.DecimalDotExpr]] — bit-identical
+    * to the HOF formulation it replaced (DecimalDotSpec proves equality on
+    * adversarial inputs) at a fraction of its per-term machinery cost. */
+  private[graft] def decDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftPlanBridge
+    GraftPlanBridge.exprColumn(graft.functions.DecimalDotExpr(
+      GraftPlanBridge.columnExpr(a), GraftPlanBridge.columnExpr(b)))
+  }
+
+  /** The retired higher-order-function formulation of [[decDot]], kept
+    * (test-only) as the semantic reference the native expression must
+    * match bit-for-bit. */
+  private[graft] def decDotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(dec)),
       lit(java.math.BigDecimal.ZERO).cast(dec),
@@ -59,6 +71,18 @@ object Similarity {
     * that score against a joined frame (e.g. IVF centroid assignment). */
   def cosineCols(a: Column, b: Column): Column =
     decDot(a, b) / safeDenom(sqrt(decDot(a, a)) * sqrt(decDot(b, b)))
+
+  /** Exact decimal squared norm — for call sites that HOIST the norms out
+    * of a pair loop (cosineCols inside an N×k join evaluates 3 decimal
+    * dots per PAIR; precomputing n² per row and per broadcast side leaves
+    * 1 per pair + 1 per row + 1 per cell — same values, same hashes,
+    * third of the decimal work). Recompose via [[cosineFromParts]]. */
+  private[graft] def decNorm2(a: Column): Column = decDot(a, a)
+
+  /** Cosine from a precomputed dot and squared norms — bit-identical to
+    * [[cosineCols]] on the same inputs (same division, same guard). */
+  private[graft] def cosineFromParts(dot: Column, n2a: Column, n2b: Column): Column =
+    dot / safeDenom(sqrt(n2a) * sqrt(n2b))
 
   /** Exact top-k nearest neighbours of `queryId`'s embedding by cosine.
     * Fetching the query vector is a 1-row driver scalar (like a watermark);
@@ -141,14 +165,16 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("c_raw"), 6).as("cosine"))
   }
 
-  /** Plain double cosine — for throughput paths without the oracle contract. */
+  /** Plain double cosine — the throughput path (prefilters, coarse
+    * scoring). Since round 9 this routes through the codegen'd
+    * [[graft.functions.FloatCosine]] expression (one fused loop inside
+    * whole-stage codegen) instead of three interpreted HOF folds; the
+    * accumulation order is identical (index-ordered, 0.0 seed), so every
+    * value — including the v_knn_refine coarse scores the oracle replays
+    * via list_reduce — is bit-unchanged. */
   def cosineFast(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / safeDenom(sqrt(na) * sqrt(nb))
+    import org.apache.spark.sql.GraftPlanBridge
+    GraftPlanBridge.exprColumn(graft.functions.FloatCosine(
+      GraftPlanBridge.columnExpr(a), GraftPlanBridge.columnExpr(b)))
   }
 }

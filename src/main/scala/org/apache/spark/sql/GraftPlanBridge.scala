@@ -20,6 +20,16 @@ object GraftPlanBridge {
   private def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDF].logicalPlan
 
+  /** Column over a raw catalyst Expression (the classic-session Column
+    * factory) — lets operator code use custom expressions without a
+    * function-registry round-trip. */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column (classic sessions). */
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Idempotently install the TopKPerKey strategy AND the window-top-k
     * optimizer rewrite into a session built without GraftExtensions (the
     * extensions path injects both at session build). After this, the stock

@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** The time columns only need to be mutually orderable for the as-of
+    * itself; tolerance bounds and nearest-gap comparisons additionally need
+    * them on a microsecond number line — TimestampType converts, integral
+    * epoch-µs columns pass through, anything else has no defined µs
+    * distance. */
+  private def asMicros(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => unix_micros(c)
+      case LongType | IntegerType | ShortType | ByteType => c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"asofJoin: time columns must be TIMESTAMP or integral " +
+          s"epoch-micros, got $other")
+    }
+  }
+
   /** NULL-key caveat: rows with NULL key values land in the same window
     * partition and therefore match each other — unlike SQL join equality,
     * where NULL = NULL is not true. Filter NULL keys upstream if SQL
@@ -68,20 +84,6 @@ object AsOfJoin {
     val matched = leftTagged.unionByName(rightAligned)
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    // the time columns only need to be mutually orderable for the as-of
-    // itself; the tolerance bound additionally needs them on a microsecond
-    // number line — TimestampType converts, integral epoch-µs columns pass
-    // through, anything else has no defined µs distance
-    def asMicros(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case TimestampType => unix_micros(c)
-        case LongType | IntegerType | ShortType | ByteType => c.cast("long")
-        case other => throw new IllegalArgumentException(
-          s"asofJoin toleranceUs: time columns must be TIMESTAMP or integral " +
-            s"epoch-micros, got $other")
-      }
-    }
     val bounded = toleranceUs match {
       case None => matched
       case Some(us) => matched.withColumn("__matched",
@@ -93,6 +95,67 @@ object AsOfJoin {
       keyCols.map(col) ++
         leftCols.map(c => col(s"__lrow.$c").as(c)) ++
         payloadCols.map(c => col(s"__matched.$c").as(c)): _*)
+  }
+
+  /** NEAREST as-of (pandas merge_asof direction='nearest'): for each left
+    * row, the right row with the SMALLEST absolute time gap — backward and
+    * forward candidates computed in ONE union/window pass (two frames over
+    * the same partitioning+ordering: one shuffle, one sort, one Window
+    * exec), then a per-row gap comparison picks the winner. Ties (equal
+    * backward and forward gap) deterministically prefer the BACKWARD
+    * (earlier) match. An equal-time right row is the backward candidate at
+    * gap 0 and therefore always wins — so the forward frame's equal-time
+    * exclusivity (right rows sort before left rows here) cannot change the
+    * result. Same one-shuffle cost profile and NULL-key caveat as
+    * [[asofJoin]]; time columns must be TIMESTAMP or integral epoch-µs
+    * (the gap needs a µs number line). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == rightTime)
+    require(payloadCols.nonEmpty,
+      s"asofJoinNearest: right side needs a payload column beyond " +
+        s"keys ${keyCols.mkString(",")} and time '$rightTime'")
+    // the matched right TIME rides in the payload struct for the gap math
+    val payloadStruct = struct(col(rightTime).as("__rt") +: payloadCols.map(col): _*)
+    val rightTagged = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        payloadStruct.as("__payload")): _*)
+    val payloadType = rightTagged.schema("__payload").dataType
+    val leftCols = left.columns.filterNot(keyCols.contains)
+    val leftTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__payload")) ++
+        Seq(struct(leftCols.map(col): _*).as("__lrow")): _*)
+    val rightAligned = rightTagged
+      .withColumn("__lrow", lit(null).cast(leftTagged.schema("__lrow").dataType))
+    // right (side 0) before left (side 1) at equal time: backward frame is
+    // INCLUSIVE of equal-time right rows (the asofJoin convention)
+    val wBack = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = leftTagged.unionByName(rightAligned)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wBack))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+    val lUs = asMicros(col("__t"), left.schema(leftTime).dataType)
+    val rdt = right.schema(rightTime).dataType
+    val bGap = lUs - asMicros(col("__b.__rt"), rdt)
+    val fGap = asMicros(col("__f.__rt"), rdt) - lUs
+    val useBack = col("__f").isNull ||
+      (col("__b").isNotNull && bGap <= fGap)
+    both
+      .withColumn("__matched", when(useBack, col("__b")).otherwise(col("__f")))
+      .select(
+        keyCols.map(col) ++
+          leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+          payloadCols.map(c => col(s"__matched.$c").as(c)): _*)
   }
 
   /** FORWARD as-of (pandas merge_asof direction='forward'): for each left

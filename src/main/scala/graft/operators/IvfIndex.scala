@@ -68,20 +68,40 @@ object IvfIndex {
     * relational argmax over corpus × broadcast(seed) exact cosines; ties →
     * smallest cell. Shared by [[knnSampled]] and [[PqIndex.knnIvfPq]]. */
   def assignSampled(emb: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int): DataFrame = {
-    val nSeeds = emb.filter(col(idCol) < nCells).count()
+                    nCells: Int): DataFrame =
+    assignSampledWith(emb, emb, idCol, vecCol, nCells)
+
+  /** [[assignSampled]] with the seed table drawn from a SEPARATE frame —
+    * the incremental-maintenance entry point: an appended batch assigns
+    * against the EXISTING index's centroids (`seedSrc` = the original
+    * corpus), so index maintenance costs one batch-sized argmax pass, never
+    * a rebuild. Because sampled-centroid assignment is per-row independent,
+    * append-then-probe is bit-identical to rebuild-then-probe (the
+    * v_knn_ivf_append gate proves it under the oracle hash). */
+  def assignSampledWith(corpus: DataFrame, seedSrc: DataFrame, idCol: String,
+                        vecCol: String, nCells: Int): DataFrame = {
+    val nSeeds = seedSrc.filter(col(idCol) < nCells).count()
     require(nSeeds == nCells, s"need ids 0..${nCells - 1} as seeds, found $nSeeds")
-    val seedDf = emb.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("ce"))
-    // per (vector, centroid) pair one exact cosine; argmax via
-    // max(struct(c, -cell)) → smallest cell wins ties, exactly the oracle's
-    // tie-break. first(vec) carries the payload through the aggregate (all
-    // rows of a group hold the identical vector) so no join-back is needed.
-    emb.select(col(idCol), col(vecCol))
+    // seed norms ride the broadcast (one decimal dot per CELL, not per pair)
+    val seedDf = seedSrc.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("ce"),
+        Similarity.decNorm2(col(vecCol)).as("cn2"))
+    // per (vector, centroid) pair ONE exact decimal dot; the vector's own
+    // norm is hoisted to one dot per ROW (cosineFromParts recomposes the
+    // identical cosine value — same doubles, same argmax, same hashes as
+    // the former per-pair cosineCols at a third of the decimal work).
+    // Argmax via max(struct(c, -cell)) → smallest cell wins ties, exactly
+    // the oracle's tie-break. first(vec) carries the payload through the
+    // aggregate (all rows of a group hold the identical vector) so no
+    // join-back is needed.
+    corpus.select(col(idCol), col(vecCol),
+        Similarity.decNorm2(col(vecCol)).as("vn2"))
       .crossJoin(broadcast(seedDf))
       .groupBy(col(idCol))
       .agg(
-        max(struct(Similarity.cosineCols(col(vecCol), col("ce")).as("c"),
+        max(struct(
+          Similarity.cosineFromParts(Similarity.decDot(col(vecCol), col("ce")),
+            col("vn2"), col("cn2")).as("c"),
           (-col("cell")).as("nc"))).as("m"),
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), (-col("m.nc")).cast("int").as("cell"))

@@ -2228,6 +2228,24 @@ object Core {
         .asofJoinForward(errors, clicks, Seq("user_id"), "ts", "ts")
         .select("event_id", "user_id", "click_id")
     }),
+    "q_asof_nearest" -> ((s, dir) => {
+      // NEAREST as-of (merge_asof direction='nearest'): for each error,
+      // the click with the smallest |time gap| in either direction; equal
+      // gaps prefer the earlier (backward) click. One union + one
+      // two-frame window pass — the backward and forward candidates cost
+      // a single shuffle together; DuckDB replays via two ASOF joins
+      // (inclusive backward, strict forward — an equal-time click is the
+      // gap-0 backward winner either way) and an explicit gap argmin.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin
+        .asofJoinNearest(errors, clicks, Seq("user_id"), "ts", "ts")
+        .select("event_id", "user_id", "click_id")
+    }),
     "q_asof_tolerance" -> ((s, dir) => {
       // as-of with a 10-minute staleness bound (merge_asof tolerance): the
       // latest preceding click still wins, but is nulled when older than
@@ -3632,6 +3650,33 @@ object Core {
          SELECT e.event_id, e.user_id, c.click_id
          FROM errors e ASOF LEFT JOIN clicks c
            ON e.user_id = c.user_id AND e.ts <= c.ts""",
+    "q_asof_nearest" ->
+      // both directions replayed natively (backward inclusive `>=`,
+      // forward STRICT `<` — the engine's forward frame excludes
+      // equal-time rows, which cannot matter: an equal-time click is the
+      // backward candidate at gap 0 and gap ties prefer backward), then
+      // the smaller µs gap wins
+      """WITH clicks AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                  max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         errors AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id
+           FROM events WHERE event_type = 'error'),
+         b AS (SELECT e.event_id, e.user_id, e.ts,
+                      c.click_id AS b_id, c.ts AS b_ts
+               FROM errors e ASOF LEFT JOIN clicks c
+                 ON e.user_id = c.user_id AND e.ts >= c.ts),
+         f AS (SELECT e.event_id, c.click_id AS f_id, c.ts AS f_ts
+               FROM errors e ASOF LEFT JOIN clicks c
+                 ON e.user_id = c.user_id AND e.ts < c.ts)
+         SELECT b.event_id, b.user_id,
+                CASE WHEN f_id IS NULL THEN b_id
+                     WHEN b_id IS NULL THEN f_id
+                     WHEN epoch_us(b.ts) - epoch_us(b_ts)
+                          <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_id
+                     ELSE f_id END AS click_id
+         FROM b JOIN f USING (event_id)""",
     "q_asof_tolerance" ->
       """WITH clicks AS (
            SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,

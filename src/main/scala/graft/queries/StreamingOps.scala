@@ -229,6 +229,31 @@ object StreamingOps {
           count(col("error_id")).as("n_matched"),
           sum(when(col("error_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
     }),
+    "s_stream_full_outer" -> ((s, dir) => {
+      // FULL-OUTER stream-stream join — both null directions at once:
+      // unmatched clicks emit a null-error row AND unmatched errors emit a
+      // null-click row, each exactly once, when the JOINT watermark closes
+      // the respective match window. Same sentinel-replay machinery as
+      // s_stream_outer (both event types in each sentinel batch, so both
+      // watermark nodes lift and the eviction scan flushes BOTH state
+      // stores); the drained append output equals the batch FULL JOIN.
+      val (path, schema) =
+        EventsStream.stageEventsChunkedReplayFull(s, dir, nChunks = 4)
+      val clicks = EventsStream.readStagedReplay(s, path, schema)
+        .filter(col("event_type") === "click")
+      val errors = EventsStream.readStagedReplay(s, path, schema)
+        .filter(col("event_type") === "error")
+      val joined = EventsStream.clickErrorJoin(clicks, errors,
+        windowSec = 600L, joinType = "full_outer")
+      EventsStream.runToMemory(s, joined, "s_stream_full_outer_sink", "append")
+        .filter(col("user_id") >= 0) // drop the watermark-driver sentinels
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("click_id").isNotNull && col("error_id").isNotNull,
+            1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("error_id").isNull, 1L).otherwise(0L)).as("n_click_only"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_error_only"))
+    }),
     "s_session_hourly" -> ((s, dir) => {
       // CHAINED stateful operators (Spark 3.4+ multi-stateful support):
       // session-window aggregation feeding a tumbling-window rollup in ONE
@@ -484,6 +509,32 @@ object StreamingOps {
          SELECT user_id, count(*) AS n_rows,
                 CAST(count(error_id) AS BIGINT) AS n_matched,
                 CAST(count(*) - count(error_id) AS BIGINT) AS n_unmatched
+         FROM j GROUP BY user_id""",
+    "s_stream_full_outer" ->
+      // over a bounded, fully-flushed input the streaming full-outer
+      // equals the batch FULL JOIN with the same key + time-range
+      // condition; the replay drops null user_id/ts rows, mirrored here
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+                    FROM events
+                    WHERE event_type = 'click' AND user_id IS NOT NULL
+                      AND ts IS NOT NULL),
+         e AS (SELECT user_id AS e_user_id, event_id AS error_id,
+                      epoch_us(ts) AS eus
+               FROM events
+               WHERE event_type = 'error' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL),
+         j AS (SELECT coalesce(c.user_id, e.e_user_id) AS user_id,
+                      c.click_id, e.error_id
+               FROM c FULL JOIN e ON c.user_id = e.e_user_id
+                 AND e.eus >= c.cus AND e.eus <= c.cus + 600000000)
+         SELECT user_id, count(*) AS n_rows,
+                CAST(sum(CASE WHEN click_id IS NOT NULL
+                               AND error_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
+                CAST(sum(CASE WHEN error_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_click_only,
+                CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_error_only
          FROM j GROUP BY user_id""",
     "s_sessionize_timeout" ->
       // the closed-session set is batch-replayable: the streaming op closes

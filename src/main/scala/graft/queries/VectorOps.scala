@@ -19,6 +19,32 @@ object VectorOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** One Lloyd ASSIGNMENT step against a (cell, pos, m) centroid frame:
+    * pack centroids to arrays, broadcast, relational argmax of the
+    * decimal-exact cosines (ties → smallest cell). Shared by the
+    * iterated/convergent/trained k-means blocks. The centroid norm is one
+    * decimal dot per CELL (rides the broadcast) and the vector norm one
+    * per ROW — cosineFromParts recomposes the identical cosine doubles the
+    * former per-pair cosineCols produced (3 dots/pair → 1), so assignment,
+    * argmax, and every downstream hash are unchanged. */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        st => st.getField("m")).as("ce"))
+      .withColumn("cn2", Similarity.decNorm2(col("ce")))
+    e.withColumn("vn2", Similarity.decNorm2(col("embedding")))
+      .crossJoin(broadcast(centArr))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+          Similarity.cosineFromParts(
+            Similarity.decDot(col("embedding"), col("ce")),
+            col("vn2"), col("cn2")).as("c"),
+          (-col("cell")).as("nc"))).as("mx"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("mx.nc")).cast("int").as("cell"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10)),
@@ -72,13 +98,20 @@ object VectorOps {
       // materialized index table of v_knn_ivf_probe).
       val assigned = IvfIndex.assignSampled(emb(s, dir), "vec_id", "embedding", 16)
         .localCheckpoint()
+      // per-side norms are one decimal dot per ROW; the pair phase then
+      // pays one dot per surviving pair instead of three (identical
+      // cosine doubles via cosineFromParts — hashes unchanged)
       val a = assigned.select(col("cell"), col("vec_id").as("ka"),
-        col("embedding").as("va"))
+        col("embedding").as("va"),
+        Similarity.decNorm2(col("embedding")).as("na2"))
       val b = assigned.select(col("cell").as("cb"), col("vec_id").as("kb"),
-        col("embedding").as("vb"))
+        col("embedding").as("vb"),
+        Similarity.decNorm2(col("embedding")).as("nb2"))
       val losers = a.join(b, col("cell") === col("cb") && col("ka") < col("kb"))
         .filter(Similarity.cosineFast(col("va"), col("vb")) >= 0.35 - 1e-9)
-        .filter(Similarity.cosineCols(col("va"), col("vb")) >= 0.35)
+        .filter(Similarity.cosineFromParts(
+          Similarity.decDot(col("va"), col("vb")),
+          col("na2"), col("nb2")) >= 0.35)
         .select(col("kb").as("loser")).distinct()
       assigned.join(losers, col("vec_id") === col("loser"), "left_anti")
         .select(col("vec_id"), col("cell"))
@@ -109,12 +142,15 @@ object VectorOps {
       val centArr = centd.groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
           .as("carr"))
+        .withColumn("cc2", Similarity.decNorm2(col("carr")))
       val w = Window.partitionBy("cell")
         .orderBy(col("proto_raw").desc, col("vec_id").asc)
       val wc = Window.partitionBy("cell")
       assigned.join(broadcast(centArr), "cell")
         .select(col("vec_id"), col("cell"),
-          Similarity.cosineCols(col("embedding"), col("carr")).as("proto_raw"))
+          Similarity.cosineFromParts(
+            Similarity.decDot(col("embedding"), col("carr")),
+            Similarity.decNorm2(col("embedding")), col("cc2")).as("proto_raw"))
         .withColumn("rn", row_number().over(w))
         .withColumn("n_cell", count(lit(1)).over(wc))
         .filter(col("rn") > expr("(n_cell + 4) div 5"))
@@ -327,17 +363,7 @@ object VectorOps {
         .select(col("cell"), col("pos"), col("xf").cast("double").as("m"))
       var upd: DataFrame = null
       (1 to 3).foreach { _ =>
-        val centArr = cent.groupBy("cell")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            st => st.getField("m")).as("ce"))
-        val assigned = e.crossJoin(broadcast(centArr))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(
-              Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
-              (-col("cell")).as("nc"))).as("mx"),
-            first(col("embedding")).as("embedding"))
-          .select(col("vec_id"), col("embedding"),
-            (-col("mx.nc")).cast("int").as("cell"))
+        val assigned = assignToCentroids(e, cent)
         // k·d rows; eager localCheckpoint materializes the round (one job)
         // and truncates lineage so 3 rounds don't nest into one mega-plan
         upd = assigned
@@ -390,17 +416,7 @@ object VectorOps {
       var stopped = false
       while (r < maxR && !stopped) {
         r += 1
-        val centArr = cent.groupBy("cell")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            st => st.getField("m")).as("ce"))
-        val assigned = e.crossJoin(broadcast(centArr))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(
-              Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
-              (-col("cell")).as("nc"))).as("mx"),
-            first(col("embedding")).as("embedding"))
-          .select(col("vec_id"), col("embedding"),
-            (-col("mx.nc")).cast("int").as("cell"))
+        val assigned = assignToCentroids(e, cent)
         upd = assigned
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
@@ -440,17 +456,7 @@ object VectorOps {
           posexplode(col("embedding")).as(Seq("pos", "xf")))
         .select(col("cell"), col("pos"), col("xf").cast("double").as("m"))
       (1 to 2).foreach { _ =>
-        val centArr = cent.groupBy("cell")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            st => st.getField("m")).as("ce"))
-        val assigned = e.crossJoin(broadcast(centArr))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(
-              Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
-              (-col("cell")).as("nc"))).as("mx"),
-            first(col("embedding")).as("embedding"))
-          .select(col("vec_id"), col("embedding"),
-            (-col("mx.nc")).cast("int").as("cell"))
+        val assigned = assignToCentroids(e, cent)
         val upd = assigned
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
@@ -466,14 +472,7 @@ object VectorOps {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           st => st.getField("m")).as("ce"))
       // final assignment of the corpus to the trained centroids
-      val assigned = e.crossJoin(broadcast(centArr))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(
-            Similarity.cosineCols(col("embedding"), col("ce")).as("c"),
-            (-col("cell")).as("nc"))).as("mx"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"),
-          (-col("mx.nc")).cast("int").as("cell"))
+      val assigned = assignToCentroids(e, cent)
       val query = e.filter(col("vec_id") === 0L)
         .select("embedding").first().getSeq[Float](0)
       // probe-cell selection IN-PLAN with the same decimal cosine the
@@ -527,6 +526,56 @@ object VectorOps {
         .select("embedding").first().getSeq[Float](0)
       PqIndex.probeIvfPq(assigned, enc, cb, e, "vec_id", "embedding",
         query, queryId = 0L, k = 10, nCells = 16, nprobe = 4, subDim = 8)
+    }),
+    "v_knn_ivf_append" -> ((s, dir) => {
+      // INCREMENTAL index maintenance (the d_incremental pattern for ANN):
+      // the corpus splits into a base (95%) and a newly-arrived batch
+      // (vec_id ≡ 19 mod 20 — seeds 0..15 stay in the base); the batch
+      // assigns against the EXISTING centroids only (one batch-sized
+      // argmax pass — appendSampledWith, never a rebuild) and unions with
+      // the base assignment. Probing the appended index must equal probing
+      // a full rebuild — guaranteed because sampled-centroid assignment is
+      // per-row independent, and PROVEN here by gating the probe result
+      // against the rebuild oracle (ivfOracle, shared with v_knn_ivf). At
+      // 100 TB this is the index's steady-state write path: each ingest
+      // batch pays its own assignment and appends to the bucketed corpus.
+      val e = emb(s, dir)
+      val base = e.filter(pmod(col("vec_id"), lit(20)) =!= 19)
+      val batch = e.filter(pmod(col("vec_id"), lit(20)) === 19)
+      val assigned = IvfIndex.assignSampled(base, "vec_id", "embedding", 16)
+        .unionByName(
+          IvfIndex.assignSampledWith(batch, e, "vec_id", "embedding", 16))
+      val query = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      IvfIndex.probeSampled(assigned, e, "vec_id", "embedding", query,
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4)
+    }),
+    "v_semdedup_scaled" -> ((s, dir) => {
+      // v_semdedup with the cell count DERIVED from corpus size —
+      // nCells = ⌈√N⌉ — so the in-cell quadratic stays bounded as the
+      // corpus grows: E[cell size] ≈ √N ⇒ Σ n_c² ≈ N^1.5, versus N²/k for
+      // any FIXED k (the PLANS.md nCells-∝-corpus argument, now under the
+      // hash gate at every SF instead of only argued). Both engines derive
+      // the identical count — ceil and sqrt of an integer-valued double
+      // are IEEE-exact — and ids are dense, so seeds 0..nCells-1 exist.
+      val e = emb(s, dir)
+      val nCells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val assigned = IvfIndex.assignSampled(e, "vec_id", "embedding", nCells)
+        .localCheckpoint()
+      val a = assigned.select(col("cell"), col("vec_id").as("ka"),
+        col("embedding").as("va"),
+        Similarity.decNorm2(col("embedding")).as("na2"))
+      val b = assigned.select(col("cell").as("cb"), col("vec_id").as("kb"),
+        col("embedding").as("vb"),
+        Similarity.decNorm2(col("embedding")).as("nb2"))
+      val losers = a.join(b, col("cell") === col("cb") && col("ka") < col("kb"))
+        .filter(Similarity.cosineFast(col("va"), col("vb")) >= 0.35 - 1e-9)
+        .filter(Similarity.cosineFromParts(
+          Similarity.decDot(col("va"), col("vb")),
+          col("na2"), col("nb2")) >= 0.35)
+        .select(col("kb").as("loser")).distinct()
+      assigned.join(losers, col("vec_id") === col("loser"), "left_anti")
+        .select(col("vec_id"), col("cell"))
     }),
     "v_knn_batch" -> ((s, dir) => {
       // the serving shape: 8 queries answered in ONE pass over the corpus —
@@ -1076,6 +1125,46 @@ object VectorOps {
          FROM allm WHERE r = (SELECT rs FROM stop)""",
     "v_knn_ivf" -> ivfOracle,
     "v_knn_ivf_probe" -> ivfOracle,
+    // append-then-probe ≡ rebuild-then-probe: per-row-independent
+    // assignment makes the incremental index bit-identical to the rebuild,
+    // so the maintenance path shares the rebuild's oracle
+    "v_knn_ivf_append" -> ivfOracle,
+    "v_semdedup_scaled" ->
+      // the v_semdedup replay with nCells derived as ceil(sqrt(N)) — the
+      // seed predicate is the only difference; ceil/sqrt of an
+      // integer-valued double are IEEE-exact in both engines
+      """WITH k AS (SELECT ceil(sqrt(count(*))) AS nc FROM embeddings),
+         seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                   FROM embeddings WHERE vec_id < (SELECT nc FROM k)),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, CAST(-((max(struct_pack(c := c, nc := -cell))).nc) AS INTEGER) AS cell
+           FROM cc GROUP BY 1),
+         pairs AS (SELECT a1.vec_id AS ka, a2.vec_id AS kb
+                   FROM assigned a1 JOIN assigned a2
+                     ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id),
+         px AS (SELECT p.ka, p.kb, unnest(e1.embedding) AS x, unnest(e2.embedding) AS y
+                FROM pairs p JOIN embeddings e1 ON e1.vec_id = p.ka
+                             JOIN embeddings e2 ON e2.vec_id = p.kb),
+         pc AS (SELECT ka, kb,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS na,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS nb
+                FROM px GROUP BY 1, 2),
+         losers AS (SELECT DISTINCT kb FROM pc
+                    WHERE dot/greatest(sqrt(na)*sqrt(nb), 1e-12) >= 0.35)
+         SELECT a.vec_id, a.cell FROM assigned a
+         WHERE a.vec_id NOT IN (SELECT kb FROM losers)""",
     "v_knn_ivf_trained" ->
       // 2 Lloyd rounds unrolled (the v_kmeans_iter CTE blocks), then the
       // ivfOracle shape against the TRAINED centroids: final assignment =

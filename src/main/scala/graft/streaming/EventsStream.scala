@@ -90,7 +90,12 @@ object EventsStream {
         && col("error_ts") >= col("click_ts")
         && col("error_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
       joinType)
-      .select(col("user_id"), col("click_id"), col("error_id"))
+      // right_outer/full_outer rows with no click side carry a null
+      // user_id on the click side — surface the key from whichever side
+      // survived (a no-op for inner/left_outer, where the click side is
+      // always present)
+      .select(coalesce(col("user_id"), col("e_user_id")).as("user_id"),
+        col("click_id"), col("error_id"))
   }
 
   /** Stream-static enrichment: each event picks up its key's dimension

@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tpch_q11", // 1-row nation-total (value, part-count) aggregate broadcast
     "q_kmv_overlap", // event-type dim broadcast (~8 rows) into sketch pairs
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
+    "v_knn_refine", // 1-row rank-50-score aggregate broadcast (the margined
+    // stage boundary: every candidate within 1e-9 of the 50th coarse score)
     "v_knn_ivf", "v_knn_ivfpq", // corpus x broadcast(nCells=16 seeds)
+    "v_knn_ivf_append", // base + appended batch, each x broadcast(16 seeds)
     "v_kmeans", // same assignSampled corpus x broadcast(16 seeds) shape
     // (v_semdedup / v_prototypicality run the same assignSampled argmax,
     // but behind an eager localCheckpoint — their audited final plans are

@@ -20,6 +20,9 @@ if [[ "${1:-}" != "--quick" ]]; then
   SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/rc_sf0.1" 2>&1 | grep "\[verify\]" || true
   python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/rc_sf0.1 | tail -1
   echo "== bench sf0.1 =="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+  # SPARK_GRAFT_BENCH_COMMIT=1 lets THIS gate refresh the committed quiet
+  # artifact (BENCH_full.json); a driver-side bench run (which doesn't set
+  # it) writes its full line to target/ instead of dirtying the work tree
+  SPARK_GRAFT_BENCH_COMMIT=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
 fi
 echo "== round_check done =="

@@ -37,6 +37,17 @@ object Engine {
         .master(s"local[$cores]")
         .appName(appName)
         .config("spark.sql.shuffle.partitions", cores.toString)
+        // AQE coalesces DOWN from the initial partition count but (skew
+        // joins aside) never splits UP — so shuffle.partitions=cores makes
+        // every big shuffle spill once a stage outgrows cores×(executor
+        // memory/part). Start 8× finer and let AQE merge: small SFs
+        // coalesce back to ~cores partitions (measured no-op on the gate),
+        // while the sf1 ppjoin verification shuffle (~850M rows) keeps
+        // enough partitions to sort in memory — its 10×-data cost drops
+        // from 16× to near-linear. On a real cluster this is the same
+        // knob the deployment would size to max concurrent tasks × ~4.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          (cores * 8).toString)
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

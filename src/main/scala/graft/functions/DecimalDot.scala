@@ -43,6 +43,13 @@ case class DecimalDotExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can return NULL even for non-null inputs (length mismatch, NaN/Inf
+  // term — the zip_with poisoning semantics); without this override,
+  // non-nullable children make codegen declare ev.isNull as the literal
+  // `false`, the `isNull = true` assignment fails to compile, and the
+  // whole projection silently falls back to interpreter mode
+  override def nullable: Boolean = true
+
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false

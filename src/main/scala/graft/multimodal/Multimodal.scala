@@ -194,6 +194,90 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic RIFF/AVI asset per document — a REAL video CONTAINER
+    * (the RIFF chunk grammar of the WAV assets, carrying video): full
+    * hdrl (avih + strl/strh/strf BITMAPINFOHEADER) and a movi LIST of
+    * UNCOMPRESSED 24-bit BI_RGB '00db' DIB frames (bottom-up BGR rows
+    * padded to 4 bytes). Geometry and pixels follow the GIF recipe —
+    * w = 1+len%16, h = 1+(len/16)%16, nFrames = 1+len%6, display-row
+    * pixel (x,y) of frame f = gray code(text[(y·w+x+7f) mod len]) stored
+    * as (B,G,R)=(v,v,v) — so the decoded per-frame stats are IDENTICAL to
+    * the GIF path's and the m_gif_frames construction-replay oracle gates
+    * this container byte-for-byte (DIB is lossless; MJPEG '00dc' frames
+    * would decode too but lossily, hence spec-only). */
+  def aviAssetsFromDocuments(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val len = text.length
+          val w = 1 + len % 16
+          val h = 1 + (len / 16) % 16
+          val nFrames = 1 + len % 6
+          val payload = buildDibAvi(w, h, nFrames, (x, y, f) =>
+            if (len == 0) 0 else text.charAt((y * w + x + f * 7) % len).toInt & 0xff)
+          Row(id, "video", payload, payload.length, "avi")
+        }
+      }(enc)
+  }
+
+  /** Minimal conformant RIFF-AVI writer: RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' '00db'×n)). Little-endian
+    * throughout; chunks word-aligned (DIB strides already are). */
+  private def buildDibAvi(w: Int, h: Int, nFrames: Int,
+                          gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
+    val bo = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bo.write((v & 0xff).toInt); bo.write(((v >> 8) & 0xff).toInt)
+      bo.write(((v >> 16) & 0xff).toInt); bo.write(((v >> 24) & 0xff).toInt)
+    }
+    def u16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+    def fcc(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    fcc("RIFF"); u32(riffSize); fcc("AVI ")
+    fcc("LIST"); u32(hdrlSize); fcc("hdrl")
+    fcc("avih"); u32(56)
+    u32(100000L); u32(frameBytes * 10L); u32(0); u32(0) // µs/frame, bps, pad, flags
+    u32(nFrames); u32(0); u32(1); u32(frameBytes)       // frames, initial, streams, bufsize
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)      // dims + reserved[4]
+    fcc("LIST"); u32(strlSize); fcc("strl")
+    fcc("strh"); u32(56)
+    fcc("vids"); fcc("DIB "); u32(0); u16(0); u16(0)    // type, handler, flags, prio, lang
+    u32(0); u32(1); u32(10); u32(0); u32(nFrames)       // initial, scale, rate, start, length
+    u32(frameBytes); u32(0); u32(0)                     // bufsize, quality, samplesize
+    u16(0); u16(0); u16(w); u16(h)                      // rcFrame
+    fcc("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24)            // biSize, w, h, planes, bitcount
+    u32(0); u32(frameBytes); u32(0); u32(0); u32(0); u32(0) // BI_RGB, sizeImage, rest
+    fcc("LIST"); u32(moviSize); fcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fcc("00db"); u32(frameBytes)
+      var row = h - 1 // bottom-up: file row 0 is display row h-1
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = gray(x, row, f)
+          bo.write(v); bo.write(v); bo.write(v) // B, G, R all = gray
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { bo.write(0); pad -= 1 }
+        row -= 1
+      }
+      f += 1
+    }
+    bo.toByteArray
+  }
+
   /** Per-frame stats schema for the [[FrameCodec]] decode pass. */
   val frameStatsSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

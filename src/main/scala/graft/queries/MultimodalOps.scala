@@ -151,6 +151,23 @@ object MultimodalOps {
           Tables.load(s, dir, "documents"), "doc_id", "text"),
         graft.multimodal.GifCodec)
     }),
+    "m_avi_frames" -> ((s, dir) => {
+      // REAL video CONTAINER walk (closes the round-8 standing MP4
+      // adjudication at its lossless edge): per doc a full RIFF-AVI —
+      // hdrl headers + movi LIST of uncompressed 24-bit BI_RGB DIB
+      // frames — is written executor-side, then AviCodec walks the RIFF
+      // chunk grammar (the WAV parse's grammar, carrying video), reads
+      // the strf geometry, and decodes every '00db' frame byte-exactly
+      // (bottom-up BGR rows, 4-byte stride padding → top-down RGB). The
+      // pixel recipe matches the GIF path, so the construction-replay
+      // oracle gates container walk, frame count/order, geometry, and
+      // raster content simultaneously. MJPEG '00dc' frames decode via
+      // imageio but lossily — exercised in AviCodecSpec, not hash-gated.
+      Multimodal.decodeFrameStats(
+        Multimodal.aviAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.AviCodec)
+    }),
     "m_shot_detect" -> ((s, dir) => {
       // shot-boundary detection over REAL decoded video frames — the
       // classic cheap cut metric (mean absolute per-pixel intensity change
@@ -318,6 +335,29 @@ object MultimodalOps {
       // per-frame replay: nf = 1 + len%6 frames, frame f's flat-index-i
       // gray = code(text[(i + 7f) mod len]); the decoded RGB raster is the
       // gray tripled (palette entry i = rgb(i,i,i)), hence the 3x
+      """WITH g AS (
+           SELECT doc_id, text, length(text) AS len,
+                  1 + length(text) % 16 AS w,
+                  1 + (length(text) // 16) % 16 AS h,
+                  1 + length(text) % 6 AS nf
+           FROM documents),
+         fx AS (
+           SELECT doc_id, text, len, w, h, unnest(range(0, nf)) AS f
+           FROM g)
+         SELECT doc_id AS asset_id,
+                CAST(f AS INTEGER) AS frame_idx,
+                CAST(w AS INTEGER) AS width,
+                CAST(h AS INTEGER) AS height,
+                CAST(CASE WHEN len = 0 THEN 0 ELSE
+                  3 * list_reduce(
+                        list_transform(range(0, w * h),
+                          i -> unicode(text[CAST((i + 7 * f) % len AS INTEGER) + 1])),
+                        (a, b) -> a + b) END AS BIGINT) AS px_sum
+         FROM fx""",
+    "m_avi_frames" ->
+      // identical replay to m_gif_frames: the AVI assets carry the same
+      // geometry/pixel recipe in DIB frames ((B,G,R) = gray tripled), so
+      // the per-frame stats — and this oracle — are shared verbatim
       """WITH g AS (
            SELECT doc_id, text, length(text) AS len,
                   1 + length(text) % 16 AS w,

@@ -601,6 +601,22 @@ object TextOps {
       // so both queries must return identical pairs — two independent
       // algorithms cross-checking each other through their oracles
       TextDedup.ppjoinPairs(docs(s, dir), "doc_id", "text", 3, 3, 10)),
+    "d_ppjoin_capped" -> ((s, dir) => {
+      // the DEPLOYMENT path of d_ppjoin, now oracle-gated end to end: the
+      // hot-prefix-key cap is derived from the corpus itself by the EXACT
+      // rank-based calibration (value at ascending rank ⌈0.99·k⌉ of the
+      // prefix-key frequency distribution, ×4 headroom, floor 16 —
+      // derivePrefixDfCapExact; the approx_percentile variant stays for
+      // callers that don't need cross-engine replay), then keys hotter
+      // than the cap are excluded from candidate generation. The sf1
+      // scaling runs are WHY this is first-class: uncapped d_ppjoin's
+      // verification join was the one superlinear member of the heavy
+      // families (7.9 s → 128 s at 10× corpus), and the cap is the
+      // documented completeness trade that bounds it.
+      val d = docs(s, dir)
+      val cap = TextDedup.derivePrefixDfCapExact(d, "doc_id", "text", 3, 3, 10)
+      TextDedup.ppjoinPairs(d, "doc_id", "text", 3, 3, 10, maxPrefixDf = cap)
+    }),
     "d_containment" -> ((s, dir) =>
       // asymmetric containment >= 7/10 (Broder SEQUENCES'97): catches
       // snippets/quotes swallowed by larger docs that Jaccard's union
@@ -1200,6 +1216,40 @@ object TextOps {
                  WHERE rn <= n - ((3 * n + 9) // 10) + 1),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         p AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
+               FROM cand
+               JOIN sh a ON a.doc_id = cand.doc_a
+               JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
+                round(CAST(inter_cnt AS DOUBLE)/(sa.n + sb.n - inter_cnt), 6) AS jaccard
+         FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+         WHERE inter_cnt * 10 >= (sa.n + sb.n - inter_cnt) * 3""",
+    "d_ppjoin_capped" ->
+      // the d_ppjoin replay with the exact rank-derived cap: the value at
+      // ascending rank ceil(0.99·k) of the prefix-key frequency table
+      // (total order (f, sh)), ×4, floored at 16; keys above it leave the
+      // candidate join. Both engines derive the identical integer cap.
+      s"""WITH $shingleSql,
+         dfreq AS (SELECT sh, count(*) AS df_cnt FROM sh GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pre AS (SELECT doc_id, sh FROM (
+                   SELECT s.doc_id, s.sh,
+                          row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df_cnt, s.sh) AS rn,
+                          z.n
+                   FROM sh s JOIN dfreq d USING (sh) JOIN sz z USING (doc_id))
+                 WHERE rn <= n - ((3 * n + 9) // 10) + 1),
+         pfreq AS (SELECT sh, count(*) AS pf FROM pre GROUP BY 1),
+         kq AS (SELECT count(*) AS k FROM pfreq),
+         qv AS (SELECT max(pf) AS q FROM (
+                  SELECT pf FROM pfreq ORDER BY pf ASC, sh ASC
+                  LIMIT (SELECT CAST(ceil(0.99 * k) AS BIGINT) FROM kq))),
+         cap AS (SELECT greatest(16, least(q * 4, 2147483647)) AS c FROM qv),
+         keep AS (SELECT p.doc_id, p.sh FROM pre p JOIN pfreq USING (sh), cap
+                  WHERE pf <= c),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM keep a JOIN keep b ON a.sh = b.sh AND a.doc_id < b.doc_id),
          p AS (SELECT doc_a, doc_b, count(*) AS inter_cnt
                FROM cand
                JOIN sh a ON a.doc_id = cand.doc_a

@@ -16,6 +16,7 @@ Usage: python3 tools/check_oracle.py <sf_dir> <out_dir> [query ...]
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -64,7 +65,11 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a single file (driver testdata) or a directory of
+        # part files (gen_scale.py's multi-file scale-up corpora)
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

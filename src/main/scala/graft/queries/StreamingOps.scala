@@ -254,6 +254,28 @@ object StreamingOps {
           sum(when(col("error_id").isNull, 1L).otherwise(0L)).as("n_click_only"),
           sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_error_only"))
     }),
+    "s_stream_right_outer" -> ((s, dir) => {
+      // RIGHT-OUTER stream-stream join — the remaining outer direction
+      // Spark supports (s_stream_outer = left, s_stream_full_outer =
+      // both): unmatched ERRORS emit a null-click row exactly once when
+      // the joint watermark proves no click's window can still claim
+      // them; matched rows emit as in the inner join. Same sentinel
+      // machinery; drained append output equals the batch RIGHT JOIN.
+      val (path, schema) =
+        EventsStream.stageEventsChunkedReplayFull(s, dir, nChunks = 4)
+      val clicks = EventsStream.readStagedReplay(s, path, schema)
+        .filter(col("event_type") === "click")
+      val errors = EventsStream.readStagedReplay(s, path, schema)
+        .filter(col("event_type") === "error")
+      val joined = EventsStream.clickErrorJoin(clicks, errors,
+        windowSec = 600L, joinType = "right_outer")
+      EventsStream.runToMemory(s, joined, "s_stream_right_outer_sink", "append")
+        .filter(col("user_id") >= 0) // drop the watermark-driver sentinels
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_error_only"))
+    }),
     "s_session_hourly" -> ((s, dir) => {
       // CHAINED stateful operators (Spark 3.4+ multi-stateful support):
       // session-window aggregation feeding a tumbling-window rollup in ONE
@@ -533,6 +555,29 @@ object StreamingOps {
                   AS BIGINT) AS n_matched,
                 CAST(sum(CASE WHEN error_id IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_click_only,
+                CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_error_only
+         FROM j GROUP BY user_id""",
+    "s_stream_right_outer" ->
+      // over a bounded, fully-flushed input the streaming right-outer
+      // equals the batch RIGHT JOIN with the same key + time-range
+      // condition; the replay drops null user_id/ts rows, mirrored here
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+                    FROM events
+                    WHERE event_type = 'click' AND user_id IS NOT NULL
+                      AND ts IS NOT NULL),
+         e AS (SELECT user_id AS e_user_id, event_id AS error_id,
+                      epoch_us(ts) AS eus
+               FROM events
+               WHERE event_type = 'error' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL),
+         j AS (SELECT coalesce(c.user_id, e.e_user_id) AS user_id,
+                      c.click_id, e.error_id
+               FROM c RIGHT JOIN e ON c.user_id = e.e_user_id
+                 AND e.eus >= c.cus AND e.eus <= c.cus + 600000000)
+         SELECT user_id, count(*) AS n_rows,
+                CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
                 CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_error_only
          FROM j GROUP BY user_id""",

@@ -588,6 +588,32 @@ object TextOps {
     }),
     "d_exact" -> ((s, dir) =>
       TextDedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    "d_line_dedup" -> ((s, dir) => {
+      // LINE-level boilerplate dedup (the CCNet/RefinedWeb pre-filter):
+      // web corpora carry nav bars / cookie banners / footers repeated
+      // verbatim across millions of pages, removed by hashing LINES and
+      // dropping those whose cross-document frequency clears a threshold.
+      // The corpus texts carry no newlines, so the segmentation step is
+      // explicit: a line = 8 consecutive tokens (fixed chunking, trailing
+      // partial kept). Per doc: line count, boilerplate-line count (lines
+      // appearing in >= 2 DISTINCT docs), ratio. Plan: chunking fuses into
+      // the scan (one generator), line-frequency is a map-side-combinable
+      // agg on the line key, the flag joins back on the same key — two
+      // bucketed shuffles, each ~tokens/8 rows, never corpus².
+      val lines = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), expr(
+          """explode(transform(sequence(0, (size(t)+7) div 8 - 1),
+                     i -> array_join(slice(t, i*8+1, 8), ' ')))""").as("line"))
+      val lf = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+      lines.join(lf, "line")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("line_df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          round(col("n_boiler").cast("double") / col("n_lines"), 6))
+    }),
     "d_ngram_jaccard" -> ((s, dir) =>
       // threshold 3/10 = Jaccard >= 0.3 over distinct word 3-grams; the
       // stop-shingle cap (df <= 1000) is mirrored in the oracle's candidate
@@ -1123,6 +1149,20 @@ object TextOps {
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "d_line_dedup" ->
+      // same fixed 8-token chunking ((len+7)//8 lines, inclusive-slice
+      // semantics match Spark's slice(t, i*8+1, 8)), same df >= 2 rule
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         lines AS (
+           SELECT doc_id, unnest(list_transform(range(0, (len(t)+7)//8),
+                    i -> array_to_string(t[i*8+1:i*8+8], ' '))) AS line
+           FROM toks),
+         lf AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                round(CAST(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS boiler_ratio
+         FROM lines JOIN lf USING (line) GROUP BY doc_id""",
     "t_lm_quality" ->
       // p's decimal dividend (c12+1.0) promotes to double exactly, so the
       // division is the same IEEE op as the engine's; DECIMAL(28,16)

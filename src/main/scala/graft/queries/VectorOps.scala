@@ -48,6 +48,28 @@ object VectorOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10)),
+    "v_knn_mrl" -> ((s, dir) => {
+      // Matryoshka-truncation retrieval (Kusupati et al., NeurIPS'22): MRL
+      // embeddings pack a usable sub-embedding in their PREFIX, so serving
+      // retrieves on the first d' dims (here 16 of 64 — 4× less scan I/O
+      // and dot-product work, the same lever as int8 but on the dimension
+      // axis) and evaluates against the full-dim answer. Output: the
+      // truncated top-10 with a membership flag against the full-dim
+      // top-10 — recall@10 IS sum(in_full_top10)/10, and the flag per row
+      // hash-gates the entire candidate set, not just the count. Both
+      // rankings order by the unrounded decimal-exact cosine (knnBrute),
+      // so the k-boundary is engine-independent.
+      val e = emb(s, dir)
+      val mrl = Similarity.knnBrute(
+          e.withColumn("embedding", slice(col("embedding"), 1, 16)),
+          "vec_id", "embedding", queryId = 0L, k = 10)
+        .withColumnRenamed("cosine", "cosine_mrl")
+      val full = Similarity.knnBrute(e, "vec_id", "embedding",
+        queryId = 0L, k = 10).select("vec_id")
+      mrl.join(full.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cosine_mrl"),
+          coalesce(col("hit"), lit(0L)).as("in_full_top10"))
+    }),
     "v_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10, nBits = 4)),
     "v_neardup" -> ((s, dir) =>
@@ -978,6 +1000,31 @@ object VectorOps {
          SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
          FROM d, qn WHERE vec_id <> 0
          ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10""",
+    "v_knn_mrl" ->
+      // two brute-force replays — one over embedding[1:16], one full-dim —
+      // joined for the membership flag; both rank by the unrounded cosine
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ut AS (SELECT vec_id, unnest(embedding[1:16]) AS x, unnest(q.qe[1:16]) AS y
+                FROM embeddings, q),
+         dt AS (SELECT vec_id,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS norm2
+                FROM ut GROUP BY 1),
+         qt AS (SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qnorm2
+                FROM (SELECT unnest(qe[1:16]) AS x FROM q)),
+         mrl AS (SELECT vec_id,
+                   round(dot/greatest(sqrt(norm2)*sqrt(qt.qnorm2), 1e-12), 6) AS cosine_mrl
+                 FROM dt, qt WHERE vec_id <> 0
+                 ORDER BY dot/greatest(sqrt(norm2)*sqrt(qt.qnorm2), 1e-12) DESC,
+                          vec_id ASC LIMIT 10),
+         ${accumSql("embeddings")},
+         fullk AS (SELECT vec_id FROM d, qn WHERE vec_id <> 0
+                   ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC,
+                            vec_id ASC LIMIT 10)
+         SELECT m.vec_id, m.cosine_mrl,
+                CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS in_full_top10
+         FROM mrl m LEFT JOIN fullk f USING (vec_id)""",
     "v_knn_lsh" ->
       s"""WITH blocked AS (
            SELECT vec_id, embedding,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 import graft.Tables
 import graft.functions.TextFunctions
@@ -21,6 +21,35 @@ object TextOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+
+  /** Maximal duplicated token spans (Lee et al. exact-substring dedup at
+    * window length 8): positional windows, global occurrence >= 2,
+    * overlapping duplicated windows merged by gaps-and-islands. Shared by
+    * d_dup_span_extract (the report) and d_dedup_cut (the applied cut). */
+  private def dupSpans(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = d
+      .select(col("doc_id"), posexplode(
+        TextFunctions.ngrams(TextFunctions.tokens(col("text")), 8)))
+      .toDF("doc_id", "pos", "g")
+    val freq = wins.groupBy("g").agg(count(lit(1)).as("occ"))
+    val dup = wins.join(freq.filter(col("occ") >= 2), "g")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + 7)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("ni",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + 7).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -588,6 +617,52 @@ object TextOps {
     }),
     "d_exact" -> ((s, dir) =>
       TextDedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    "d_dup_span_extract" -> ((s, dir) => {
+      // the REMOVAL step of exact-substring dedup (Lee et al. ACL'22):
+      // t_dup_spans reports how duplicated a doc is; this op emits WHICH
+      // token ranges to cut — every maximal span covered by duplicated
+      // 8-token windows. Positional (not distinct) windows, so in-doc
+      // repetition counts like cross-doc (occ >= 2 over the whole
+      // corpus); overlapping duplicated windows merge into maximal spans
+      // by gaps-and-islands (a window at pos p covers [p, p+7]; a new
+      // island starts when pos exceeds the running max end). Plan:
+      // window fan-out fuses into the scan, occurrence count is a
+      // map-side-combinable agg on the gram key, the island pass sorts
+      // only the DUPLICATED positions per doc — never the corpus.
+      dupSpans(docs(s, dir))
+    }),
+    "d_dedup_cut" -> ((s, dir) => {
+      // ...and the CUT itself, hash-gated end to end: every token inside
+      // a duplicated span is removed and the md5 of the re-joined
+      // remainder is the gate — so window detection, island merge, range
+      // anti join, and order-preserving reassembly must ALL agree with
+      // the oracle to the byte. Fully-duplicated docs survive as
+      // (0 tokens, md5('')). The anti join has an equality key (doc_id)
+      // with the range as a residual predicate — per-doc buckets, never
+      // a cartesian; reassembly sorts WITHIN a doc's kept tokens only
+      // (array_sort of (pos, tok) structs — pos is unique, so the order
+      // is total and engine-independent).
+      val d = docs(s, dir)
+      val spans = dupSpans(d)
+      val toks = d.select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+        .withColumn("pos", col("pos").cast(LongType))
+      val kept = toks.as("t").join(spans.as("sp"),
+        col("t.doc_id") === col("sp.doc_id")
+          && col("t.pos") >= col("sp.span_start")
+          && col("t.pos") <= col("sp.span_end"), "left_anti")
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("cleaned_hash"))
+      d.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+          coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
+    }),
     "d_line_dedup" -> ((s, dir) => {
       // LINE-level boilerplate dedup (the CCNet/RefinedWeb pre-filter):
       // web corpora carry nav bars / cookie banners / footers repeated
@@ -1149,6 +1224,77 @@ object TextOps {
     "d_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    "d_dup_span_extract" ->
+      // positional 8-token windows (1-based i → 0-based pos), global
+      // occ >= 2, then the same gaps-and-islands merge (running max end,
+      // new island when pos > prev_end)
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         w AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM t WHERE len(toks) >= 8),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM w),
+         f AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+         d AS (SELECT doc_id, pos FROM g JOIN f USING (gram) WHERE occ >= 2),
+         m AS (SELECT doc_id, pos,
+                 max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM d),
+         fl AS (SELECT doc_id, pos,
+                  CASE WHEN prev_end IS NULL OR pos > prev_end
+                       THEN 1 ELSE 0 END AS ni
+                FROM m),
+         gr AS (SELECT doc_id, pos,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM fl)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                count(*) AS n_windows
+         FROM gr GROUP BY doc_id, island""",
+    "d_dedup_cut" ->
+      // the span replay (identical CTE chain) + positional token table,
+      // NOT EXISTS range anti join, order-preserving string_agg, md5 gate;
+      // fully-cut docs surface as (0, md5(''))
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         w AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+               FROM t WHERE len(toks) >= 8),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                      array_to_string(toks[i:i+7], ' ') AS gram
+               FROM w),
+         f AS (SELECT gram, count(*) AS occ FROM g GROUP BY 1),
+         d AS (SELECT doc_id, pos FROM g JOIN f USING (gram) WHERE occ >= 2),
+         m AS (SELECT doc_id, pos,
+                 max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM d),
+         fl AS (SELECT doc_id, pos,
+                  CASE WHEN prev_end IS NULL OR pos > prev_end
+                       THEN 1 ELSE 0 END AS ni
+                FROM m),
+         gr AS (SELECT doc_id, pos,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM fl),
+         spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                          CAST(max(pos) + 7 AS BIGINT) AS span_end
+                   FROM gr GROUP BY doc_id, island),
+         tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+                 FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks))) AS i
+                       FROM t)),
+         kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+                  WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.pos BETWEEN s.span_start AND s.span_end)),
+         agg AS (SELECT doc_id, count(*) AS n_tokens_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
+                 FROM kept GROUP BY 1)
+         SELECT dd.doc_id,
+                CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+                COALESCE(a.cleaned_hash, md5('')) AS cleaned_hash
+         FROM documents dd LEFT JOIN agg a USING (doc_id)""",
     "d_line_dedup" ->
       // same fixed 8-token chunking ((len+7)//8 lines, inclusive-slice
       // semantics match Spark's slice(t, i*8+1, 8)), same df >= 2 rule

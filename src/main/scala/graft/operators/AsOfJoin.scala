@@ -32,8 +32,9 @@ object AsOfJoin {
       case TimestampType => unix_micros(c)
       case LongType | IntegerType | ShortType | ByteType => c.cast("long")
       case other => throw new IllegalArgumentException(
-        s"asofJoin: time columns must be TIMESTAMP or integral " +
-          s"epoch-micros, got $other")
+        s"asofJoin: toleranceUs bounds and nearest-direction gaps need " +
+          s"time columns on a microsecond number line — TIMESTAMP or " +
+          s"integral epoch-micros, got $other")
     }
   }
 

@@ -69,7 +69,7 @@ object Plans {
         "must never broadcast) and intersects per pair in one codegen'd " +
         "array_intersect, NOT the exploded formulation that shuffle-sorts " +
         "sum(n_a+n_b) rows (measured 850M rows and a 16-at-10x step at " +
-        "the 500k-doc run; the rewrite is 4.0x at 10x — sf0.1 5.5 s, " +
+        "the 50k-doc sf1 run; the rewrite is 4.0x at 10x — sf0.1 5.5 s, " +
         "sf1 21.8 s quiet medians). The repeated shingle subtree below " +
         "AdaptiveSparkPlan is one exchange at runtime (ReusedExchange on " +
         "the doc_id repartition barrier)."),

@@ -211,7 +211,7 @@ object TextDedup {
     // intersects the two arrays in one codegen'd expression per pair —
     // NOT the exploded (doc, shingle) form: that formulation shuffles and
     // sort-aggregates Σ(n_a+n_b) rows over all candidates (measured 850M
-    // rows at the 500k-doc scale run, 16× the sf0.1 wall time at 10× the
+    // rows at the 50k-doc sf1 run, 16× the sf0.1 wall time at 10× the
     // data once the sort spills), where this one moves only |cand| rows
     // whose array payloads the hash-relation build reads in place —
     // per-pair work identical, the quadratic-prone shuffle+sort gone

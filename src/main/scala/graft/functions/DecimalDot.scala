@@ -142,4 +142,44 @@ object DecMath {
       else new JBigDecimal(big, 16)
     java.lang.Double.valueOf(exact.doubleValue())
   }
+
+  /** [[decDotBoxed]] against a plain double[] side (a driver-collected
+    * centroid) — identical per-term rounding, accumulation, and poisoning
+    * semantics, so a caller substituting a collected centroid for the
+    * broadcast column gets the bit-identical dot. */
+  def decDotMixed(a: ArrayData, aFloat: Boolean,
+                  c: Array[Double]): java.lang.Double = {
+    val n = a.numElements()
+    if (c.length != n) return null
+    var i = 0
+    var acc = 0L
+    var big: BigInteger = null
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val p = x * c(i)
+      if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) return null
+      val t = JBigDecimal.valueOf(p).setScale(16, RoundingMode.HALF_UP)
+      val u = t.unscaledValue()
+      if (u.abs.compareTo(DecMath.limit28) >= 0)
+        throw new ArithmeticException(
+          s"dec_dot: term $p cannot be represented as DECIMAL(28,16)")
+      if (big == null) {
+        if (u.bitLength() < 63) {
+          val ul = u.longValue()
+          val sum = acc + ul
+          if (((acc ^ sum) & (ul ^ sum)) < 0L)
+            big = BigInteger.valueOf(acc).add(BigInteger.valueOf(ul))
+          else acc = sum
+        } else big = BigInteger.valueOf(acc).add(u)
+      } else big = big.add(u)
+      if (big != null && big.abs.compareTo(DecMath.limit28) >= 0)
+        throw new ArithmeticException(
+          "dec_dot: running sum exceeds DECIMAL(28,16)")
+      i += 1
+    }
+    val exact = if (big == null) new JBigDecimal(BigInteger.valueOf(acc), 16)
+      else new JBigDecimal(big, 16)
+    java.lang.Double.valueOf(exact.doubleValue())
+  }
 }

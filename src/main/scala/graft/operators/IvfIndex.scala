@@ -80,31 +80,34 @@ object IvfIndex {
     * v_knn_ivf_append gate proves it under the oracle hash). */
   def assignSampledWith(corpus: DataFrame, seedSrc: DataFrame, idCol: String,
                         vecCol: String, nCells: Int): DataFrame = {
-    val nSeeds = seedSrc.filter(col(idCol) < nCells).count()
-    require(nSeeds == nCells, s"need ids 0..${nCells - 1} as seeds, found $nSeeds")
-    // seed norms ride the broadcast (one decimal dot per CELL, not per pair)
-    val seedDf = seedSrc.filter(col(idCol) < nCells)
+    // BOUNDED driver materialization: exactly nCells centroid rows (the
+    // same class as the k-means movement scalar) — the index's trained
+    // parameters, not corpus data. cn2 is collected from the SAME
+    // decNorm2 expression the former broadcast carried, so the per-cell
+    // norm doubles are bit-identical.
+    val seedRows = seedSrc.filter(col(idCol) < nCells)
       .select(col(idCol).cast("int").as("cell"), col(vecCol).as("ce"),
         Similarity.decNorm2(col(vecCol)).as("cn2"))
-    // per (vector, centroid) pair ONE exact decimal dot; the vector's own
-    // norm is hoisted to one dot per ROW (cosineFromParts recomposes the
-    // identical cosine value — same doubles, same argmax, same hashes as
-    // the former per-pair cosineCols at a third of the decimal work).
-    // Argmax via max(struct(c, -cell)) → smallest cell wins ties, exactly
-    // the oracle's tie-break. first(vec) carries the payload through the
-    // aggregate (all rows of a group hold the identical vector) so no
-    // join-back is needed.
+      .orderBy("cell").collect()
+    require(seedRows.length == nCells &&
+      seedRows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"need ids 0..${nCells - 1} as seeds, found ${seedRows.length}")
+    val cents: Array[Array[Double]] = seedRows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val cn2s: Array[Double] = seedRows.map(_.getDouble(2))
+    // assignment is now ONE per-row codegen'd expression (double
+    // prefilter + decimal rerank, provably the same argmax — see
+    // AssignCellExpr): the corpus is scanned once and NOTHING shuffles;
+    // the former corpus × broadcast(seeds) explosion (N×k rows through a
+    // shuffled max(struct) agg) no longer exists. Same (idCol, vecCol,
+    // cell) output, same doubles, same ties, same hashes.
+    import org.apache.spark.sql.GraftPlanBridge
     corpus.select(col(idCol), col(vecCol),
-        Similarity.decNorm2(col(vecCol)).as("vn2"))
-      .crossJoin(broadcast(seedDf))
-      .groupBy(col(idCol))
-      .agg(
-        max(struct(
-          Similarity.cosineFromParts(Similarity.decDot(col(vecCol), col("ce")),
-            col("vn2"), col("cn2")).as("c"),
-          (-col("cell")).as("nc"))).as("m"),
-        first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col(vecCol), (-col("m.nc")).cast("int").as("cell"))
+      GraftPlanBridge.exprColumn(graft.functions.AssignCellExpr(
+        GraftPlanBridge.columnExpr(col(vecCol)), cents, cn2s, 1e-6))
+        .cast("int").as("cell"))
   }
 
   /** Persisted-index lifecycle: load the sampled-centroid assignment from a

@@ -32,17 +32,23 @@ object VectorOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         st => st.getField("m")).as("ce"))
       .withColumn("cn2", Similarity.decNorm2(col("ce")))
-    e.withColumn("vn2", Similarity.decNorm2(col("embedding")))
-      .crossJoin(broadcast(centArr))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-          Similarity.cosineFromParts(
-            Similarity.decDot(col("embedding"), col("ce")),
-            col("vn2"), col("cn2")).as("c"),
-          (-col("cell")).as("nc"))).as("mx"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"),
-        (-col("mx.nc")).cast("int").as("cell"))
+    // BOUNDED driver materialization: k centroid rows (the model being
+    // trained, not corpus data — the Lloyd loops already take a driver
+    // action per round). cn2 collected from the same decNorm2 expression
+    // the former broadcast carried → identical doubles, and the per-row
+    // AssignCellExpr projection replaces the corpus × broadcast(k)
+    // explosion + shuffled argmax (same values, ties, hashes — see
+    // AssignCellSpec).
+    val rows = centArr.orderBy("cell").collect()
+    require(rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"assignToCentroids: cells must be contiguous 0..${rows.length - 1}")
+    val cents: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+    val cn2s: Array[Double] = rows.map(_.getDouble(2))
+    import org.apache.spark.sql.GraftPlanBridge
+    e.select(col("vec_id"), col("embedding"),
+      GraftPlanBridge.exprColumn(graft.functions.AssignCellExpr(
+        GraftPlanBridge.columnExpr(col("embedding")), cents, cn2s, 1e-6))
+        .cast("int").as("cell"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

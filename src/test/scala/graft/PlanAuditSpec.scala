@@ -37,21 +37,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tpch_q11", // 1-row nation-total (value, part-count) aggregate broadcast
     "q_kmv_overlap", // event-type dim broadcast (~8 rows) into sketch pairs
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
-    "v_knn_refine", // 1-row rank-50-score aggregate broadcast (the margined
+    "v_knn_refine") // 1-row rank-50-score aggregate broadcast (the margined
     // stage boundary: every candidate within 1e-9 of the 50th coarse score)
-    "v_knn_ivf", "v_knn_ivfpq", // corpus x broadcast(nCells=16 seeds)
-    "v_knn_ivf_append", // base + appended batch, each x broadcast(16 seeds)
-    "v_kmeans", // same assignSampled corpus x broadcast(16 seeds) shape
-    // (v_semdedup / v_prototypicality run the same assignSampled argmax,
-    // but behind an eager localCheckpoint — their audited final plans are
-    // checkpoint scans + key-equality joins, the g_kcore situation)
-    "v_knn_ivf_trained") // corpus x broadcast(16 TRAINED centroid rows) —
-    // the training rounds checkpoint away, but the final assignment's
-    // argmax (the v_knn_ivf shape, trained centroids instead of seeds)
-    // is in the serving plan
-    // (v_kmeans_iter's per-round broadcast argmax runs inside eager
-    // localCheckpoints — its audited final plan is a checkpoint scan +
-    // projection, the g_kcore situation)
+    // -- the assignSampled family (v_knn_ivf, v_knn_ivfpq, v_kmeans,
+    // v_knn_ivf_append, v_knn_ivf_trained) left this list in round 9: the
+    // corpus x broadcast(seeds) argmax became the per-row AssignCellExpr
+    // projection, so their plans no longer contain ANY nested-loop join.
+    // (v_kmeans_iter's per-round work runs inside eager localCheckpoints —
+    // its audited final plan is a checkpoint scan + projection.)
 
   test("no declared query plans a cartesian or an unsanctioned nested loop") {
     val audited = SparkEntry.queries.toSeq.sortBy(_._1)

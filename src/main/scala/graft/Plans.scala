@@ -86,12 +86,12 @@ object Plans {
         "as ceil(sqrt(N)) from a count the engine and oracle both " +
         "compute — the in-cell quadratic becomes sum(n_c²) ≈ N^1.5 " +
         "instead of N²/k with k fixed; cells are the bucketing column at " +
-        "scale; centroids broadcast; measured 2.8× wall at 10× corpus " +
-        "(DESIGN.md sf1 table)."),
+        "scale; assignment is the per-row AssignCellExpr projection " +
+        "(quiet sf0.1 6.0→1.0 s, sf1 19.4→2.0 s after the swap)."),
       "v_knn_ivf_append" -> ("100× plan: index maintenance without a " +
         "rebuild — the arriving batch assigns against the EXISTING " +
-        "broadcast centroids (one batch-sized argmax, the d_incremental " +
-        "pattern for ANN), unions with the persisted assignment, and the " +
+        "centroids (one batch-sized AssignCellExpr projection, the " +
+        "d_incremental pattern for ANN), unions with the persisted assignment, and the " +
         "probe is proven ≡ rebuild-then-probe under the rebuild's own " +
         "oracle hash (per-row-independent assignment makes the identity " +
         "exact, not approximate)."),
@@ -118,12 +118,14 @@ object Plans {
         "PERSISTENT band-key index — a key-equality join sized by the " +
         "batch, never batch×corpus; the corpus-side index is loaded, not " +
         "recomputed, so incremental admission cost tracks batch size."),
-      "v_knn_ivf" -> ("100× plan: assignment = corpus × broadcast(nCells " +
-        "seed rows) with map-side-combined max(struct(cos,-cell)) — the " +
-        "exchange carries ONE row per vector, not corpus×nCells; probe = " +
-        "an nCells-row sort broadcast into a key-equality join. At write " +
-        "time `cell` is the bucketing column: a probe scans nprobe/nCells " +
-        "of the corpus and Catalyst prunes the rest. Bench ann_split " +
+      "v_knn_ivf" -> ("100× plan: assignment is ONE per-row codegen'd " +
+        "expression (AssignCellExpr: double prefilter within a 1e-6 " +
+        "margin, decimal rerank of survivors — provably the same argmax) " +
+        "over a bounded k-row centroid collect; the former corpus × " +
+        "broadcast(seeds) explosion and its shuffled argmax no longer " +
+        "exist, so assignment is a projection fused into the scan. At " +
+        "write time `cell` is the bucketing column: a probe scans " +
+        "nprobe/nCells of the corpus and Catalyst prunes the rest. Bench ann_split " +
         "separates this rebuild from the steady-state probe."),
       "v_knn_ivfpq" -> ("100× plan: IVF prunes WHICH vectors are scored " +
         "(broadcast probe cells), PQ compresses HOW (m-byte codes + " +
@@ -181,12 +183,13 @@ object Plans {
         "survivors broadcast into the orders/customer joins — lineitem is " +
         "scanned once, never re-scanned per order."),
       "v_kmeans" -> ("100× plan: the Lloyd half-step as relational ops — " +
-        "assignment is v_knn_ivf's sanctioned corpus × broadcast(16 seeds) " +
-        "argmax (map-side combined, exchange carries one row per vector); " +
-        "the update is a (cell, dim)-keyed partial agg whose OUTPUT is k·d " +
-        "rows. Iterating feeds that k·d frame back as the next broadcast: " +
-        "one shuffle per round, Lloyd's communication lower bound. Bench " +
-        "5.09 s is the decimal-exact oracle contract, like v_knn_ivf's."),
+        "assignment is the per-row AssignCellExpr projection (double " +
+        "prefilter + decimal rerank over a bounded k-row centroid " +
+        "collect, no shuffle at all); the update is a (cell, dim)-keyed " +
+        "partial agg whose OUTPUT is k·d rows, which feed the next " +
+        "round's collect: one shuffle per round, Lloyd's communication " +
+        "lower bound. Quiet sf0.1 med 0.58 s (was 5.09 at round 6, 2.3 " +
+        "after norm hoisting)."),
       "q_kmv_overlap" -> ("100× plan: ONE pass over events builds the " +
         "per-type 128-minima synopses (window top-k after a distinct " +
         "rollup); every later stage — type-pair expansion, union rank, " +

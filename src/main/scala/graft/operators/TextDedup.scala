@@ -164,8 +164,23 @@ object TextDedup {
                              n: Int, thresholdNum: Int, thresholdDen: Int,
                              quantile: Double = 0.99, factor: Int = 4,
                              floor: Int = 16): Int = {
-    val freq = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
-      .groupBy("sh").agg(count(lit(1)).as("f"))
+    derivePrefixDfCapExactFrom(
+      ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen),
+      quantile, factor, floor)
+  }
+
+  /** [[derivePrefixDfCapExact]] from an already-built (doc_id, sh) prefix
+    * frame — the shared-materialization entry point: d_ppjoin_capped
+    * checkpoints ONE prefix frame and both the calibration (two driver
+    * actions over k distinct-key rows) and the candidate join read it,
+    * instead of re-running the shingle→window→prefix pipeline three
+    * times. */
+  def derivePrefixDfCapExactFrom(prefix: DataFrame, quantile: Double = 0.99,
+                                 factor: Int = 4, floor: Int = 16): Int = {
+    // eager checkpoint: the calibration takes TWO actions (k, then the
+    // rank-⌈q·k⌉ value); the frequency frame is k rows, never corpus-sized
+    val freq = prefix.groupBy("sh").agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
     val k = freq.count()
     if (k == 0) return floor
     val idx = math.ceil(quantile * k).toInt
@@ -190,9 +205,11 @@ object TextDedup {
     *   bound + the surviving-pair behavior). */
   def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, thresholdNum: Int, thresholdDen: Int,
-                  maxPrefixDf: Int = Int.MaxValue): DataFrame = {
+                  maxPrefixDf: Int = Int.MaxValue,
+                  prefixOverride: Option[DataFrame] = None): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n).repartition(col("doc_id"))
-    val prefixAll = ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen)
+    val prefixAll = prefixOverride.getOrElse(
+      ppjoinPrefix(docs, idCol, textCol, n, thresholdNum, thresholdDen))
     val prefix =
       if (maxPrefixDf == Int.MaxValue) prefixAll
       else {

@@ -714,9 +714,16 @@ object TextOps {
       // verification join was the one superlinear member of the heavy
       // families (7.9 s → 128 s at 10× corpus), and the cap is the
       // documented completeness trade that bounds it.
+      // ONE checkpointed prefix frame feeds both the calibration and the
+      // candidate join — the shingle→window→prefix pipeline runs once,
+      // so the capped query costs ~the uncapped one plus two k-row
+      // driver actions (was: three full prefix pipelines)
       val d = docs(s, dir)
-      val cap = TextDedup.derivePrefixDfCapExact(d, "doc_id", "text", 3, 3, 10)
-      TextDedup.ppjoinPairs(d, "doc_id", "text", 3, 3, 10, maxPrefixDf = cap)
+      val prefix = TextDedup.ppjoinPrefix(d, "doc_id", "text", 3, 3, 10)
+        .localCheckpoint(true)
+      val cap = TextDedup.derivePrefixDfCapExactFrom(prefix)
+      TextDedup.ppjoinPairs(d, "doc_id", "text", 3, 3, 10,
+        maxPrefixDf = cap, prefixOverride = Some(prefix))
     }),
     "d_containment" -> ((s, dir) =>
       // asymmetric containment >= 7/10 (Broder SEQUENCES'97): catches

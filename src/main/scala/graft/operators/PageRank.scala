@@ -77,8 +77,15 @@ object PageRank {
     * through decimal), so both engines compute the identical stopping
     * round. Per round the driver receives ONE scalar (the movement max —
     * a node-cardinality join collapsed to one row); everything row-shaped
-    * stays distributed, and ranks are localCheckpointed every round
-    * because each frame is consumed twice (movement probe + next round). */
+    * stays distributed.
+    *
+    * The movement probe rides IN the assignment frame: the new ranks are
+    * joined from the PREVIOUS ranks frame (same node set — the symmetrized
+    * graph's node set is round-invariant), so `prev` is carried as a column
+    * and the probe is a scan of the just-checkpointed frame instead of a
+    * second node-sized join + job per round. The checkpoint is LAZY: the
+    * movement aggregate is the action that materializes it, so each round
+    * runs exactly one job. */
   def runConverged(edges: DataFrame, srcCol: String, dstCol: String,
                    maxIters: Int, relEps: Double,
                    damping: Double = 0.85): (DataFrame, Int) = {
@@ -87,7 +94,7 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val out = e.join(deg, "src").localCheckpoint()
     val nodes = out.select(col("src").as("node"))
-      .union(out.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(out.select(col("dst").as("node"))).distinct()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank")).localCheckpoint()
     var r = 0
     var stopped = false
@@ -98,19 +105,66 @@ object PageRank {
         .groupBy(col("dst").as("node"))
         .agg(sum((col("rank") / col("deg"))
           .cast(DecimalType(28, 18))).as("in_sum"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      // prev ranks hold every node (round-invariant node set), so the left
+      // join against contrib both produces the new rank AND carries the
+      // previous one for the movement probe — no separate join.
+      val next = ranks.select(col("node"), col("rank").as("pr"))
+        .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) *
-            coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+            coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank"),
+          col("pr"))
+        .localCheckpoint(false)
       // prev rank >= the teleport floor (1-d) > 0 — the divide is safe
-      val move = next.select(col("node"), col("rank").as("nr"))
-        .join(ranks.select(col("node"), col("rank").as("pr")), "node")
-        .agg(max(abs(col("nr") - col("pr")) / col("pr")))
+      val move = next
+        .agg(max(abs(col("rank") - col("pr")) / col("pr")))
         .first().getDouble(0)
       if (move < relEps) stopped = true
-      ranks = next
+      ranks = next.select("node", "rank")
     }
     (ranks, r)
+  }
+
+  /** PERSONALIZED PageRank (Haveliwala, WWW'02; the random-walk-with-restart
+    * form): the teleport mass lands on a SEED SET instead of uniformly —
+    * rank' = (1-d)·e(v) + d·Σ rank(in)/deg(in) with e(v) ∈ {0,1} the seed
+    * indicator, rank0 = e. The result is the restart-biased visit rate a
+    * training-data pipeline uses to expand a trusted-source whitelist into
+    * a crawl/sampling frontier ("sources similar to these").
+    *
+    * `seeds` is a 1-column frame of seed node ids — joined, never collected
+    * (the seed set can be millions of rows at 100 TB). Same decimal-exact
+    * contribution contract as [[run]]; e(v) is exactly 0.0/1.0 so the outer
+    * chain (1-d)*e + d*double(in_sum) is a fixed IEEE sequence. Non-seed
+    * nodes start at 0 and acquire mass only through in-edges, so ranks are
+    * walk-proximity to the seed set. Cost: identical to [[run]] — one
+    * edge-sized join + one aggregation per round. */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: DataFrame, iters: Int,
+                      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val out = e.join(deg, "src").localCheckpoint()
+    val sd = seeds.toDF("node").withColumn("e", lit(1.0))
+    val nodes = out.select(col("src").as("node"))
+      .union(out.select(col("dst").as("node"))).distinct()
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("e"), lit(0.0)).as("e"))
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), col("e").as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = out
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("rank") / col("deg"))
+          .cast(DecimalType(28, 18))).as("in_sum"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("e") + lit(damping) *
+            coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank"))
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
   }
 }

@@ -15,11 +15,15 @@ import graft.operators.PageRank
   * scores for source weighting, and PageRank is the canonical shape of every
   * such fixpoint computation (one join + one aggregation per round).
   *
-  * Determinism contract: node ids are strings ('s'+suppkey / 'p'+partkey, so
-  * the two key spaces cannot collide), the graph is symmetrized (every node
-  * has out-degree >= 1 — no dangling mass), per-round contribution sums
-  * accumulate in DECIMAL(28,18) (order-independent), and the oracle unrolls
-  * the identical three iterations as chained CTEs.
+  * Determinism contract: node ids are fixed-width LONGS for every family
+  * that shuffles edges per round (the longEdges encoding s<k> → 2k,
+  * p<k> → 2k+1 — bijective, the two key spaces cannot collide; the string
+  * 's'+k / 'p'+k encoding survives only in the one-pass profile queries
+  * g_degree_dist / g_assortativity where the key never re-shuffles), the
+  * graph is symmetrized (every node has out-degree >= 1 — no dangling
+  * mass), per-round contribution sums accumulate in DECIMAL(28,18)
+  * (order-independent), and the oracle unrolls the identical iterations
+  * as chained CTEs.
   */
 object GraphOps {
 
@@ -30,6 +34,10 @@ object GraphOps {
       .select((col("l_suppkey") * 2).as("src"),
               (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
+    // NOT checkpointed here: PageRank.run/runConverged checkpoint their
+    // degree-annotated copy, so a checkpoint here would double-materialize
+    // for that family; multi-consumer callers (g_lpa, g_modularity)
+    // checkpoint at the call site (the g_kcore/g_bfs `sym` lesson).
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -64,7 +72,12 @@ object GraphOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pagerank" -> ((s, dir) =>
-      PageRank.run(edges(s, dir), "src", "dst", iters = 3)
+      // LONG node ids (the longEdges encoding — s<k> → 2k, p<k> → 2k+1,
+      // bijective): PageRank shuffles its edge table every round, and
+      // fixed-width longs cut the shuffled key bytes ~3× vs the 's123'
+      // strings this family used through round 9 (the g_lpa "fixed-width
+      // messages" rationale, finally applied to its own ancestor)
+      PageRank.run(longEdges(s, dir), "src", "dst", iters = 3)
         .select(col("node"), round(col("rank"), 6).as("rank"))),
     "g_pagerank_conv" -> ((s, dir) => {
       // convergence-terminated PageRank (the v_kmeans_conv idiom on the
@@ -77,10 +90,71 @@ object GraphOps {
       // deliberately coarse: it is the max over ALL nodes (including
       // teleport-floor leaves with large relative swings), and the point
       // is the deterministic data-driven termination MECHANISM.
-      val (ranks, stopR) = PageRank.runConverged(edges(s, dir), "src", "dst",
+      val (ranks, stopR) = PageRank.runConverged(longEdges(s, dir), "src", "dst",
         maxIters = 6, relEps = 2.0)
       ranks.select(col("node"), round(col("rank"), 6).as("rank"),
         lit(stopR).as("stop_round"))
+    }),
+    "g_ppr" -> ((s, dir) => {
+      // personalized PageRank (random walk with restart, Haveliwala WWW'02)
+      // from a trusted seed set — every 10th supplier node. The teleport
+      // mass restarts AT THE SEEDS, so ranks measure walk-proximity to the
+      // trusted set: the "expand a source whitelist" primitive of corpus
+      // curation (seed domains → similar domains), where g_pagerank is the
+      // global-authority variant. Seeds stay a joined DataFrame (never a
+      // collected list — at 100 TB the whitelist is itself large); per
+      // round the cost is identical to g_pagerank (one edge join + one
+      // decimal-exact aggregation), and the oracle unrolls the same three
+      // rounds with the seed indicator riding the nodes CTE.
+      // long ids: seed test s<k>, k%10==0 ⇔ node % 20 == 0 (node = 2k)
+      val e = longEdges(s, dir)
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(col("node") % 20 === 0)
+      PageRank.runPersonalized(e, "src", "dst", seeds, iters = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
+    "g_hits" -> ((s, dir) => {
+      // HITS (Kleinberg, JACM'99) on the DIRECTED bipartite supplier→part
+      // graph: authority(p) = Σ hub(s) over in-edges, hub(s) = Σ auth(p)
+      // over out-edges, max-normalized each half-round, 2 full rounds.
+      // Hubs rank suppliers by how much authoritative inventory they
+      // carry; authorities rank parts by how hub-heavy their suppliers
+      // are — the query/document duality every link-based source-quality
+      // scorer reuses. Determinism: each half-round is a decimal-exact
+      // sum of bit-identical doubles, and the max-normalizer is an
+      // order-independent decimal MAX riding a window over the ALREADY-
+      // AGGREGATED node frame (the g_modularity m2 idiom — node-sized,
+      // never edge-sized, no driver scalar). Per half-round: one
+      // edge-sized key-equality join + one map-side-combined aggregation —
+      // the PageRank communication bound.
+      val e = Tables.load(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct().localCheckpoint()
+      val wAll = Window.partitionBy()
+      var hub = e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(1.0))
+      var auth: DataFrame = hub // placeholder; set in round 1
+      for (_ <- 1 to 2) {
+        val ad = e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("h").cast(DecimalType(28, 18))).as("adec"))
+        auth = ad.select(col("node"),
+            (col("adec").cast("double") /
+              max(col("adec")).over(wAll).cast("double")).as("a"))
+          .localCheckpoint()
+        val hd = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("a").cast(DecimalType(28, 18))).as("hdec"))
+        hub = hd.select(col("node"),
+            (col("hdec").cast("double") /
+              max(col("hdec")).over(wAll).cast("double")).as("h"))
+          .localCheckpoint()
+      }
+      hub.select(col("node"), lit("hub").as("kind"),
+          round(col("h"), 6).as("score"))
+        .union(auth.select(col("node"), lit("authority").as("kind"),
+          round(col("a"), 6).as("score")))
     }),
     "g_lpa" -> ((s, dir) => {
       // label propagation communities (Raghavan et al. 2007), SYNCHRONOUS
@@ -99,7 +173,7 @@ object GraphOps {
       // two key spaces cannot collide) so the per-round argmax is the
       // max(struct(cnt, -label)) two-stage HASH aggregate (map-side
       // combined, no per-node sort) instead of a row_number window.
-      lpaLabels(longEdges(s, dir), rounds = 3)
+      lpaLabels(longEdges(s, dir).localCheckpoint(), rounds = 3)
     }),
     "g_modularity" -> ((s, dir) => {
       // modularity (Newman 2004) of the g_lpa partition — the
@@ -115,7 +189,7 @@ object GraphOps {
       // no 1-row broadcast appears. At 100 TB: LPA's edge-bound rounds +
       // two edge-sized label joins + community-sized arithmetic.
       import org.apache.spark.sql.expressions.Window
-      val e = longEdges(s, dir)
+      val e = longEdges(s, dir).localCheckpoint()
       val labels = lpaLabels(e, rounds = 3)
       val withSrc = e.join(labels.withColumnRenamed("node", "src")
         .withColumnRenamed("label", "lsrc"), "src")
@@ -351,6 +425,15 @@ object GraphOps {
                  UNION ALL
                  SELECT dst AS src, src AS dst FROM e0)"""
 
+  /** The longEdges encoding (s<k> → 2k, p<k> → 2k+1) for the PageRank
+    * family — mirrors the engine's fixed-width long node ids. */
+  private val edgesSqlLong =
+    """e0 AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+              FROM lineitem),
+       edges AS (SELECT src, dst FROM e0
+                 UNION ALL
+                 SELECT dst AS src, src AS dst FROM e0)"""
+
   /** One damped-update CTE round: rank' = (1-0.85) + 0.85 * Σ rank_in/deg_in,
     * decimal-exact inner sum, double outer arithmetic — identical to the
     * engine's [[PageRank]] iteration. The teleport term is spelled
@@ -521,7 +604,7 @@ object GraphOps {
                 round(CAST(sum(term) AS DOUBLE), 6) AS modularity
          FROM u""",
     "g_pagerank" ->
-      s"""WITH $edgesSql,
+      s"""WITH $edgesSqlLong,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
          outd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
          nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -538,7 +621,7 @@ object GraphOps {
       // exponentially (the g_kcore lesson). The movement is IEEE
       // subtract/abs/divide over bit-identical doubles, so the stopping
       // decision cannot diverge between engines.
-      s"""WITH $edgesSql,
+      s"""WITH $edgesSqlLong,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
          outd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
          nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -558,6 +641,59 @@ object GraphOps {
          SELECT node, round(rank, 6) AS rank,
                 (SELECT rs FROM stop) AS stop_round
          FROM allr WHERE r = (SELECT rs FROM stop)""",
+    "g_ppr" ->
+      // the g_pagerank round chain with the seed-indicator teleport:
+      // (1-d)*e + d*in_sum, e ∈ {0.0, 1.0} exactly, r0 = e — every double
+      // operand identical to the engine's, three unrolled rounds
+      s"""WITH $edgesSqlLong,
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         outd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         nodes AS (SELECT node,
+                     CASE WHEN node % 20 = 0
+                          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+                     END AS e
+                   FROM (SELECT DISTINCT src AS node FROM edges)),
+         r0 AS (SELECT node, e AS rank FROM nodes),
+         ${(1 to 3).map { r =>
+           val p = if (r == 1) "r0" else s"i${r - 1}"
+           s"""i$r AS (SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.e +
+               CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.in_sum, 0) AS DOUBLE)
+               AS rank
+           FROM nodes n LEFT JOIN (
+             SELECT o.dst AS node,
+                    sum(CAST(r.rank / o.deg AS DECIMAL(28,18))) AS in_sum
+             FROM outd o JOIN $p r ON o.src = r.node GROUP BY 1) s
+             USING (node))"""
+         }.mkString(",\n         ")}
+         SELECT node, round(rank, 6) AS rank FROM i3""",
+    "g_hits" ->
+      // two unrolled authority/hub half-round pairs: decimal-exact sums of
+      // bit-identical doubles, max-normalized via a window over the
+      // aggregated node frame — the identical IEEE divide per node
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                             l_partkey * 2 + 1 AS dst
+                      FROM lineitem),
+         h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h FROM e0),
+         ${(1 to 2).map { r =>
+           s"""a${r}d AS (SELECT e.dst AS node,
+                    sum(CAST(h.h AS DECIMAL(28,18))) AS adec
+             FROM e0 e JOIN h${r - 1} h ON e.src = h.node GROUP BY 1),
+         a$r AS (SELECT node,
+                    CAST(adec AS DOUBLE) / CAST(max(adec) OVER () AS DOUBLE)
+                      AS a
+                 FROM a${r}d),
+         h${r}d AS (SELECT e.src AS node,
+                    sum(CAST(a.a AS DECIMAL(28,18))) AS hdec
+             FROM e0 e JOIN a$r a ON e.dst = a.node GROUP BY 1),
+         h$r AS (SELECT node,
+                    CAST(hdec AS DOUBLE) / CAST(max(hdec) OVER () AS DOUBLE)
+                      AS h
+                 FROM h${r}d)"""
+         }.mkString(",\n         ")}
+         SELECT node, 'hub' AS kind, round(h, 6) AS score FROM h2
+         UNION ALL
+         SELECT node, 'authority' AS kind, round(a, 6) AS score FROM a2""",
     "g_degree_dist" ->
       s"""WITH $edgesSql,
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)

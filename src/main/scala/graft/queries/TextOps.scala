@@ -331,6 +331,50 @@ object TextOps {
           round(col("share"), 6).as("share"),
           floor(col("share") * 100000.0).cast("long").as("target_docs"))
     }),
+    "t_dsir" -> ((s, dir) => {
+      // DSIR-style data selection via importance resampling (Xie et al.,
+      // NeurIPS'23 — public recipe): score every raw-corpus doc by how
+      // much more likely its HASHED-NGRAM features are under a target
+      // domain (here lang='en', the trusted distribution) than under the
+      // raw corpus, then select. Features are md5-hashed unigrams into 256
+      // buckets (the paper's hashed feature trick — fixed model size at
+      // any corpus scale). Determinism substitution, recorded: the paper
+      // scores by Σ c_f·log(p_t/p_r); libm log is not bit-identical across
+      // engines (the t_lm_quality lesson), so the score is the LINEAR
+      // contrast Σ c_f·(p_t(f) − p_r(f)) with add-one smoothing — same
+      // per-feature selection direction, and it collapses to
+      // A/(Tt+256) − B/(Tr+256) with A = Σ_tokens (ct_f+1),
+      // B = Σ_tokens (cr_f+1) PURE-INTEGER per-doc sums: the whole score
+      // is two IEEE divisions + one subtract over exact ints. Plan: the
+      // 256-bucket model is built by two map-side-combined aggs and joins
+      // back BROADCAST (the model, not data); per-doc sums absorb
+      // map-side; selection is the per-row sign test (score > 0 ⇔ doc is
+      // more target-like than raw-like) — shuffle-free, no global sort;
+      // a quota cut at scale composes the score with TopKPerKey.
+      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("f", pmod(
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(256L)))
+      val raw = toks.groupBy("f").agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy("f").agg(count(lit(1)).as("ct"))
+      val stats = raw.join(tgt, Seq("f"), "left")
+        .select(col("f"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+      val tot = stats.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      toks.join(broadcast(stats), "f")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("ct") + lit(1L)).as("a_sum"),
+          sum(col("cr") + lit(1L)).as("b_sum"))
+        .crossJoin(broadcast(tot))
+        .withColumn("score",
+          col("a_sum").cast("double") / (col("tt") + lit(256L)).cast("double")
+            - col("b_sum").cast("double") / (col("tr") + lit(256L)).cast("double"))
+        .select(col("doc_id"), col("n_tok"), col("a_sum"), col("b_sum"),
+          round(col("score"), 9).as("score"),
+          (col("score") > 0).cast("int").as("selected"))
+    }),
     "t_weighted_sample" -> ((s, dir) => {
       // deterministic IMPORTANCE sampling: keep probability proportional to
       // a per-doc quality weight (token count capped at 1.0), decided by
@@ -1078,6 +1122,35 @@ object TextOps {
          SELECT source, n_docs, n_tokens, round(share, 6) AS share,
                 CAST(floor(share * 100000.0) AS BIGINT) AS target_docs
          FROM sh""",
+    "t_dsir" ->
+      // identical hashed-bucket model: md5-unigram → 256 buckets, add-one
+      // smoothed target/raw counts, the pure-integer per-doc sums, and the
+      // same two-division IEEE score chain
+      """WITH tok AS (SELECT doc_id, lang,
+                unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS MATERIALIZED (SELECT doc_id, lang,
+                ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS f
+              FROM tok),
+         raw AS (SELECT f, count(*) AS cr FROM tf GROUP BY 1),
+         tgt AS (SELECT f, count(*) AS ct FROM tf WHERE lang = 'en' GROUP BY 1),
+         st AS MATERIALIZED (
+           SELECT r.f, COALESCE(t.ct, 0) AS ct, r.cr
+           FROM raw r LEFT JOIN tgt t USING (f)),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM st),
+         doc AS (SELECT d.doc_id,
+                        CAST(count(*) AS BIGINT) AS n_tok,
+                        CAST(sum(s.ct + 1) AS BIGINT) AS a_sum,
+                        CAST(sum(s.cr + 1) AS BIGINT) AS b_sum
+                 FROM tf d JOIN st s USING (f) GROUP BY 1),
+         sc AS (SELECT doc_id, n_tok, a_sum, b_sum,
+                       CAST(a_sum AS DOUBLE) / CAST(tt + 256 AS DOUBLE)
+                         - CAST(b_sum AS DOUBLE) / CAST(tr + 256 AS DOUBLE)
+                         AS score
+                FROM doc, tot)
+         SELECT doc_id, n_tok, a_sum, b_sum, round(score, 9) AS score,
+                CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER)
+                  AS selected
+         FROM sc""",
     "t_weighted_sample" ->
       """WITH t AS (SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

@@ -76,6 +76,133 @@ object VectorOps {
         .select(col("vec_id"), col("cosine_mrl"),
           coalesce(col("hit"), lit(0L)).as("in_full_top10"))
     }),
+    "v_pca" -> ((s, dir) => {
+      // top principal component by POWER ITERATION (Golub & Van Loan;
+      // the PCA/whitening primitive an embedding pipeline runs before
+      // indexing — decorrelate once, then every downstream dot product is
+      // better-conditioned). Three stages, all hash-gated end to end:
+      // (1) per-dimension means — one map-side-combined agg; the d-row
+      //     mean vector is a MODEL-sized driver collect (the centroid
+      //     class) so centering fuses into the scan as an array literal;
+      // (2) the centered Gram/covariance matrix C = Σ (x−m)(x−m)ᵀ as ONE
+      //     generator pass: a nested-lambda outer product explodes d²
+      //     decimal products per row and partial aggregation absorbs them
+      //     map-side — the only shuffle carries tasks·d² partials, never
+      //     N·d² (the classic tree-aggregate shape, spelled relationally);
+      // (3) 4 unrolled power-iteration rounds on the d²-row C frame:
+      //     w = C·v (decimal-exact matvec), inf-norm normalize (the max
+      //     rides a window over the d-row frame — no driver scalar); the
+      //     normalizer converges to the dominant eigenvalue and ships as
+      //     the eigval column. Determinism: means are decimal-sum/count
+      //     doubles, centered products cast to DECIMAL(28,16) before
+      //     summing (order-independent), each round's normalize is one
+      //     IEEE divide of identical doubles — the oracle replays the
+      //     identical unrolled chain.
+      val e = emb(s, dir)
+      val ex = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"),
+          col("x").cast("double").as("x"))
+      val meanRows = ex.groupBy("i")
+        .agg(sum(col("x").cast(DecimalType(28, 16))).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("i"),
+          (col("sx").cast("double") / col("n").cast("double")).as("m"))
+        .orderBy("i").collect() // BOUNDED: d rows — the model, not data
+      val means: Array[Double] = meanRows.map(_.getDouble(1))
+      require(meanRows.zipWithIndex.forall { case (r, k) => r.getInt(0) == k + 1 },
+        "v_pca: dimensions must be contiguous 1..d")
+      val cov = e.withColumn("m_arr", typedLit(means.toSeq))
+        .select(explode(expr(
+          """flatten(transform(embedding, (xi, di) ->
+               transform(embedding, (xj, dj) ->
+                 named_struct('i', di + 1, 'j', dj + 1,
+                   'p', CAST((CAST(xi AS DOUBLE) - element_at(m_arr, di + 1))
+                           * (CAST(xj AS DOUBLE) - element_at(m_arr, dj + 1))
+                         AS DECIMAL(28,16))))))""")).as("t"))
+        .select(col("t.i"), col("t.j"), col("t.p"))
+        .groupBy("i", "j")
+        .agg(sum(col("p")).cast("double").as("c"))
+        .localCheckpoint()
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      var v = cov.select(col("i").as("j")).distinct()
+        .select(col("j"), lit(1.0).as("v"), lit(0.0).as("nrm"))
+      for (_ <- 1 to 4) {
+        val w = cov.join(v.select(col("j"), col("v")), "j")
+          .groupBy("i")
+          .agg(sum((col("c") * col("v"))
+            .cast(DecimalType(28, 16))).cast("double").as("w"))
+        v = w.select(col("i").as("j"),
+            (col("w") / max(abs(col("w"))).over(wAll)).as("v"),
+            max(abs(col("w"))).over(wAll).as("nrm"))
+          .localCheckpoint()
+      }
+      v.select(col("j").as("i"), round(col("v"), 9).as("loading"),
+        round(col("nrm"), 6).as("eigval"))
+    }),
+    "v_mmr" -> ((s, dir) => {
+      // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+      // SIGIR'98): greedily pick 8 results that trade query relevance
+      // against redundancy with what's already picked — score(d) =
+      // λ·cos(q,d) − λ·max_{s∈S} cos(d,s), λ = 0.5. THE diversity pass a
+      // retrieval-augmented pipeline runs after ANN: near-duplicate hits
+      // waste context tokens, so the marginal pick is worth more than the
+      // raw top-k. Stage 1 (retrieval) is the corpus-sized work and reuses
+      // the exact top-N contract (unrounded decimal cosine, vec_id
+      // tie-break) — at scale it IS the IVF/PQ path; everything after is
+      // bounded by SERVING constants (N=20 candidates, k=8 picks): the
+      // N×N pair-cosine matrix computes distributedly off hoisted norms,
+      // and the greedy loop takes k 1-row driver actions (the Lloyd
+      // scalar class — the loop is inherently sequential, its state is
+      // k ids, never data). Determinism: rel/sim are decimal-exact-cosine
+      // doubles, the score is a fixed IEEE chain (step 1's empty-set
+      // redundancy term is literally 0.0), max over ≤8 doubles is
+      // order-independent, ties break on vec_id — the oracle unrolls the
+      // identical 8 greedy steps.
+      val e = emb(s, dir)
+      val qv: Seq[Float] = e.filter(col("vec_id") === 0L)
+        .select("embedding").take(1).head.getSeq[Float](0)
+      val cand = e.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosineToQuery(col("embedding"), qv).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(20)
+        .localCheckpoint()
+      val pa = cand.select(col("vec_id").as("ka"), col("embedding").as("va"),
+        Similarity.decNorm2(col("embedding")).as("na2"))
+      val pb = cand.select(col("vec_id").as("kb"), col("embedding").as("vb"),
+        Similarity.decNorm2(col("embedding")).as("nb2"))
+      // 20-row × 20-row inequality join — bounded by the serving constant
+      // N², never corpus-shaped (sanctioned in PlanAuditSpec)
+      val psim = pa.join(pb, col("ka") =!= col("kb"))
+        .select(col("ka"), col("kb"),
+          Similarity.cosineFromParts(
+            Similarity.decDot(col("va"), col("vb")),
+            col("na2"), col("nb2")).as("sim"))
+        .localCheckpoint()
+      var picks = Vector.empty[(Int, Long, Double, Double)]
+      for (step <- 1 to 8) {
+        val selIds = picks.map(_._2)
+        val scored =
+          if (selIds.isEmpty) cand.select(col("vec_id"), col("rel"),
+            (lit(0.5) * col("rel") - lit(0.5) * lit(0.0)).as("sc"))
+          else cand.join(
+              psim.filter(col("kb").isin(selIds: _*))
+                .groupBy(col("ka").as("vec_id"))
+                .agg(max(col("sim")).as("ms")),
+              Seq("vec_id"))
+            .filter(!col("vec_id").isin(selIds: _*))
+            .select(col("vec_id"), col("rel"),
+              (lit(0.5) * col("rel") - lit(0.5) * col("ms")).as("sc"))
+        val r = scored.orderBy(col("sc").desc, col("vec_id").asc).take(1).head
+        picks :+= ((step, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      }
+      import s.implicits._
+      picks.toDF("step", "vec_id", "relevance", "mmr_score")
+        .select(col("step"), col("vec_id"),
+          round(col("relevance"), 6).as("relevance"),
+          round(col("mmr_score"), 6).as("mmr_score"))
+    }),
     "v_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10, nBits = 4)),
     "v_neardup" -> ((s, dir) =>
@@ -1031,6 +1158,90 @@ object VectorOps {
                 CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
                   AS in_full_top10
          FROM mrl m LEFT JOIN fullk f USING (vec_id)""",
+    "v_pca" ->
+      // the identical three stages unrolled: decimal-exact per-dimension
+      // means, the centered Gram matrix via a vec_id self-join (the oracle
+      // spells N·d² relationally where the engine uses one generator —
+      // same decimal terms, same sums), then 4 matvec+inf-norm rounds
+      s"""WITH ex0 AS (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings),
+         ex AS MATERIALIZED (SELECT vec_id, i,
+                CAST(embedding[i] AS DOUBLE) AS x FROM ex0),
+         mn AS MATERIALIZED (
+           SELECT i, CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+           FROM ex GROUP BY 1),
+         cx AS MATERIALIZED (
+           SELECT e.vec_id, e.i, e.x - m.m AS cx
+           FROM ex e JOIN mn m USING (i)),
+         cov AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j,
+                  CAST(sum(CAST(a.cx * b.cx AS DECIMAL(28,16))) AS DOUBLE)
+                    AS c
+           FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         v0 AS (SELECT DISTINCT i AS j, CAST(1.0 AS DOUBLE) AS v FROM cov),
+         ${(1 to 4).map { r =>
+           s"""w$r AS (SELECT c.i,
+                  CAST(sum(CAST(c.c * v.v AS DECIMAL(28,16))) AS DOUBLE) AS w
+                FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY 1),
+         v$r AS MATERIALIZED (
+           SELECT i AS j, w / max(abs(w)) OVER () AS v,
+                  max(abs(w)) OVER () AS nrm
+           FROM w$r)"""
+         }.mkString(",\n         ")}
+         SELECT j AS i, round(v, 9) AS loading, round(nrm, 6) AS eigval
+         FROM v4""",
+    "v_mmr" ->
+      // candidate top-20 by unrounded decimal cosine, the 20×19 pair-cosine
+      // matrix, then 8 unrolled greedy steps: each picks the remaining
+      // candidate maximizing 0.5·rel − 0.5·max-sim-to-selected (ties →
+      // smallest vec_id) — the identical IEEE chain per step
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ${accumSql("embeddings")},
+         cand AS MATERIALIZED (SELECT vec_id,
+                    dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) AS rel
+                  FROM d, qn WHERE vec_id <> 0
+                  ORDER BY rel DESC, vec_id ASC LIMIT 20),
+         ce AS MATERIALIZED (SELECT c.vec_id, c.rel, e.embedding
+                FROM cand c JOIN embeddings e USING (vec_id)),
+         pu AS MATERIALIZED (SELECT a.vec_id AS ka, b.vec_id AS kb,
+                       unnest(a.embedding) AS x, unnest(b.embedding) AS y
+                FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+         pd AS MATERIALIZED (SELECT ka, kb,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)
+                    AS DECIMAL(28,16))) AS DOUBLE) AS dot
+                FROM pu GROUP BY 1, 2),
+         cn AS MATERIALIZED (SELECT vec_id,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+                    AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM (SELECT vec_id, unnest(embedding) AS x FROM ce)
+                GROUP BY 1),
+         psim AS MATERIALIZED (SELECT pd.ka, pd.kb,
+                    pd.dot/greatest(sqrt(a.n2)*sqrt(b.n2), 1e-12) AS sim
+                  FROM pd JOIN cn a ON pd.ka = a.vec_id
+                          JOIN cn b ON pd.kb = b.vec_id),
+         p1 AS MATERIALIZED (SELECT c.vec_id, c.rel,
+                  CAST(0.5 AS DOUBLE)*c.rel
+                    - CAST(0.5 AS DOUBLE)*CAST(0.0 AS DOUBLE) AS sc
+                FROM cand c ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+         sel1 AS MATERIALIZED (SELECT vec_id FROM p1),
+         ${(2 to 8).map { i =>
+           s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.rel,
+                  CAST(0.5 AS DOUBLE)*c.rel - CAST(0.5 AS DOUBLE)*m.ms AS sc
+                FROM cand c JOIN (
+                  SELECT ka AS vec_id, max(sim) AS ms FROM psim
+                  WHERE kb IN (SELECT vec_id FROM sel${i - 1}) GROUP BY 1) m
+                  USING (vec_id)
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+                ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+         sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1}
+                   UNION ALL SELECT vec_id FROM p$i)"""
+         }.mkString(",\n         ")}
+         ${(1 to 8).map(i =>
+           s"""SELECT CAST($i AS INTEGER) AS step, vec_id,
+                round(rel, 6) AS relevance, round(sc, 6) AS mmr_score
+              FROM p$i""").mkString(" UNION ALL ")}""",
     "v_knn_lsh" ->
       s"""WITH blocked AS (
            SELECT vec_id, embedding,

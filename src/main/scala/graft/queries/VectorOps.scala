@@ -51,6 +51,57 @@ object VectorOps {
         .cast("int").as("cell"))
   }
 
+  /** Shared PCA chain (v_pca / v_abtt): per-dimension decimal-exact means
+    * (d-row MODEL collect — centering fuses into the scan as an array
+    * literal), the centered Gram matrix as ONE nested-lambda generator
+    * pass (partial aggregation absorbs the d² products map-side; the only
+    * shuffle carries tasks·d² partials, never N·d²), then 4 unrolled
+    * power-iteration rounds on the d²-row frame — decimal-exact matvec,
+    * inf-norm normalize via a window over the d-row frame (the normalizer
+    * converges to the dominant eigenvalue). Returns (means, v-frame with
+    * columns (j, v, nrm)). */
+  private def topComponent(e: DataFrame): (Array[Double], DataFrame) = {
+    val ex = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        col("x").cast("double").as("x"))
+    val meanRows = ex.groupBy("i")
+      .agg(sum(col("x").cast(DecimalType(28, 16))).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        (col("sx").cast("double") / col("n").cast("double")).as("m"))
+      .orderBy("i").collect() // BOUNDED: d rows — the model, not data
+    val means: Array[Double] = meanRows.map(_.getDouble(1))
+    require(meanRows.zipWithIndex.forall { case (r, k) => r.getInt(0) == k + 1 },
+      "topComponent: dimensions must be contiguous 1..d")
+    val cov = e.withColumn("m_arr", typedLit(means.toSeq))
+      .select(explode(expr(
+        """flatten(transform(embedding, (xi, di) ->
+             transform(embedding, (xj, dj) ->
+               named_struct('i', di + 1, 'j', dj + 1,
+                 'p', CAST((CAST(xi AS DOUBLE) - element_at(m_arr, di + 1))
+                         * (CAST(xj AS DOUBLE) - element_at(m_arr, dj + 1))
+                       AS DECIMAL(28,16))))))""")).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).cast("double").as("c"))
+      .localCheckpoint()
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    var v = cov.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(1.0).as("v"), lit(0.0).as("nrm"))
+    for (_ <- 1 to 4) {
+      val w = cov.join(v.select(col("j"), col("v")), "j")
+        .groupBy("i")
+        .agg(sum((col("c") * col("v"))
+          .cast(DecimalType(28, 16))).cast("double").as("w"))
+      v = w.select(col("i").as("j"),
+          (col("w") / max(abs(col("w"))).over(wAll)).as("v"),
+          max(abs(col("w"))).over(wAll).as("nrm"))
+        .localCheckpoint()
+    }
+    (means, v)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 10)),
@@ -98,47 +149,45 @@ object VectorOps {
       //     summing (order-independent), each round's normalize is one
       //     IEEE divide of identical doubles — the oracle replays the
       //     identical unrolled chain.
-      val e = emb(s, dir)
-      val ex = e.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"),
-          col("x").cast("double").as("x"))
-      val meanRows = ex.groupBy("i")
-        .agg(sum(col("x").cast(DecimalType(28, 16))).as("sx"),
-          count(lit(1)).as("n"))
-        .select(col("i"),
-          (col("sx").cast("double") / col("n").cast("double")).as("m"))
-        .orderBy("i").collect() // BOUNDED: d rows — the model, not data
-      val means: Array[Double] = meanRows.map(_.getDouble(1))
-      require(meanRows.zipWithIndex.forall { case (r, k) => r.getInt(0) == k + 1 },
-        "v_pca: dimensions must be contiguous 1..d")
-      val cov = e.withColumn("m_arr", typedLit(means.toSeq))
-        .select(explode(expr(
-          """flatten(transform(embedding, (xi, di) ->
-               transform(embedding, (xj, dj) ->
-                 named_struct('i', di + 1, 'j', dj + 1,
-                   'p', CAST((CAST(xi AS DOUBLE) - element_at(m_arr, di + 1))
-                           * (CAST(xj AS DOUBLE) - element_at(m_arr, dj + 1))
-                         AS DECIMAL(28,16))))))""")).as("t"))
-        .select(col("t.i"), col("t.j"), col("t.p"))
-        .groupBy("i", "j")
-        .agg(sum(col("p")).cast("double").as("c"))
-        .localCheckpoint()
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      var v = cov.select(col("i").as("j")).distinct()
-        .select(col("j"), lit(1.0).as("v"), lit(0.0).as("nrm"))
-      for (_ <- 1 to 4) {
-        val w = cov.join(v.select(col("j"), col("v")), "j")
-          .groupBy("i")
-          .agg(sum((col("c") * col("v"))
-            .cast(DecimalType(28, 16))).cast("double").as("w"))
-        v = w.select(col("i").as("j"),
-            (col("w") / max(abs(col("w"))).over(wAll)).as("v"),
-            max(abs(col("w"))).over(wAll).as("nrm"))
-          .localCheckpoint()
-      }
+      val (_, v) = topComponent(emb(s, dir))
       v.select(col("j").as("i"), round(col("v"), 9).as("loading"),
         round(col("nrm"), 6).as("eigval"))
+    }),
+    "v_abtt" -> ((s, dir) => {
+      // All-But-The-Top embedding post-processing (Mu & Viswanath,
+      // ICLR'18 — public recipe): embeddings share a large common mean +
+      // dominant direction that makes every cosine look alike; subtracting
+      // the mean and projecting out the top principal component restores
+      // isotropy and measurably improves retrieval. Reuses the v_pca
+      // chain for (means, component); both are MODEL-sized driver
+      // collects (d rows), so the per-vector projection — dot with the
+      // component, centered norm, residual norm² = n² − dot²/|v|² — fuses
+      // into the scan as array-literal lambdas: ONE corpus pass, zero
+      // shuffles after the component is trained. Per-row decimal folds
+      // equal the oracle's group sums exactly (decimal addition is
+      // associative-exact — the decDotHof/accumSql precedent).
+      val e = emb(s, dir)
+      val (means, vFrame) = topComponent(e)
+      val vRows = vFrame.orderBy("j").collect()
+      require(vRows.zipWithIndex.forall { case (r, k) => r.getInt(0) == k + 1 },
+        "v_abtt: dimensions must be contiguous 1..d")
+      val vArr: Array[Double] = vRows.map(_.getDouble(1))
+      def fold(term: String): String =
+        s"""CAST(aggregate(transform(embedding, (x, k) -> CAST($term
+             AS DECIMAL(28,16))), CAST(0 AS DECIMAL(28,16)),
+             (a, t) -> CAST(a + t AS DECIMAL(28,16))) AS DOUBLE)"""
+      e.withColumn("m_arr", typedLit(means.toSeq))
+        .withColumn("v_arr", typedLit(vArr.toSeq))
+        .withColumn("dot", expr(fold(
+          "(CAST(x AS DOUBLE) - element_at(m_arr, k+1)) * element_at(v_arr, k+1)")))
+        .withColumn("n2", expr(fold(
+          """(CAST(x AS DOUBLE) - element_at(m_arr, k+1))
+             * (CAST(x AS DOUBLE) - element_at(m_arr, k+1))""")))
+        .withColumn("vn2", expr(fold(
+          "element_at(v_arr, k+1) * element_at(v_arr, k+1)")))
+        .select(col("vec_id"), round(col("dot"), 6).as("top_component"),
+          round(col("n2") - col("dot") * col("dot") / col("vn2"), 6)
+            .as("residual_norm2"))
     }),
     "v_mmr" -> ((s, dir) => {
       // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
@@ -1192,6 +1241,49 @@ object VectorOps {
          }.mkString(",\n         ")}
          SELECT j AS i, round(v, 9) AS loading, round(nrm, 6) AS eigval
          FROM v4""",
+    "v_abtt" ->
+      // the v_pca chain replayed, then the per-vector projection: dot of
+      // the centered vector with the component, centered norm², and the
+      // residual n² − dot²/|v|² — decimal group sums equal the engine's
+      // per-row decimal folds exactly (associative-exact addition)
+      s"""WITH ex0 AS (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings),
+         ex AS MATERIALIZED (SELECT vec_id, i,
+                CAST(embedding[i] AS DOUBLE) AS x FROM ex0),
+         mn AS MATERIALIZED (
+           SELECT i, CAST(sum(CAST(x AS DECIMAL(28,16))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+           FROM ex GROUP BY 1),
+         cx AS MATERIALIZED (
+           SELECT e.vec_id, e.i, e.x - m.m AS cx
+           FROM ex e JOIN mn m USING (i)),
+         cov AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j,
+                  CAST(sum(CAST(a.cx * b.cx AS DECIMAL(28,16))) AS DOUBLE)
+                    AS c
+           FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         v0 AS (SELECT DISTINCT i AS j, CAST(1.0 AS DOUBLE) AS v FROM cov),
+         ${(1 to 4).map { r =>
+           s"""w$r AS (SELECT c.i,
+                  CAST(sum(CAST(c.c * v.v AS DECIMAL(28,16))) AS DOUBLE) AS w
+                FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY 1),
+         v$r AS MATERIALIZED (
+           SELECT i AS j, w / max(abs(w)) OVER () AS v,
+                  max(abs(w)) OVER () AS nrm
+           FROM w$r)"""
+         }.mkString(",\n         ")},
+         vd AS (SELECT c.vec_id,
+                  CAST(sum(CAST(c.cx * v.v AS DECIMAL(28,16))) AS DOUBLE)
+                    AS dot,
+                  CAST(sum(CAST(c.cx * c.cx AS DECIMAL(28,16))) AS DOUBLE)
+                    AS n2
+                FROM cx c JOIN v4 v ON c.i = v.j GROUP BY 1),
+         vn AS (SELECT CAST(sum(CAST(v * v AS DECIMAL(28,16))) AS DOUBLE)
+                  AS vn2 FROM v4)
+         SELECT vec_id, round(dot, 6) AS top_component,
+                round(n2 - dot*dot/vn2, 6) AS residual_norm2
+         FROM vd, vn""",
     "v_mmr" ->
       // candidate top-20 by unrounded decimal cosine, the 20×19 pair-cosine
       // matrix, then 8 unrolled greedy steps: each picks the remaining

@@ -116,6 +116,37 @@ object TextOps {
             when(col("n_tokens").between(20, 400), 1.0).otherwise(0.5), 6)
             .as("quality_score"))
     }),
+    "t_gopher_rules" -> ((s, dir) => {
+      // the Gopher quality-filter rule suite (Rae et al. 2021, §A1.1 —
+      // public recipe) as explicit per-rule flags + the conjunction:
+      // 50 ≤ word count ≤ 100k, 3 ≤ mean word length ≤ 10, ≥ 2 stopword
+      // hits. Shipping the FLAGS (not just the survivors) is the
+      // production shape: rule-level ablation/monitoring needs per-rule
+      // pass rates, and the conjunction is recomputable downstream. On
+      // this corpus the word-count and stopword rules differentiate
+      // (284/500 and 388/500 at sf0.01); mean-word-length is vacuously
+      // true here but is the published threshold and stays. All per-row
+      // integer/ratio arithmetic fused into the scan — the same
+      // one-pass-no-shuffle shape as t_quality; at 100 TB this is a
+      // pure map stage. Boundary determinism: mean_word_len is ONE IEEE
+      // division of exact ints, so the BETWEEN edges cannot diverge.
+      val toks = TextFunctions.tokens(col("text"))
+      docs(s, dir)
+        .withColumn("n_words", size(toks))
+        .withColumn("n_stop",
+          TextFunctions.markerCount(toks, Seq("the", "a", "of", "to", "and")))
+        .withColumn("mean_word_len",
+          length(regexp_replace(col("text"), lit(" "), lit("")))
+            .cast("double") / col("n_words"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"), col("n_stop"),
+          col("n_words").between(50, 100000).cast("int").as("r_word_count"),
+          col("mean_word_len").between(3.0, 10.0).cast("int").as("r_mean_len"),
+          (col("n_stop") >= 2).cast("int").as("r_stopwords"),
+          (col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("n_stop") >= 2).cast("int").as("keep"))
+    }),
     "t_langid" -> ((s, dir) => {
       withMarkerCounts(docs(s, dir)).select(
           col("doc_id"), col("lang"),
@@ -1122,6 +1153,31 @@ object TextOps {
          SELECT source, n_docs, n_tokens, round(share, 6) AS share,
                 CAST(floor(share * 100000.0) AS BIGINT) AS target_docs
          FROM sh""",
+    "t_gopher_rules" ->
+      // identical rule arithmetic: integer word/stopword counts, the
+      // single-division mean word length, BETWEEN on identical doubles
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_words,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+                   AS mwl,
+                 CAST(len(list_filter(toks,
+                   x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS INTEGER)
+                   AS n_stop
+               FROM t)
+         SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, n_stop,
+                CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                     THEN 1 ELSE 0 END AS INTEGER) AS r_word_count,
+                CAST(CASE WHEN mwl BETWEEN 3.0 AND 10.0
+                     THEN 1 ELSE 0 END AS INTEGER) AS r_mean_len,
+                CAST(CASE WHEN n_stop >= 2
+                     THEN 1 ELSE 0 END AS INTEGER) AS r_stopwords,
+                CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mwl BETWEEN 3.0 AND 10.0
+                          AND n_stop >= 2
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+         FROM c""",
     "t_dsir" ->
       // identical hashed-bucket model: md5-unigram → 256 buckets, add-one
       // smoothed target/raw counts, the pure-integer per-doc sums, and the

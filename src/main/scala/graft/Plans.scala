@@ -56,7 +56,12 @@ object Plans {
       // operators (capped PPJoin, scale-derived SemDeDup, incremental IVF
       // append, nearest as-of, AVI container, line dedup, MRL retrieval)
       "d_ppjoin_capped", "v_semdedup_scaled", "v_knn_ivf_append",
-      "q_asof_nearest", "m_avi_frames", "d_line_dedup", "v_knn_mrl")
+      "q_asof_nearest", "m_avi_frames", "d_line_dedup", "v_knn_mrl",
+      // round 10: the new operator families (personalized PageRank, HITS,
+      // PCA/ABTT, MMR re-ranking, DSIR selection, Gopher rules) and the
+      // re-keyed/probed-in-frame PageRank family
+      "g_ppr", "g_hits", "v_pca", "v_abtt", "v_mmr", "t_dsir",
+      "t_gopher_rules", "g_lpa", "g_modularity")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -114,6 +119,55 @@ object Plans {
         "axis twin of int8 quantization); the full-dim pass exists only " +
         "to grade recall, and both rankings are decimal-exact so the " +
         "flagged candidate set hash-gates."),
+      "g_ppr" -> ("100× plan: identical per-round communication to " +
+        "g_pagerank (one edge-sized key-equality join + one map-side-" +
+        "combined decimal aggregation); the seed set rides as a JOINED " +
+        "frame against the node table — never collected, so a million-" +
+        "domain whitelist costs one broadcast-able join, and the teleport " +
+        "indicator is a column, not driver state."),
+      "g_hits" -> ("100× plan: each half-round is one edge-sized join + " +
+        "one map-side-combined decimal aggregation (the PageRank bound); " +
+        "the max-normalizer is a window over the ALREADY-AGGREGATED " +
+        "node-sized frame — no driver scalar, no edge-sized window; the " +
+        "edge frame is checkpointed once and re-read by all 4 half-rounds."),
+      "v_pca" -> ("100× plan: the centered Gram matrix accumulates in ONE " +
+        "generator pass — the nested-lambda outer product explodes d² " +
+        "decimal terms per row INSIDE the scan stage and partial hash " +
+        "aggregation absorbs them map-side, so the only exchange carries " +
+        "tasks·d² partials (the treeAggregate shape spelled relationally); " +
+        "never N·d² rows. Power rounds run on the d²-row frame — " +
+        "constant-sized regardless of corpus scale; the d-row mean collect " +
+        "is the MODEL, not data."),
+      "v_abtt" -> ("100× plan: after the shared v_pca training, the " +
+        "per-vector projection (dot, centered norm, residual) is three " +
+        "array-literal lambda folds fused into ONE corpus scan — zero " +
+        "shuffles, zero joins; the means/component ride as literals " +
+        "(d doubles each), the same class as a broadcast dimension."),
+      "v_mmr" -> ("100× plan: stage 1 (exact top-N retrieval) is the only " +
+        "corpus-sized work and at scale swaps for the IVF/PQ probe path; " +
+        "everything after — the N×N pair-cosine matrix off hoisted norms " +
+        "and k greedy argmax picks — is bounded by SERVING constants " +
+        "(N=20, k=8), and each pick is a 1-row driver action over a " +
+        "checkpointed 20-row frame (the Lloyd scalar class)."),
+      "t_dsir" -> ("100× plan: the 256-bucket hashed model is two " +
+        "map-side-combined aggregations + a BROADCAST join back (the " +
+        "model, not data); per-doc integer sums absorb map-side; " +
+        "selection is a per-row sign test — no global sort, no window, " +
+        "no shuffle beyond the model build. A quota cut would compose " +
+        "the score with TopKPerKey."),
+      "t_gopher_rules" -> ("100× plan: pure map stage — every rule is " +
+        "scan-fused per-row integer/ratio arithmetic (one IEEE division), " +
+        "flags included; no exchange anywhere in the plan."),
+      "g_lpa" -> ("100× plan: per round one edge-sized join + two " +
+        "map-side-combined hash aggregates; the edge frame is " +
+        "checkpointed ONCE per query (round 10 — previously each round " +
+        "re-ran the scan+distinct; 5.2 → 3.7 s min at sf0.1) and labels " +
+        "checkpoint per round for O(1) lineage."),
+      "g_modularity" -> ("100× plan: LPA's edge-bound rounds + two " +
+        "edge-sized label joins + community-sized arithmetic; the edge " +
+        "frame checkpoint is shared by the rounds AND both label joins " +
+        "(7.4 → 4.0 s min at sf0.1); M2 rides a window over the " +
+        "aggregated per-community frame."),
       "d_incremental" -> ("100× plan: the arriving batch joins a " +
         "PERSISTENT band-key index — a key-equality join sized by the " +
         "batch, never batch×corpus; the corpus-side index is loaded, not " +

@@ -183,9 +183,21 @@ object TextDedup {
       .localCheckpoint(true)
     val k = freq.count()
     if (k == 0) return floor
-    val idx = math.ceil(quantile * k).toInt
-    val q = freq.orderBy(col("f").asc, col("sh").asc).limit(idx)
-      .agg(max(col("f"))).first().getLong(0)
+    val idx = math.ceil(quantile * k).toLong
+    // exact rank WITHOUT sorting the k-row frequency table: the value at
+    // rank ⌈q·k⌉ under (f asc, sh asc) is the smallest f whose cumulative
+    // key count reaches the rank — ties on f cannot change which f VALUE
+    // sits at the rank, so this equals the former orderBy.limit(idx)
+    // formulation (which funneled ~0.99·k rows through one TakeOrdered
+    // task) at the cost of one tiny groupBy(f) + a window over the
+    // distinct-df values (hundreds of rows, not k).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = freq.groupBy("f").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .filter(col("cum") >= idx)
+      .agg(min(col("f"))).first().getLong(0)
     math.max(floor.toLong, math.min(q * factor, Int.MaxValue.toLong)).toInt
   }
 

@@ -61,7 +61,10 @@ object Plans {
       // PCA/ABTT, MMR re-ranking, DSIR selection, Gopher rules) and the
       // re-keyed/probed-in-frame PageRank family
       "g_ppr", "g_hits", "v_pca", "v_abtt", "v_mmr", "t_dsir",
-      "t_gopher_rules", "g_lpa", "g_modularity")
+      "t_gopher_rules", "g_lpa", "g_modularity",
+      // round-10 second half: KMV neighborhood function, k-center coreset,
+      // CCNet perplexity buckets, the hashed linear classifier
+      "g_anf", "v_kcenter", "t_ccnet_bucket", "t_classifier_score")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -158,6 +161,40 @@ object Plans {
       "t_gopher_rules" -> ("100× plan: pure map stage — every rule is " +
         "scan-fused per-row integer/ratio arithmetic (one IEEE division), " +
         "flags included; no exchange anywhere in the plan."),
+      "t_classifier_score" -> ("100× plan: the entire classifier — token " +
+        "hash, bucket weight, integer sum, mean, sign test — is ONE " +
+        "scan-fused map stage (the weight is a pure function of the " +
+        "bucket, so even the 'weight table join' costs nothing); zero " +
+        "exchanges at any corpus size, which is exactly why hashed linear " +
+        "classifiers are the production quality filter at 100 TB."),
+      "t_ccnet_bucket" -> ("100× plan: the LM build is the t_ngram_lm " +
+        "shape (pair-keyed map-side-combined counts, 1-row vocab " +
+        "broadcast); scoring joins the bigram stream on pair equality " +
+        "(key-bucketed, never corpus²); the tercile is ONE window " +
+        "shuffled by predicted language over the per-doc aggregate — " +
+        "CCNet's own shape. At 100 TB the same bucket semantics comes " +
+        "from sampled quantile cuts (approx_percentile) instead of a " +
+        "full per-language sort; the exact ntile formulation is the " +
+        "hash-gated contract."),
+      "v_kcenter" -> ("100× plan: per pick, ONE corpus-pass projection " +
+        "(decimal-exact cosine against the newest center, greatest() " +
+        "fold into the coverage column) over a localCheckpoint — O(1) " +
+        "lineage, no join, no shuffle; the argmin pick is a 1-row " +
+        "TakeOrdered driver scalar (the Lloyd class: driver state is k " +
+        "ids, never data). k corpus passes is the greedy algorithm's " +
+        "communication lower bound; at 100 TB the pass runs against the " +
+        "IVF-bucketed corpus the same way."),
+      "g_anf" -> ("100× plan: per round, the sketch frame (≤ k rows per " +
+        "node, fixed-width long keys) joins the checkpointed edge table, " +
+        "the union dedups with map-side partial DISTINCT, and the " +
+        "per-node min-k runs through the bounded-heap TopKPerKey " +
+        "operator — the exchange carries at most partitions·nodes·k " +
+        "rows, and no per-node structure ever grows with degree. " +
+        "Sketches are mergeable state (k-min of unions — the " +
+        "q_kmv_reagg identity), so at 100 TB rounds shuffle k·|V| " +
+        "hashes against |E| edges: the ANF/HyperBall communication " +
+        "shape, with distinct-reach estimates no exact method can " +
+        "compute at all (a hub's 2-hop list is corpus-sized)."),
       "g_lpa" -> ("100× plan: per round one edge-sized join + two " +
         "map-side-combined hash aggregates; the edge frame is " +
         "checkpointed ONCE per query (round 10 — previously each round " +

@@ -414,6 +414,45 @@ object GraphOps {
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
       graft.operators.Triangles.census(e, "u", "v")
+    }),
+    "g_anf" -> ((s, dir) => {
+      // approximate neighborhood function (ANF, Palmer et al. KDD'02; the
+      // HyperBall/HyperANF shape, Boldi & Vigna WWW'11) — per-node
+      // estimated |ball(node, 2)| — with KMV sketches in place of HLL
+      // registers so the estimate is EXACTLY reproducible cross-engine
+      // (the q_kmv_distinct estimator, per node). This is the graph twin
+      // of the KMV family: distinct-reach at 100 TB is uncomputable
+      // exactly (the 2-hop neighbor LIST of a hub node is corpus-sized)
+      // but a k-hash synopsis per node is bounded state that merges with
+      // min-k — per round each node's sketch is the k smallest of its own
+      // ∪ in-neighbors' hashes. Plan per round: one edge⋈sketch join
+      // (fixed-width long keys, ≤ k hashes per node entering the
+      // shuffle), a distinct (map-side partial dedup), and the per-node
+      // min-k through the bounded-heap TopKPerKey operator — never a
+      // per-node list that grows with degree; O(1) lineage via
+      // localCheckpoint. est_reach = (k−1)/frac(kth hash), counts < k
+      // reported exactly — both engines derive the identical doubles.
+      val K = 16
+      val e = longEdges(s, dir).localCheckpoint()
+      var sk = e.select(col("src").as("node")).distinct()
+        .select(col("node"), md5(col("node").cast("string")).as("h"))
+      for (_ <- 1 to 2) {
+        val prop = e.join(sk, e("src") === sk("node"))
+          .select(e("dst").as("node"), col("h"))
+        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
+            sk.union(prop).distinct(), Seq("node"), Seq("h" -> true), K)
+          .localCheckpoint()
+      }
+      val w = Window.partitionBy("node").orderBy("h")
+      sk.withColumn("rn", row_number().over(w))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_hashes"),
+          max(when(col("rn") === K,
+            conv(substring(col("h"), 1, 12), 16, 10).cast("long"))).as("v"))
+        .select(col("node"), col("n_hashes"),
+          when(col("n_hashes") < K, col("n_hashes").cast("double"))
+            .otherwise(round(lit((K - 1).toDouble) / col("v")
+              * 281474976710656.0, 4)).as("est_reach"))
     })
   )
 
@@ -751,6 +790,35 @@ object GraphOps {
          SELECT (SELECT count(*) FROM e) AS n_edges,
                 w.n_wedges, tri.n_triangles,
                 round(3.0 * tri.n_triangles / w.n_wedges, 6) AS global_cc
-         FROM tri, w"""
+         FROM tri, w""",
+    "g_anf" ->
+      // two unrolled KMV-merge rounds: per round the k=16 smallest
+      // DISTINCT hashes of self ∪ in-neighbors (QUALIFY row_number
+      // replays the bounded-heap TopKPerKey cut with the identical
+      // (node, h) total order), then the q_kmv_distinct estimator —
+      // (k−1)/frac-of-kth via the first-12-hex-digit integer — per node
+      s"""WITH $edgesSqlLong,
+         s0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, md5(CAST(src AS VARCHAR)) AS h
+           FROM edges),
+         ${(1 to 2).map { r =>
+           s"""p$r AS (SELECT node, h FROM s${r - 1}
+                UNION ALL
+                SELECT e.dst AS node, s.h
+                FROM edges e JOIN s${r - 1} s ON s.node = e.src),
+         s$r AS MATERIALIZED (
+           SELECT node, h FROM (SELECT DISTINCT node, h FROM p$r)
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY h) <= 16)"""
+         }.mkString(",\n         ")},
+         r AS (SELECT node, h,
+                      row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+               FROM s2)
+         SELECT node, count(*) AS n_hashes,
+                CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+                     ELSE round((15.0 / max(CASE WHEN rn = 16
+                            THEN ('0x' || substr(h, 1, 12))::BIGINT END))
+                          * 281474976710656.0, 4)
+                END AS est_reach
+         FROM r GROUP BY node"""
   )
 }

@@ -946,7 +946,77 @@ object TextOps {
     "d_dedup_clusters" -> ((s, dir) =>
       clustersVia(s, dir, Components.connectedComponents(_, _, _))),
     "d_clusters_stars" -> ((s, dir) =>
-      clustersVia(s, dir, Components.connectedComponentsStars(_, _, _)))
+      clustersVia(s, dir, Components.connectedComponentsStars(_, _, _))),
+    "t_classifier_score" -> ((s, dir) => {
+      // hashed-linear quality classifier — the fastText-style scorer
+      // behind the published DCLM / FineWeb-Edu quality filters (public
+      // recipe SHAPE; the weights here are a deterministic md5-derived
+      // stand-in for learned ones): tokens hash into 64 buckets (first 6
+      // hex digits of md5), each bucket carries a signed integer weight
+      // in [-1000, 1000] derived from md5('w' || bucket). A real model
+      // would broadcast its k-row weight table; a pure-function weight
+      // fuses that "join" into the scan. Score = Σ_token w(bucket(token))
+      // — pure integers, so the per-doc sum is order-independent; the
+      // per-token mean is ONE IEEE division; keep is an integer sign
+      // test. The whole classifier is a map stage inside scan codegen:
+      // zero shuffles at any corpus size — exactly why linear classifiers
+      // are THE production quality filter at 100 TB.
+      val toks = TextFunctions.tokens(col("text"))
+      def bucket(t: Column): Column =
+        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
+      def weight(t: Column): Column =
+        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
+          16, 10).cast(LongType) % 2001 - 1000
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("w_sum",
+          aggregate(transform(toks, t => weight(t)), lit(0L), (a, x) => a + x))
+        .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+          round(col("w_sum").cast("double") / col("n_tokens"), 6)
+            .as("score_per_token"),
+          (col("w_sum") > 0).cast(IntegerType).as("keep"))
+    }),
+    "t_ccnet_bucket" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 —
+      // public recipe): score every doc under the corpus LM, then split
+      // EACH language's docs into head / middle / tail terciles by
+      // fluency — the standard "keep head+middle, drop tail" curation
+      // gate. Fluency is the t_lm_quality chain (add-one bigram mean —
+      // decimal-accumulated, libm-free); the language is the marker-vote
+      // prediction (a model output, as in CCNet, not the gold label). The
+      // tercile is ntile(3) over (fluency DESC, doc_id) per language — a
+      // per-language sort, which IS CCNet's shape; at 100 TB the same
+      // bucket semantics comes from sampled quantile cuts
+      // (approx_percentile) instead of a full sort, with this exact
+      // formulation as the gate. Docs with < 2 tokens have no bigrams and
+      // are out of scope (inner join), as in t_lm_quality.
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val grams = d.select(col("doc_id"), explode(TextFunctions.ngrams(
+        TextFunctions.tokens(col("text")), 2)).as("pair"))
+      val bi = grams.groupBy("pair").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("pair"), " ", 1))
+      val ctx = bi.groupBy("w1").agg(sum("c12").as("c1"))
+      val vocab = d.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val lm = bi.join(ctx, "w1").crossJoin(broadcast(vocab))
+        .select(col("pair"),
+          ((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("p"))
+      val fluency = grams.join(lm, "pair")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("p").cast(DecimalType(28, 16))).cast("double") /
+            count(lit(1))).as("mp_raw"))
+      val voted = d.select(col("doc_id"), predLangOf(col("text")).as("pred_lang"))
+      fluency.join(voted, "doc_id")
+        .withColumn("tercile", ntile(3).over(Window.partitionBy("pred_lang")
+          .orderBy(col("mp_raw").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("pred_lang"), col("n_bigrams"),
+          round(col("mp_raw"), 9).as("mean_p"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    })
   )
 
   private def clustersVia(s: SparkSession, dir: String,
@@ -1824,7 +1894,71 @@ object TextOps {
                       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens
                FROM documents d JOIN survivors USING (doc_id))
          SELECT doc_id, lang, n_tokens FROM t
-         WHERE n_tokens BETWEEN 20 AND 400"""
+         WHERE n_tokens BETWEEN 20 AND 400""",
+    "t_classifier_score" ->
+      // identical hash chain per token: bucket = first-6-hex md5 % 64,
+      // weight = first-4-hex md5('w'||bucket) % 2001 − 1000; integer list
+      // sum, one IEEE division, integer sign test
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks,
+                   t -> ('0x' || substr(md5('w' ||
+                          CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % 64
+                               AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000),
+                   'sum') AS BIGINT) AS w_sum
+               FROM t)
+         SELECT doc_id, n_tokens, w_sum,
+                round(CAST(w_sum AS DOUBLE) / n_tokens, 6) AS score_per_token,
+                CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         FROM c""",
+    "t_ccnet_bucket" ->
+      // the t_lm_quality LM chain (UNROUNDED mean_p — bit-identical decimal
+      // sums + IEEE divisions, so the ntile sort key cannot diverge), the
+      // t_langid CASE vote, and the same ntile(3) over
+      // (mean_p DESC, doc_id ASC) per predicted language
+      """WITH grams AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 2),
+         bi AS (SELECT pair, count(*) AS c12 FROM grams GROUP BY 1),
+         sp AS (SELECT pair, c12, string_split(pair, ' ')[1] AS w1 FROM bi),
+         ctx AS (SELECT w1, sum(c12) AS c1 FROM sp GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+         lm AS (SELECT sp.pair, (sp.c12 + 1.0) / (ctx.c1 + v.v) AS p
+                FROM sp JOIN ctx USING (w1), v),
+         fl AS (SELECT g.doc_id, count(*) AS n_bigrams,
+                       CAST(sum(CAST(p AS DECIMAL(28,16))) AS DOUBLE) /
+                         count(*) AS mp_raw
+                FROM grams g JOIN lm USING (pair)
+                GROUP BY 1),
+         lv AS (SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS n_en,
+                 len(list_filter(toks, x -> x IN ('el','la','los','es','y'))) AS n_es,
+                 len(list_filter(toks, x -> x IN ('le','les','des','et','est'))) AS n_fr,
+                 len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS n_de,
+                 len(list_filter(toks, x -> x IN ('de0','shi4','le0','zai4','wo3'))) AS n_zh
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         voted AS (SELECT doc_id,
+                CASE WHEN n_zh > greatest(n_en, n_es, n_fr, n_de) THEN 'zh'
+                     WHEN n_de > greatest(n_en, n_es, n_fr) THEN 'de'
+                     WHEN n_fr > greatest(n_en, n_es) THEN 'fr'
+                     WHEN n_es > n_en THEN 'es'
+                     ELSE 'en' END AS pred_lang
+                FROM lv),
+         b AS (SELECT f.doc_id, v2.pred_lang, f.n_bigrams, f.mp_raw,
+                      ntile(3) OVER (PARTITION BY v2.pred_lang
+                        ORDER BY f.mp_raw DESC, f.doc_id ASC) AS tercile
+               FROM fl f JOIN voted v2 USING (doc_id))
+         SELECT doc_id, pred_lang, n_bigrams, round(mp_raw, 9) AS mean_p,
+                CASE WHEN tercile = 1 THEN 'head'
+                     WHEN tercile = 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM b"""
   )
 
   /** Shared WITH-chain: SimHash candidate pairs closed transitively into

@@ -790,6 +790,45 @@ object VectorOps {
       val e = emb(s, dir)
       Similarity.knnBatch(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    }),
+    "v_kcenter" -> ((s, dir) => {
+      // greedy k-center / farthest-point selection (Gonzalez, TCS 1985 —
+      // the 2-approximation every coreset/data-pruning pipeline uses to
+      // pick a small COVERING subset): seed with vec_id 0, then 4× pick
+      // the vector FURTHEST from the selected set — argmin over the
+      // corpus of max-cosine-to-picks, ties → smallest vec_id. cover_sim
+      // is that max-similarity at selection time (the coverage radius the
+      // pick certifies; NULL for the seed — it has no predecessors).
+      // Plan: the coverage frame (vec_id, max sim so far) updates with
+      // ONE corpus-pass decimal-cosine column against the newest pick
+      // (greatest() of exact doubles — order-independent) and
+      // re-checkpoints (O(1) lineage, the Lloyd idiom); the pick itself
+      // is a 1-row TakeOrdered driver scalar per round. k corpus passes
+      // total — the algorithm's inherent lower bound — and the per-pick
+      // state the driver holds is k ids, never data. At 100 TB k-center
+      // runs exactly this shape against the IVF-bucketed corpus.
+      val e = emb(s, dir)
+      var picks = Vector[(Int, Long, Option[Double])]((1, 0L, None))
+      var cover: DataFrame = null
+      for (step <- 2 to 5) {
+        val lastId = picks.last._2
+        val qv: Seq[Float] = e.filter(col("vec_id") === lastId)
+          .select("embedding").take(1).head.getSeq[Float](0)
+        val simNew = e.select(col("vec_id"),
+          Similarity.cosineToQuery(col("embedding"), qv).as("s_new"))
+        cover = (if (cover == null) simNew.select(col("vec_id"), col("s_new").as("ms"))
+                 else cover.join(simNew, "vec_id")
+                   .select(col("vec_id"), greatest(col("ms"), col("s_new")).as("ms")))
+          .localCheckpoint()
+        val picked = picks.map(_._2)
+        val r = cover.filter(!col("vec_id").isin(picked: _*))
+          .orderBy(col("ms").asc, col("vec_id").asc).take(1).head
+        picks :+= ((step, r.getLong(0), Some(r.getDouble(1))))
+      }
+      import s.implicits._
+      picks.toDF("step", "vec_id", "cs_raw")
+        .select(col("step"), col("vec_id"),
+          round(col("cs_raw"), 6).as("cover_sim"))
     })
   )
 
@@ -1652,6 +1691,53 @@ object VectorOps {
                FROM u GROUP BY 1, 2)
          SELECT va AS vec_a, vb AS vec_b,
                 round(dot/greatest(sqrt(na)*sqrt(nb), 1e-12), 6) AS cosine
-         FROM d WHERE dot/greatest(sqrt(na)*sqrt(nb), 1e-12) >= 0.35"""
+         FROM d WHERE dot/greatest(sqrt(na)*sqrt(nb), 1e-12) >= 0.35""",
+    "v_kcenter" ->
+      // 4 unrolled greedy rounds, MATERIALIZED per CTE (the v_mmr lesson —
+      // the cover chain would otherwise inline exponentially): per round,
+      // decimal-exact cosine of every vector against the newest pick,
+      // cover = greatest(cover, sim), pick = argmin(cover) excluding
+      // prior picks with the identical (ms ASC, vec_id ASC) total order
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         p1 AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         u1 AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(p1.pe) AS y
+                FROM e, p1),
+         d1 AS (SELECT vec_id,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qn2
+                FROM u1 GROUP BY 1),
+         cover1 AS MATERIALIZED (
+           SELECT vec_id, dot/greatest(sqrt(n2)*sqrt(qn2), 1e-12) AS ms
+           FROM d1),
+         ${(2 to 5).map { r =>
+           val excl = (2 until r)
+             .map(i => s"AND vec_id NOT IN (SELECT vec_id FROM s$i)")
+             .mkString(" ")
+           val coverNext =
+             if (r == 5) ""
+             else s""",
+         cover$r AS MATERIALIZED (
+           SELECT c.vec_id,
+                  greatest(c.ms, d$r.dot/greatest(sqrt(d$r.n2)*sqrt(d$r.qn2), 1e-12)) AS ms
+           FROM cover${r - 1} c JOIN d$r USING (vec_id))"""
+           s"""s$r AS MATERIALIZED (
+           SELECT vec_id, ms FROM cover${r - 1}
+           WHERE vec_id <> 0 $excl
+           ORDER BY ms ASC, vec_id ASC LIMIT 1)""" + (if (r == 5) "" else s""",
+         p$r AS (SELECT e2.embedding AS pe FROM e e2 JOIN s$r USING (vec_id)),
+         u$r AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(p$r.pe) AS y
+                FROM e, p$r),
+         d$r AS (SELECT vec_id,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qn2
+                FROM u$r GROUP BY 1)""") + coverNext
+         }.mkString(",\n         ")}
+         SELECT CAST(1 AS INTEGER) AS step, CAST(0 AS BIGINT) AS vec_id,
+                CAST(NULL AS DOUBLE) AS cover_sim
+         ${(2 to 5).map(r =>
+           s"""UNION ALL SELECT CAST($r AS INTEGER), vec_id, round(ms, 6)
+               FROM s$r""").mkString("\n         ")}"""
   )
 }

@@ -129,4 +129,122 @@ class CurationOpsSpec extends AnyFunSuite {
       .agg(avg("score")).first().getDouble(0)
     assert(en > rest)
   }
+
+  test("t_classifier_score matches an independent JVM-md5 reimplementation") {
+    // recompute the full hash chain (token → 6-hex bucket → 4-hex signed
+    // weight → integer sum) with java.security.MessageDigest — different
+    // md5 implementation and arithmetic path than Spark's expression, so
+    // agreement proves the chain computes what the recipe says
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(tok: String): Long = {
+      val bucket = java.lang.Long.parseLong(md5hex(tok).take(6), 16) % 64
+      java.lang.Long.parseLong(md5hex("w" + bucket).take(4), 16) % 2001 - 1000
+    }
+    val expected = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).map(weight).sum)
+      .toMap
+    val got = q("t_classifier_score").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: w_sum ${r.getLong(2)} vs ${expected(r.getLong(0))}")
+      assert((r.getInt(4) == 1) == (r.getLong(2) > 0))
+    }
+    // the stand-in weights must actually differentiate (both classes occur)
+    val keeps = got.map(_.getInt(4)).toSet
+    assert(keeps == Set(0, 1))
+  }
+
+  test("t_ccnet_bucket: balanced terciles, head strictly more fluent than tail") {
+    val rows = q("t_ccnet_bucket").collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getString(4)))
+    rows.groupBy(_._1).foreach { case (lang, grp) =>
+      val sizes = grp.groupBy(_._3).view.mapValues(_.length).toMap
+      // ntile(3) balance: bucket sizes differ by at most 1
+      if (grp.length >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1,
+          s"$lang tercile sizes $sizes")
+        // every head doc at least as fluent as every tail doc (rounding
+        // can collapse a 1e-10 gap, hence the epsilon)
+        val headMin = grp.filter(_._3 == "head").map(_._2).min
+        val tailMax = grp.filter(_._3 == "tail").map(_._2).max
+        assert(headMin >= tailMax - 1e-9, s"$lang: $headMin < $tailMax")
+      }
+    }
+  }
+
+  test("v_kcenter matches an independent plain-double greedy run") {
+    // plain-double cosines (no decimal accumulation) picking by the same
+    // argmin-of-max-sim rule: pick ids must agree — the selection gaps in
+    // this corpus dwarf double-vs-decimal last-ulp noise
+    val embs = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val byId = embs.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / math.max(math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    var picks = Vector(0L)
+    val cover = collection.mutable.Map[Long, Double]()
+    for (_ <- 2 to 5) {
+      val last = byId(picks.last)
+      embs.foreach { case (id, v) =>
+        val s = cos(v, last)
+        cover(id) = math.max(cover.getOrElse(id, -2.0), s)
+      }
+      val next = embs.map(_._1).filterNot(picks.contains)
+        .minBy(id => (cover(id), id))
+      picks :+= next
+    }
+    val got = q("v_kcenter").orderBy("step").collect()
+    assert(got.map(_.getLong(1)).toVector == picks)
+    // coverage radius is monotone: each later pick is no farther from the
+    // selected set than the previous one was (similarity non-decreasing)
+    val sims = got.drop(1).map(_.getDouble(2))
+    sims.sliding(2).foreach(p => assert(p(0) <= p(1) + 1e-9))
+  }
+
+  test("g_anf: sub-k sketches are EXACT 2-ball counts; full sketches estimate") {
+    // ground truth: |ball(node, 2)| by two adjacency expansions over the
+    // collected edge set (sf0.001 — hundreds of nodes)
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (li ++ li.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def ball2(n: Long): Set[Long] = {
+      val b1 = adj(n) + n
+      b1.flatMap(m => adj.getOrElse(m, Set.empty) + m)
+    }
+    val got = q("g_anf").collect()
+    assert(got.length == adj.size)
+    var relErrs = List.empty[Double]
+    got.foreach { r =>
+      val (node, nh, est) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val exact = ball2(node).size
+      assert(nh <= 16)
+      if (nh < 16) assert(est == exact.toDouble,
+        s"node $node: sub-k sketch must be exact ($est vs $exact)")
+      else relErrs ::= math.abs(est - exact) / exact
+    }
+    // KMV k=16 has ~1/√(k−2) ≈ 27% stderr, and at this SF every 2-ball is
+    // nearly the WHOLE graph, so all saturated estimates share one
+    // correlated hash draw — no averaging across nodes. The honest bound
+    // is therefore per-estimate and multiplicative: within 2.5× (≈ 5σ on
+    // the log scale; a wrong estimator — mismatched scale constant, off-
+    // by-one rank — lands far outside it, as does any non-estimate).
+    got.filter(_.getLong(1) == 16).foreach { r =>
+      val exact = ball2(r.getLong(0)).size.toDouble
+      val est = r.getDouble(2)
+      assert(est > exact / 2.5 && est < exact * 2.5,
+        s"node ${r.getLong(0)}: est $est vs exact $exact")
+    }
+    assert(relErrs.nonEmpty, "expected some saturated sketches at sf0.001")
+  }
 }

@@ -64,7 +64,8 @@ object Plans {
       "t_gopher_rules", "g_lpa", "g_modularity",
       // round-10 second half: KMV neighborhood function, k-center coreset,
       // CCNet perplexity buckets, the hashed linear classifier
-      "g_anf", "v_kcenter", "t_ccnet_bucket", "t_classifier_score")
+      "g_anf", "v_kcenter", "t_ccnet_bucket", "t_classifier_score",
+      "t_bpe_train")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -184,6 +185,16 @@ object Plans {
         "ids, never data). k corpus passes is the greedy algorithm's " +
         "communication lower bound; at 100 TB the pass runs against the " +
         "IVF-bucketed corpus the same way."),
+      "t_bpe_train" -> ("100× plan: per merge round the corpus shuffles " +
+        "ONCE on doc_id (all three windows — lead, island, reindex — " +
+        "share that partitioning, so Spark reuses the exchange), pair " +
+        "counts absorb map-side, the merge decision is a 1-row driver " +
+        "scalar, and the rewrite joins are sized by MATCHES of the " +
+        "chosen pair, not the corpus. The greedy left-to-right scan is " +
+        "spelled as island-parity windows, so the inherently sequential " +
+        "step parallelizes per doc with no cross-row iteration; at " +
+        "100 TB a trainer runs this loop over a sampled subcorpus with " +
+        "the identical plan."),
       "g_anf" -> ("100× plan: per round, the sketch frame (≤ k rows per " +
         "node, fixed-width long keys) joins the checkpointed edge table, " +
         "the union dedups with map-side partial DISTINCT, and the " +

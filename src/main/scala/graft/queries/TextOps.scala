@@ -976,6 +976,71 @@ object TextOps {
             .as("score_per_token"),
           (col("w_sum") > 0).cast(IntegerType).as("keep"))
     }),
+    "t_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer TRAINING as distributed dataflow (Sennrich et al.,
+      // ACL 2016 — the published merge-loop, here over whitespace symbols;
+      // a real trainer iterates the same plan over its evolving subword
+      // sequences): 3 merge rounds, each = (1) global adjacent-pair
+      // counts (map-side combined), (2) the merge decision — top-1 by
+      // (count DESC, pair ASC), a 1-row driver scalar of the Lloyd
+      // class, (3) the corpus rewrite: greedy LEFT-TO-RIGHT
+      // non-overlapping application of the merge, spelled relationally —
+      // match positions → consecutive-run islands (gaps-and-islands) →
+      // keep every EVEN offset within its island (exactly the greedy
+      // scan's picks, incl. the a==b chain case) → drop each absorbed
+      // right symbol, reindex. Every window partitions by doc_id, so the
+      // corpus shuffles ONCE per round on the doc key and Spark reuses
+      // that exchange across the round's windows; rewrite joins are
+      // match-sized. The final per-doc sequence fingerprint + the merge
+      // table (constant columns) hash-gate the whole loop: one wrong
+      // merge pick or one mis-applied overlap changes digests.
+      import org.apache.spark.sql.expressions.Window
+      val wPos = Window.partitionBy("doc_id").orderBy("pos")
+      var seqs = docs(s, dir).select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))))
+        .toDF("doc_id", "pos", "sym")
+        .withColumn("pos", col("pos").cast(LongType))
+        .localCheckpoint()
+      var merges = Vector.empty[String]
+      for (_ <- 1 to 3) {
+        val withNext = seqs.withColumn("nxt", lead(col("sym"), 1).over(wPos))
+        val top = withNext.filter(col("nxt").isNotNull)
+          .groupBy("sym", "nxt").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
+          .take(1).head
+        val (a, b) = (top.getString(0), top.getString(1))
+        merges :+= s"$a+$b"
+        val matches = withNext
+          .filter(col("sym") === a && col("nxt") === b)
+          .withColumn("island", col("pos") - row_number().over(wPos))
+          .withColumn("applied",
+            ((col("pos") - min(col("pos")).over(
+              Window.partitionBy("doc_id", "island"))) % 2) === 0)
+          .filter(col("applied"))
+          .select(col("doc_id"), col("pos").as("apos"))
+        val isA = matches.select(col("doc_id"),
+          col("apos").as("pos"), lit(1).as("is_a"))
+        val isB = matches.select(col("doc_id"),
+          (col("apos") + 1).as("pos"), lit(1).as("is_b"))
+        seqs = seqs
+          .join(isA, Seq("doc_id", "pos"), "left")
+          .join(isB, Seq("doc_id", "pos"), "left")
+          .filter(col("is_b").isNull)
+          .withColumn("sym", when(col("is_a") === 1,
+            concat(col("sym"), lit("+"), lit(b))).otherwise(col("sym")))
+          .withColumn("pos", (row_number().over(wPos) - 1).cast(LongType))
+          .select("doc_id", "pos", "sym")
+          .localCheckpoint()
+      }
+      seqs.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_syms"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("sym")))),
+            x => x.getField("sym")))).as("doc_fp"))
+        .select(col("doc_id"), col("n_syms"), col("doc_fp"),
+          lit(merges(0)).as("m1"), lit(merges(1)).as("m2"),
+          lit(merges(2)).as("m3"))
+    }),
     "t_ccnet_bucket" -> ((s, dir) => {
       // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 —
       // public recipe): score every doc under the corpus LM, then split
@@ -1913,6 +1978,57 @@ object TextOps {
                 round(CAST(w_sum AS DOUBLE) / n_tokens, 6) AS score_per_token,
                 CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          FROM c""",
+    "t_bpe_train" ->
+      // the identical 3 unrolled merge rounds: lead-window pair counts,
+      // the (count DESC, pair ASC) top-1 pick, island-parity greedy
+      // application, absorbed-symbol drop + reindex; final per-doc
+      // ordered string_agg md5 + the three merge literals
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+         x0 AS (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM t),
+         s0 AS MATERIALIZED (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS sym
+           FROM x0),
+         ${(1 to 3).map { r =>
+           s"""w$r AS MATERIALIZED (
+           SELECT doc_id, pos, sym,
+                  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM s${r - 1}),
+         mr$r AS MATERIALIZED (
+           SELECT sym AS a, nxt AS b FROM w$r WHERE nxt IS NOT NULL
+           GROUP BY sym, nxt
+           ORDER BY count(*) DESC, sym ASC, nxt ASC LIMIT 1),
+         mt$r AS (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY pos) AS rn
+                  FROM w$r, mr$r WHERE sym = mr$r.a AND nxt = mr$r.b),
+         ap$r AS MATERIALIZED (
+           SELECT doc_id, pos
+           FROM (SELECT doc_id, pos, pos - rn AS island FROM mt$r)
+           QUALIFY (pos - min(pos) OVER (PARTITION BY doc_id, island))
+                   % 2 = 0),
+         s$r AS MATERIALIZED (
+           SELECT s.doc_id,
+                  CAST(row_number() OVER (PARTITION BY s.doc_id
+                    ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+                  CASE WHEN ia.pos IS NOT NULL
+                       THEN s.sym || '+' || mr$r.b ELSE s.sym END AS sym
+           FROM s${r - 1} s
+           LEFT JOIN ap$r ia
+             ON s.doc_id = ia.doc_id AND s.pos = ia.pos
+           LEFT JOIN (SELECT doc_id, pos + 1 AS pos FROM ap$r) ib
+             ON s.doc_id = ib.doc_id AND s.pos = ib.pos
+           CROSS JOIN mr$r
+           WHERE ib.pos IS NULL)"""
+         }.mkString(",\n         ")}
+         SELECT s.doc_id, count(*) AS n_syms,
+                md5(string_agg(s.sym, ' ' ORDER BY s.pos)) AS doc_fp,
+                (SELECT a || '+' || b FROM mr1) AS m1,
+                (SELECT a || '+' || b FROM mr2) AS m2,
+                (SELECT a || '+' || b FROM mr3) AS m3
+         FROM s3 s GROUP BY s.doc_id""",
     "t_ccnet_bucket" ->
       // the t_lm_quality LM chain (UNROUNDED mean_p — bit-identical decimal
       // sums + IEEE divisions, so the ntile sort key cannot diverge), the

@@ -158,6 +158,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(keeps == Set(0, 1))
   }
 
+  test("t_bpe_train matches a sequential plain-Scala BPE trainer") {
+    // the classic while-loop greedy scan (merge at i, skip 2) — an
+    // entirely different formulation from the engine's island-parity
+    // relational spelling, so digest agreement proves the windowed form
+    // implements the sequential left-to-right semantics exactly
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var seqs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector).toMap
+    val origLen = seqs.view.mapValues(_.length).toMap
+    var merges = Vector.empty[String]
+    for (_ <- 1 to 3) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      seqs.values.foreach(_.sliding(2).foreach {
+        case Seq(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + 1
+        case _ => ()
+      })
+      val ((a, b), _) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head
+      merges :+= s"$a+$b"
+      seqs = seqs.view.mapValues { v =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < v.length) {
+          if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+            out += s"$a+$b"; i += 2
+          } else { out += v(i); i += 1 }
+        }
+        out.result()
+      }.toMap
+    }
+    val got = q("t_bpe_train").collect()
+    assert(got.length == seqs.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == seqs(id).length, s"doc $id symbol count")
+      assert(r.getString(2) == md5hex(seqs(id).mkString(" ")), s"doc $id fp")
+      assert(Seq(r.getString(3), r.getString(4), r.getString(5)) == merges)
+    }
+    // the 3 rounds must actually merge something (vacuous-pass guard)
+    assert(got.exists(r => r.getLong(1) < origLen(r.getLong(0))))
+  }
+
   test("t_ccnet_bucket: balanced terciles, head strictly more fluent than tail") {
     val rows = q("t_ccnet_bucket").collect()
       .map(r => (r.getString(1), r.getDouble(3), r.getString(4)))

@@ -453,6 +453,108 @@ object GraphOps {
           when(col("n_hashes") < K, col("n_hashes").cast("double"))
             .otherwise(round(lit((K - 1).toDouble) / col("v")
               * 281474976710656.0, 4)).as("est_reach"))
+    }),
+    "g_harmonic" -> ((s, dir) => {
+      // harmonic centrality truncated at radius 2, estimated from the SAME
+      // KMV neighborhood-sketch chain as g_anf — HyperBall's actual
+      // application (Boldi & Vigna WWW'11; their 2014 "Axioms for
+      // centrality" argues harmonic is THE principled centrality on
+      // disconnected graphs since unreachable pairs contribute 0, not ∞):
+      //   H(v) ≈ (|B(1)|−1)/1 + (|B(2)|−|B(1)|)/2,
+      // each ball size the exactly-reproducible KMV estimate, ROUNDED to
+      // 4 dp BEFORE the combination so both engines combine identical
+      // doubles. Centrality for every node at once is what exact
+      // all-pairs BFS cannot produce at 100 TB; the per-round cost is
+      // identical to g_anf (one edge⋈sketch join on fixed-width longs +
+      // bounded-heap min-k) and both ball estimates ride one sketch
+      // chain — radius 2 costs zero extra rounds over g_anf.
+      val K = 16
+      val e = longEdges(s, dir).localCheckpoint()
+      var sk = e.select(col("src").as("node")).distinct()
+        .select(col("node"), md5(col("node").cast("string")).as("h"))
+      def ballEst(skDf: DataFrame, out: String): DataFrame = {
+        val w = Window.partitionBy("node").orderBy("h")
+        skDf.withColumn("rn", row_number().over(w))
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_hashes"),
+            max(when(col("rn") === K,
+              conv(substring(col("h"), 1, 12), 16, 10).cast("long"))).as("v"))
+          .select(col("node"),
+            when(col("n_hashes") < K, col("n_hashes").cast("double"))
+              .otherwise(round(lit((K - 1).toDouble) / col("v")
+                * 281474976710656.0, 4)).as(out))
+      }
+      val balls = (1 to 2).map { r =>
+        val prop = e.join(sk, e("src") === sk("node"))
+          .select(e("dst").as("node"), col("h"))
+        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
+            sk.union(prop).distinct(), Seq("node"), Seq("h" -> true), K)
+          .localCheckpoint()
+        ballEst(sk, s"b$r")
+      }
+      // the combination ships UNROUNDED: b1/b2 are already identical
+      // 4-dp doubles in both engines, and subtract / divide-by-2 / add
+      // are bit-deterministic IEEE ops — a final round(·,4) would land
+      // exactly on .xxxx5 ties (the /2 creates a 5th decimal) where
+      // Spark's HALF_UP and DuckDB's binary rounding diverge
+      balls(0).join(balls(1), "node")
+        .select(col("node"), col("b1"), col("b2"),
+          (col("b1") - lit(1.0) +
+            (col("b2") - col("b1")) / lit(2.0)).as("harmonic"))
+    }),
+    "g_eff_diameter" -> ((s, dir) => {
+      // distance distribution + effective diameter — THE deliverable of
+      // the ANF paper (Palmer et al. KDD'02 §1: "what is the effective
+      // diameter of the Internet?") and of HyperANF (Boldi & Vigna
+      // WWW'11, four-degrees-of-separation): N(r) = Σ_v |B(v,r)| per
+      // radius, and the effective diameter = the smallest r with
+      // N(r) ≥ 0.9·N(rmax). Three KMV sketch rounds (the g_anf chain,
+      // one radius deeper); per-node ball estimates are the exactly-
+      // reproducible 4-dp KMV doubles, summed ORDER-INDEPENDENTLY via
+      // DECIMAL(28,4) before one exact decimal→double conversion (the
+      // Core.scala decimal-sum contract), so N(r) is bit-identical
+      // cross-engine and the 0.9 cut compares identical doubles. The
+      // whole distribution is 4 rows derived from three bounded-state
+      // sketch rounds — the exact computation (all-pairs BFS) is |V|
+      // traversals and does not exist as a plan at 100 TB.
+      val K = 16
+      val e = longEdges(s, dir).localCheckpoint()
+      var sk = e.select(col("src").as("node")).distinct()
+        .select(col("node"), md5(col("node").cast("string")).as("h"))
+      // radius 0: every ball is exactly {v} — N(0) = |V|, no estimator
+      val r0 = sk.groupBy()
+        .agg(count(lit(1)).cast("double").as("total_reach"))
+        .select(lit(0).as("radius"), col("total_reach"))
+      val perRadius = (1 to 3).map { r =>
+        val prop = e.join(sk, e("src") === sk("node"))
+          .select(e("dst").as("node"), col("h"))
+        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
+            sk.union(prop).distinct(), Seq("node"), Seq("h" -> true), K)
+          .localCheckpoint()
+        val w = Window.partitionBy("node").orderBy("h")
+        sk.withColumn("rn", row_number().over(w))
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_hashes"),
+            max(when(col("rn") === K,
+              conv(substring(col("h"), 1, 12), 16, 10).cast("long"))).as("v"))
+          .select(when(col("n_hashes") < K, col("n_hashes").cast("double"))
+            .otherwise(round(lit((K - 1).toDouble) / col("v")
+              * 281474976710656.0, 4)).as("est"))
+          .groupBy()
+          .agg(sum(col("est").cast(DecimalType(28, 4)))
+            .cast("double").as("total_reach"))
+          .select(lit(r).as("radius"), col("total_reach"))
+      }
+      // per-node KMV estimates are monotone non-decreasing in r (the
+      // sketch hash set only grows), so max over radii = N(3) = N(rmax)
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      perRadius.foldLeft(r0)(_ union _)
+        .withColumn("frac", col("total_reach") / max("total_reach").over(all))
+        .withColumn("eff_diameter",
+          col("radius") === min(when(col("frac") >= 0.9, col("radius"))).over(all))
+        .select(col("radius"), col("total_reach"), col("frac"),
+          col("eff_diameter"))
     })
   )
 
@@ -819,6 +921,87 @@ object GraphOps {
                             THEN ('0x' || substr(h, 1, 12))::BIGINT END))
                           * 281474976710656.0, 4)
                 END AS est_reach
-         FROM r GROUP BY node"""
+         FROM r GROUP BY node""",
+    "g_harmonic" ->
+      // the g_anf sketch chain with the KMV estimator applied at BOTH
+      // radii, then the truncated harmonic combination over the rounded
+      // ball estimates — identical expression order to the engine:
+      // (b1 − 1.0) + (b2 − b1) / 2.0, rounded to 4 dp
+      s"""WITH $edgesSqlLong,
+         s0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, md5(CAST(src AS VARCHAR)) AS h
+           FROM edges),
+         ${(1 to 2).map { r =>
+           s"""p$r AS (SELECT node, h FROM s${r - 1}
+                UNION ALL
+                SELECT e.dst AS node, s.h
+                FROM edges e JOIN s${r - 1} s ON s.node = e.src),
+         s$r AS MATERIALIZED (
+           SELECT node, h FROM (SELECT DISTINCT node, h FROM p$r)
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY h) <= 16)"""
+         }.mkString(",\n         ")},
+         ${(1 to 2).map { r =>
+           s"""est$r AS (
+           SELECT node,
+                  CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+                       ELSE round((15.0 / max(CASE WHEN rn = 16
+                              THEN ('0x' || substr(h, 1, 12))::BIGINT END))
+                            * 281474976710656.0, 4)
+                  END AS b$r
+           FROM (SELECT node, h,
+                        row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+                 FROM s$r)
+           GROUP BY node)"""
+         }.mkString(",\n         ")}
+         SELECT node, b1, b2,
+                (b1 - CAST(1.0 AS DOUBLE))
+                  + (b2 - b1) / CAST(2.0 AS DOUBLE) AS harmonic
+         FROM est1 JOIN est2 USING (node)""",
+    "g_eff_diameter" ->
+      // three unrolled KMV sketch rounds (the g_anf chain one radius
+      // deeper); per radius the per-node 4-dp estimates sum in
+      // DECIMAL(28,4) then convert once to DOUBLE (order-independent,
+      // identical to the engine); radius 0 is |V| exactly; frac and the
+      // 0.9 effective-diameter cut are IEEE ops over those identical
+      // doubles
+      s"""WITH $edgesSqlLong,
+         s0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, md5(CAST(src AS VARCHAR)) AS h
+           FROM edges),
+         ${(1 to 3).map { r =>
+           s"""p$r AS (SELECT node, h FROM s${r - 1}
+                UNION ALL
+                SELECT e.dst AS node, s.h
+                FROM edges e JOIN s${r - 1} s ON s.node = e.src),
+         s$r AS MATERIALIZED (
+           SELECT node, h FROM (SELECT DISTINCT node, h FROM p$r)
+           QUALIFY row_number() OVER (PARTITION BY node ORDER BY h) <= 16)"""
+         }.mkString(",\n         ")},
+         ${(1 to 3).map { r =>
+           s"""n$r AS (
+           SELECT $r AS radius,
+                  CAST(sum(CAST(est AS DECIMAL(28,4))) AS DOUBLE) AS total_reach
+           FROM (SELECT CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+                             ELSE round((15.0 / max(CASE WHEN rn = 16
+                                    THEN ('0x' || substr(h, 1, 12))::BIGINT END))
+                                  * 281474976710656.0, 4)
+                        END AS est
+                 FROM (SELECT node, h,
+                              row_number() OVER (PARTITION BY node ORDER BY h) AS rn
+                       FROM s$r)
+                 GROUP BY node))"""
+         }.mkString(",\n         ")},
+         u AS (SELECT 0 AS radius, CAST(count(*) AS DOUBLE) AS total_reach
+               FROM s0
+               UNION ALL SELECT * FROM n1
+               UNION ALL SELECT * FROM n2
+               UNION ALL SELECT * FROM n3),
+         f AS (SELECT radius, total_reach,
+                      total_reach / max(total_reach) OVER () AS frac
+               FROM u)
+         SELECT radius, total_reach, frac,
+                radius = min(CASE WHEN frac >= 0.9 THEN radius END) OVER ()
+                  AS eff_diameter
+         FROM f"""
   )
 }

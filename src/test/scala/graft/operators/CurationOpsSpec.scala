@@ -292,4 +292,101 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(relErrs.nonEmpty, "expected some saturated sketches at sf0.001")
   }
+
+  test("g_harmonic: b2 ≡ g_anf's estimate; sub-k nodes exact at both radii") {
+    // the radius-2 ball estimate must be IDENTICAL to g_anf's (same sketch
+    // chain, same estimator) — any divergence means the shared chain was
+    // silently forked; and for nodes whose round-2 sketch is sub-k (hence
+    // round-1 too — hash sets grow monotonically across rounds) both ball
+    // sizes and the harmonic combination are exact
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (li ++ li.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def ball1(n: Long): Set[Long] = adj(n) + n
+    def ball2(n: Long): Set[Long] =
+      ball1(n).flatMap(m => adj.getOrElse(m, Set.empty) + m)
+
+    val anf = q("g_anf").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = q("g_harmonic").collect()
+    assert(got.length == adj.size)
+    got.foreach { r =>
+      val (node, b1, b2, h) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val (nHashes, estReach) = anf(node)
+      assert(b2 == estReach,
+        s"node $node: b2 $b2 diverged from g_anf est_reach $estReach")
+      if (nHashes < 16) {
+        assert(b1 == ball1(node).size.toDouble,
+          s"node $node: sub-k b1 must be exact")
+        assert(b2 == ball2(node).size.toDouble,
+          s"node $node: sub-k b2 must be exact")
+        val exactH = (b1 - 1.0) + (b2 - b1) / 2.0
+        assert(h == exactH, s"node $node: harmonic $h vs $exactH")
+      }
+      // harmonic is always within the combination's algebraic range
+      assert(h >= 0.0 && h <= (b2 - 1.0) + 1e-9,
+        s"node $node: harmonic $h outside [0, b2-1]")
+    }
+  }
+
+  test("g_eff_diameter: N(r) matches an exact-BFS KMV replication bit-for-bit") {
+    // independent replication in plain Scala: EXACT balls at radii 1..3
+    // via BFS over collected adjacency (valid because min-k truncation is
+    // lossless for the min-k of the ball — any hash in the ball's true
+    // min-k is in the min-k of every sub-ball containing its node), the
+    // same md5/16-smallest/(k-1)/frac estimator with Spark's HALF_UP 4-dp
+    // rounding, BigDecimal sums — so N(r), frac, and the effective
+    // diameter must match to the BIT, not within a tolerance
+    import java.security.MessageDigest
+    import scala.math.BigDecimal.RoundingMode
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (li ++ li.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def ball(n: Long, r: Int): Set[Long] =
+      (1 to r).foldLeft(Set(n))((b, _) =>
+        b ++ b.flatMap(m => adj.getOrElse(m, Set.empty)))
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def est(b: Set[Long]): Double = {
+      val hs = b.toSeq.map(m => md5hex(m.toString)).sorted
+      if (hs.length < 16) hs.length.toDouble
+      else {
+        val v = java.lang.Long.parseLong(hs(15).substring(0, 12), 16)
+        BigDecimal(15.0 / v * 281474976710656.0)
+          .setScale(4, RoundingMode.HALF_UP).toDouble
+      }
+    }
+    // adj.keys is a Set — map through a Seq or identical per-node
+    // estimates (every saturated node shares the whole-graph estimate)
+    // collapse before the sum
+    val expTotals = adj.size.toDouble +: (1 to 3).map { r =>
+      adj.keys.toSeq.map(n => BigDecimal(est(ball(n, r))).setScale(4))
+        .sum.bigDecimal.doubleValue
+    }
+    val maxT = expTotals.max
+    val expEff = (0 to 3).find(r => expTotals(r) / maxT >= 0.9).get
+
+    val got = q("g_eff_diameter").collect()
+      .map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.size == 4)
+    (0 to 3).foreach { r =>
+      val (tot, frac, eff) = got(r)
+      assert(tot == expTotals(r),
+        s"radius $r: N(r) $tot != replicated ${expTotals(r)}")
+      assert(frac == expTotals(r) / maxT, s"radius $r: frac mismatch")
+      assert(eff == (r == expEff), s"radius $r: eff_diameter flag")
+    }
+    // the distribution is monotone non-decreasing and tops out at frac 1.0
+    assert((1 to 3).forall(r => expTotals(r) >= expTotals(r - 1)))
+    assert(got(3)._2 == 1.0)
+  }
 }

@@ -65,7 +65,10 @@ object Plans {
       // round-10 second half: KMV neighborhood function, k-center coreset,
       // CCNet perplexity buckets, the hashed linear classifier
       "g_anf", "v_kcenter", "t_ccnet_bucket", "t_classifier_score",
-      "t_bpe_train", "g_harmonic", "g_eff_diameter")
+      "t_bpe_train", "g_harmonic", "g_eff_diameter",
+      // round-10 third wave: binary-quantization retrieval, the bipartite
+      // butterfly census, the random-walk corpus, Luby's MIS
+      "v_knn_binary", "g_butterflies", "g_walks", "g_mis")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(

@@ -555,6 +555,132 @@ object GraphOps {
           col("radius") === min(when(col("frac") >= 0.9, col("radius"))).over(all))
         .select(col("radius"), col("total_reach"), col("frac"),
           col("eff_diameter"))
+    }),
+    "g_butterflies" -> ((s, dir) => {
+      // Butterfly (2×2 biclique) census of the BIPARTITE supplier–part
+      // graph — the bipartite analogue of the triangle census (Wang,
+      // Fu, Cheng & Lakshmanan, VLDB'19 "Vertex Priority Based Butterfly
+      // Counting for Large-scale Bipartite Networks"; butterflies underpin
+      // the bipartite clustering coefficient, Robins & Alexander 2004).
+      // g_triangles had to build a one-mode projection first because the
+      // supplier–part graph is triangle-free BY construction; the
+      // butterfly is the motif that graph actually has. Plan: one
+      // self-join of the distinct incidence list on the part key
+      // enumerates wedges (two suppliers sharing a part) — key-equality,
+      // bucketed at scale, never corpus²; map-side-partial count per
+      // supplier pair collapses the wedge stream to the co-part matrix;
+      // butterflies = Σ_pairs C(cn,2), wedges = Σ_parts C(dp,2) — pure
+      // integer arithmetic (div 2 on even products, no FP anywhere).
+      // Skew posture at 100 TB: a hub PART emits dp² wedge rows — the
+      // published mitigation is vertex-priority/degree ordering; here the
+      // s1<s2 half plus the map-side pair combine bound the exchange, and
+      // a degree cap would slot in as a pre-join filter exactly like
+      // TextDedup's prefix-df cap. Output is a 1-row census (four
+      // BIGINTs), composed from two 1-row aggregates (the g_triangles
+      // broadcast pattern, sanctioned in PlanAuditSpec).
+      val sp = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("sk"),
+                col("l_partkey").cast("long").as("pk"))
+        .distinct()
+        .localCheckpoint() // consumed 3× (wedge census + both join sides)
+      val wedges = sp.groupBy("pk").agg(count(lit(1)).as("dp"))
+        .agg(sum(expr("(dp * (dp - 1)) div 2")).as("wedges"))
+      val pairs = sp.select(col("pk"), col("sk").as("s1"))
+        .join(sp.select(col("pk"), col("sk").as("s2")), Seq("pk"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("cn"))
+      val census = pairs.agg(
+        count(lit(1)).as("connected_pairs"),
+        max(col("cn")).as("max_common_parts"),
+        sum(expr("(cn * (cn - 1)) div 2")).as("butterflies"))
+      wedges.crossJoin(census)
+        .select(col("wedges"), col("connected_pairs"),
+          col("max_common_parts"), col("butterflies"))
+    }),
+    "g_walks" -> ((s, dir) => {
+      // Deterministic random-walk corpus over the co-purchase graph — the
+      // DeepWalk/node2vec sampling primitive (Perozzi et al. KDD'14;
+      // Grover & Leskovec KDD'16): graph-embedding training data IS a
+      // table of walks, and generating it is the graph-side twin of the
+      // text pipeline's corpus prep. One walk starts at every node
+      // (the DeepWalk shape) and takes 4 steps; the "random" next-hop is
+      // argmin over out-neighbors of md5(walk_id:step:neighbor) — the
+      // hash IS the RNG (the t_sample_split rationale on a graph): no
+      // generator state to coordinate across 1000 executors, walks are
+      // reproducible run-to-run and INDEPENDENT per (walk, step), and the
+      // choice is uniform over neighbors because md5 is. Plan per step:
+      // one frontier⋈edges key-equality join (fixed-width long ids, the
+      // longEdges encoding) + one map-side-combined min(struct) argmin —
+      // state is O(walks), never O(edges); the walk table is the output.
+      val e = longEdges(s, dir).localCheckpoint() // consumed once per step
+      var frontier = e.select(col("src").as("node")).distinct()
+        .select(col("node").as("walk_id"), col("node"))
+        .localCheckpoint()
+      val out0 = frontier.select(col("walk_id"), lit(0).as("step"), col("node"))
+      val steps = (1 to 4).map { t =>
+        frontier = e.join(frontier, e("src") === frontier("node"))
+          .select(col("walk_id"),
+            md5(concat(col("walk_id").cast("string"), lit(s":$t:"),
+              col("dst").cast("string"))).as("h"),
+            col("dst"))
+          .groupBy("walk_id")
+          .agg(min(struct(col("h"), col("dst"))).as("m"))
+          .select(col("walk_id"), col("m.dst").as("node"))
+          .localCheckpoint()
+        frontier.select(col("walk_id"), lit(t).as("step"), col("node"))
+      }
+      steps.foldLeft(out0)(_ union _)
+    }),
+    "g_mis" -> ((s, dir) => {
+      // Maximal independent set by Luby's algorithm (Luby SICOMP'86 — THE
+      // symmetry-breaking primitive of distributed graph computing;
+      // downstream of it sit distributed coloring, scheduling, and graph
+      // sparsification). Per round every undecided node draws the
+      // priority md5(round:node) — the hash is the RNG, as in g_walks —
+      // and joins the MIS iff its priority beats every undecided
+      // neighbor's; undecided neighbors of new members are excluded.
+      // Adjacent locally-minimal nodes cannot both win (if p(u)<p(v) on
+      // edge u–v then v sees u's priority), so independence holds by
+      // construction every round. Plan per round: one priority projection
+      // (md5 fused into the scan), one edges⋈priorities key-equality join
+      // + map-side-combined min per node, two anti joins to shrink the
+      // undecided frontier — state is O(undecided), monotonically
+      // shrinking (Luby: by an expected constant factor per round), O(1)
+      // lineage via localCheckpoint. Output: every node with its decision
+      // and the round that decided it (-1 = still undecided after 4
+      // rounds) — the full assignment hash-gates, not just the MIS size.
+      val e = longEdges(s, dir).localCheckpoint()
+      var undecided = e.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      var decided: Seq[DataFrame] = Nil
+      for (t <- 1 to 4) {
+        val pri = undecided.select(col("node"),
+          md5(concat(lit(s"$t:"), col("node").cast("string"))).as("p"))
+        // min undecided-neighbor priority per undecided node: restrict
+        // both endpoints to the frontier (src via pri, dst via undecided)
+        val nbrMin = e.join(pri, e("src") === pri("node"))
+          .select(e("dst").as("node"), col("p").as("np"))
+          .join(undecided, Seq("node"), "left_semi")
+          .groupBy("node").agg(min(col("np")).as("np"))
+        val mis = pri.join(nbrMin, Seq("node"), "left")
+          .filter(col("np").isNull || col("p") < col("np"))
+          .select(col("node")).localCheckpoint()
+        val excluded = e.join(mis, e("src") === mis("node"))
+          .select(e("dst").as("node")).distinct()
+          .join(undecided, Seq("node"), "left_semi")
+          .localCheckpoint()
+        decided :+= mis.select(col("node"), lit(true).as("in_mis"),
+          lit(t).as("decided_round"))
+        decided :+= excluded.select(col("node"), lit(false).as("in_mis"),
+          lit(t).as("decided_round"))
+        undecided = undecided
+          .join(mis, Seq("node"), "left_anti")
+          .join(excluded, Seq("node"), "left_anti")
+          .localCheckpoint()
+      }
+      val rest = undecided.select(col("node"), lit(false).as("in_mis"),
+        lit(-1).as("decided_round"))
+      decided.foldLeft(rest)(_ union _)
     })
   )
 
@@ -1002,6 +1128,82 @@ object GraphOps {
          SELECT radius, total_reach, frac,
                 radius = min(CASE WHEN frac >= 0.9 THEN radius END) OVER ()
                   AS eff_diameter
-         FROM f"""
+         FROM f""",
+    "g_butterflies" ->
+      // identical wedge enumeration (pk self-join, s1<s2 half) and pure-
+      // integer C(n,2) census — // is DuckDB's integral division, the
+      // products are even so both engines' floor-division is exact
+      """WITH sp AS MATERIALIZED (
+           SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+         w AS (SELECT CAST(sum((dp * (dp - 1)) // 2) AS BIGINT) AS wedges
+               FROM (SELECT pk, count(*) AS dp FROM sp GROUP BY 1)),
+         pairs AS (SELECT a.sk AS s1, b.sk AS s2, count(*) AS cn
+                   FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+                   GROUP BY 1, 2),
+         c AS (SELECT count(*) AS connected_pairs,
+                      max(cn) AS max_common_parts,
+                      CAST(sum((cn * (cn - 1)) // 2) AS BIGINT) AS butterflies
+               FROM pairs)
+         SELECT w.wedges, c.connected_pairs, c.max_common_parts,
+                c.butterflies
+         FROM w, c""",
+    "g_walks" ->
+      // four unrolled argmin-hash steps: each w_t picks, per walk, the
+      // out-neighbor minimizing md5(walk_id:t:neighbor) via the
+      // min(struct) idiom (md5 first, neighbor id as the deterministic
+      // tie-break); MATERIALIZED per the g_bfs inlining lesson — every
+      // w_t is consumed twice (next step + final union)
+      s"""WITH $edgesSqlLong,
+         w0 AS MATERIALIZED (
+           SELECT DISTINCT src AS walk_id, src AS node FROM edges),
+         ${(1 to 4).map { t =>
+           s"""w$t AS MATERIALIZED (
+           SELECT f.walk_id,
+                  (min(struct_pack(h := md5(CAST(f.walk_id AS VARCHAR)
+                       || ':$t:' || CAST(e.dst AS VARCHAR)),
+                     d := e.dst))).d AS node
+           FROM w${t - 1} f JOIN edges e ON f.node = e.src
+           GROUP BY 1)"""
+         }.mkString(",\n         ")}
+         ${(0 to 4).map(t =>
+           s"SELECT walk_id, CAST($t AS INTEGER) AS step, node FROM w$t")
+           .mkString("\n         UNION ALL ")}""",
+    "g_mis" ->
+      // four unrolled Luby rounds: per round the md5(round:node) priority
+      // frame, min-over-undecided-neighbors, the local-minimum MIS pick,
+      // the excluded neighbors, and the shrunken frontier (EXCEPT chain);
+      // MATERIALIZED throughout — every round frame is consumed by both
+      // the next round and the final union
+      s"""WITH $edgesSqlLong,
+         u0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         ${(1 to 4).map { t =>
+           s"""p$t AS MATERIALIZED (
+           SELECT node, md5('$t:' || CAST(node AS VARCHAR)) AS p
+           FROM u${t - 1}),
+         nm$t AS (
+           SELECT e.dst AS node, min(pp.p) AS np
+           FROM edges e JOIN p$t pp ON e.src = pp.node
+           WHERE e.dst IN (SELECT node FROM u${t - 1})
+           GROUP BY 1),
+         m$t AS MATERIALIZED (
+           SELECT pp.node FROM p$t pp LEFT JOIN nm$t n USING (node)
+           WHERE n.np IS NULL OR pp.p < n.np),
+         x$t AS MATERIALIZED (
+           SELECT DISTINCT e.dst AS node
+           FROM edges e JOIN m$t m ON e.src = m.node
+           WHERE e.dst IN (SELECT node FROM u${t - 1})),
+         u$t AS MATERIALIZED (
+           SELECT node FROM u${t - 1}
+           EXCEPT SELECT node FROM m$t
+           EXCEPT SELECT node FROM x$t)"""
+         }.mkString(",\n         ")}
+         SELECT node, FALSE AS in_mis, CAST(-1 AS INTEGER) AS decided_round
+         FROM u4
+         ${(1 to 4).map { t =>
+           s"""UNION ALL SELECT node, TRUE AS in_mis,
+                CAST($t AS INTEGER) AS decided_round FROM m$t
+         UNION ALL SELECT node, FALSE AS in_mis,
+                CAST($t AS INTEGER) AS decided_round FROM x$t"""
+         }.mkString("\n         ")}"""
   )
 }

@@ -580,6 +580,45 @@ object TextOps {
         .orderBy(col("c12").desc, col("pair").asc)
         .limit(50)
     }),
+    "t_kn_lm" -> ((s, dir) => {
+      // interpolated Kneser–Ney bigram smoothing (Kneser & Ney ICASSP'95;
+      // Chen & Goodman CSL'99 crowned it the best-performing n-gram
+      // smoother — it is what KenLM implements and what CCNet's quality
+      // filter LM runs on): P(w2|w1) = max(c12−D,0)/c1 +
+      // (D·N1+(w1·)/c1)·N1+(·w2)/N1+(··), D = 0.75. The insight over
+      // add-one (t_ngram_lm) is the CONTINUATION count: a word's unigram
+      // weight is how many distinct contexts precede it, not its raw
+      // frequency — "Francisco" is frequent but predictable, so KN
+      // discounts it. Every input is an exact integer (bigram counts,
+      // distinct-successor/predecessor counts, distinct bigram types);
+      // all four statistics reduce from the SAME map-side-combined bigram
+      // frame (checkpointed, consumed 4×), the type total is a 1-row
+      // broadcast scalar (the t_ngram_lm vocab pattern), and P is a
+      // fixed parenthesized IEEE chain over those integers — bit-identical
+      // cross-engine. D = 0.75 is exactly representable. Top-50 with a
+      // total order for a deterministic cut.
+      val grams = docs(s, dir)
+        .select(explode(TextFunctions.ngrams(
+          TextFunctions.tokens(col("text")), 2)).as("pair"))
+      val bi = grams.groupBy("pair").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("pair"), " ", 1))
+        .withColumn("w2", substring_index(col("pair"), " ", -1))
+        .localCheckpoint()
+      val ctx = bi.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1_fwd"))
+      val prec = bi.groupBy("w2").agg(count(lit(1)).as("n1_prec"))
+      val total = bi.agg(count(lit(1)).as("nb"))
+      bi.join(ctx, "w1").join(prec, "w2")
+        .crossJoin(broadcast(total))
+        .select(col("pair"), col("c12"), col("c1"),
+          col("n1_fwd"), col("n1_prec"),
+          round(
+            greatest(col("c12") - lit(0.75), lit(0.0)) / col("c1")
+              + ((lit(0.75) * col("n1_fwd")) / col("c1"))
+                * (col("n1_prec") / col("nb")), 9).as("p_kn"))
+        .orderBy(col("c12").desc, col("pair").asc)
+        .limit(50)
+    }),
     "t_bpe_pairs" -> ((s, dir) =>
       // corpus-global adjacent-pair frequencies — the merge-candidate
       // statistic a BPE/WordPiece tokenizer trainer recomputes each round
@@ -1616,6 +1655,32 @@ object TextOps {
          SELECT sp.pair, CAST(sp.c12 AS BIGINT) AS c12, CAST(ctx.c1 AS BIGINT) AS c1,
                 round((sp.c12 + 1.0) / (ctx.c1 + v.v), 9) AS p
          FROM sp JOIN ctx USING (w1), v
+         ORDER BY c12 DESC, pair ASC LIMIT 50""",
+    "t_kn_lm" ->
+      // the identical four integer statistics off one bigram frame and the
+      // identically-parenthesized IEEE chain (D = 0.75 exactly
+      // representable; / is float division in both engines)
+      """WITH grams AS (
+           SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+           FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 2),
+         bi AS MATERIALIZED (
+           SELECT pair, count(*) AS c12,
+                  string_split(pair, ' ')[1] AS w1,
+                  string_split(pair, ' ')[2] AS w2
+           FROM grams GROUP BY 1),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                        count(*) AS n1_fwd
+                 FROM bi GROUP BY 1),
+         prec AS (SELECT w2, count(*) AS n1_prec FROM bi GROUP BY 1),
+         total AS (SELECT count(*) AS nb FROM bi)
+         SELECT bi.pair, CAST(bi.c12 AS BIGINT) AS c12, ctx.c1,
+                ctx.n1_fwd, prec.n1_prec,
+                round(greatest(bi.c12 - 0.75, 0.0) / ctx.c1
+                      + ((0.75 * ctx.n1_fwd) / ctx.c1)
+                        * (prec.n1_prec / total.nb), 9) AS p_kn
+         FROM bi JOIN ctx USING (w1) JOIN prec USING (w2), total
          ORDER BY c12 DESC, pair ASC LIMIT 50""",
     "t_bpe_pairs" ->
       """WITH grams AS (

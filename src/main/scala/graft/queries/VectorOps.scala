@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -126,6 +126,53 @@ object VectorOps {
       mrl.join(full.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cosine_mrl"),
           coalesce(col("hit"), lit(0L)).as("in_full_top10"))
+    }),
+    "v_knn_binary" -> ((s, dir) => {
+      // Binary (sign-bit) quantization retrieval — the 1-bit end of the
+      // compression ladder this inventory already walks (float32 →
+      // v_quantize_int8 → v_knn_pq → here): code_i = [x_i > 0], Hamming
+      // distance as the coarse score, exact decimal-cosine rerank of the
+      // top-50 Hamming candidates. The production recipe behind
+      // binary-embedding serving (Faiss binary indexes; sign-random-
+      // projection LSH, Charikar STOC'02 — for unit-ish vectors Hamming
+      // distance is a monotone proxy for angle): 64 dims pack into two
+      // 32-bit words = 8 bytes/vector vs 256 for float32 — a 32× smaller
+      // candidate scan whose xor+bit_count is a handful of ALU ops, fused
+      // into whole-stage codegen (integer lambda folds, no shuffle). At
+      // 100 TB the code column is the STORED candidate structure (the
+      // IvfIndex persistence precedent applies verbatim) and full-precision
+      // vectors are fetched only for the bounded rerank set. Determinism:
+      // codes are integer folds of exact float sign tests, Hamming is an
+      // integer (rank-50 boundary tie-breaks on vec_id — no last-ULP
+      // hazard, unlike v_knn_refine's margined double boundary), and the
+      // rerank orders by the unrounded decimal-exact cosine.
+      val e = emb(s, dir)
+      def word(lo: Int): Column = expr(
+        s"""aggregate(transform(slice(embedding, $lo, 32),
+              (x, i) -> IF(CAST(x AS DOUBLE) > 0D,
+                           shiftleft(CAST(1 AS BIGINT), i),
+                           CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (a, b) -> a + b)""")
+      val codes = e.select(col("vec_id"), col("embedding"),
+        word(1).as("c_lo"), word(33).as("c_hi"))
+      // 1-row driver scalar (the knnBrute query-vector pattern)
+      val qRow = codes.filter(col("vec_id") === 0L)
+        .select("c_lo", "c_hi", "embedding").take(1).head
+      val (qLo, qHi) = (qRow.getLong(0), qRow.getLong(1))
+      val qVec: Seq[Float] = qRow.getSeq[Float](2)
+      val cand = codes.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("embedding"),
+          (bit_count(col("c_lo").bitwiseXOR(lit(qLo)))
+            + bit_count(col("c_hi").bitwiseXOR(lit(qHi)))).cast("int")
+            .as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(50)
+      cand.select(col("vec_id"), col("hamming"),
+          Similarity.cosineToQuery(col("embedding"), qVec).as("c_raw"))
+        .orderBy(col("c_raw").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("hamming"),
+          round(col("c_raw"), 6).as("cosine"))
     }),
     "v_pca" -> ((s, dir) => {
       // top principal component by POWER ITERATION (Golub & Van Loan;
@@ -1246,6 +1293,45 @@ object VectorOps {
                 CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
                   AS in_full_top10
          FROM mrl m LEFT JOIN fullk f USING (vec_id)""",
+    "v_knn_binary" ->
+      // the identical two-word sign codes (generate_subscripts replays
+      // Spark's 0-based transform index as 1-based i → bit (i-1); the
+      // per-word sum of distinct powers of two equals the bitwise OR),
+      // integer Hamming top-50, then the shared brute-force decimal rerank
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         bits AS (
+           SELECT vec_id, w,
+             CAST(sum(CASE WHEN CAST(x AS DOUBLE) > 0
+                           THEN CAST(1 AS BIGINT) << (i - 1)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS code
+           FROM (
+             SELECT vec_id, 0 AS w, unnest(embedding[1:32]) AS x,
+                    generate_subscripts(embedding[1:32], 1) AS i
+             FROM embeddings
+             UNION ALL
+             SELECT vec_id, 1 AS w, unnest(embedding[33:64]) AS x,
+                    generate_subscripts(embedding[33:64], 1) AS i
+             FROM embeddings)
+           GROUP BY 1, 2),
+         codes AS (
+           SELECT vec_id,
+                  max(CASE WHEN w = 0 THEN code END) AS c_lo,
+                  max(CASE WHEN w = 1 THEN code END) AS c_hi
+           FROM bits GROUP BY 1),
+         qc AS (SELECT c_lo AS q_lo, c_hi AS q_hi FROM codes WHERE vec_id = 0),
+         cand AS (
+           SELECT c.vec_id,
+                  CAST(bit_count(xor(c.c_lo, qc.q_lo))
+                     + bit_count(xor(c.c_hi, qc.q_hi)) AS INTEGER) AS hamming
+           FROM codes c, qc WHERE c.vec_id <> 0
+           ORDER BY hamming ASC, c.vec_id ASC LIMIT 50),
+         ${accumSql("embeddings")}
+         SELECT d.vec_id, cand.hamming,
+                round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6)
+                  AS cosine
+         FROM d JOIN cand ON d.vec_id = cand.vec_id, qn
+         ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC,
+                  d.vec_id ASC LIMIT 10""",
     "v_pca" ->
       // the identical three stages unrolled: decimal-exact per-dimension
       // means, the centered Gram matrix via a vec_id self-join (the oracle

@@ -23,9 +23,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_scalar_subquery", // 1-row scalar aggregate broadcast
     "t_freq_quality", // 1-row corpus-size frame broadcast
     "t_ngram_lm", // 1-row vocab-total broadcast
+    "t_kn_lm", // 1-row bigram-type-total broadcast (the t_ngram_lm pattern)
     "t_lm_quality", // same 1-row vocab-total broadcast as t_ngram_lm
     "t_ccnet_bucket", // the t_lm_quality chain (1-row vocab-total broadcast)
     "g_triangles", // three 1-row census aggregates composed
+    "g_butterflies", // two 1-row census aggregates composed (same pattern)
     // (g_kcore's 1-row threshold broadcast is inside localCheckpoint-
     // truncated rounds — the audited final plan is checkpoint-scan + agg)
     "q_dq_report", // RI check: two 1-row count aggregates composed

@@ -389,4 +389,147 @@ class CurationOpsSpec extends AnyFunSuite {
     assert((1 to 3).forall(r => expTotals(r) >= expTotals(r - 1)))
     assert(got(3)._2 == 1.0)
   }
+
+  test("v_knn_binary: codes match a JVM sign-pack; Hamming-50 cut respected") {
+    // independent two-word sign packing + Long.bitCount Hamming in plain
+    // Scala — different machinery from both the Spark lambda fold and the
+    // DuckDB unnest/sum oracle, so agreement pins the semantics, not just
+    // cross-engine consistency
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pack(v: Array[Float], off: Int): Long =
+      (0 until 32).map(i => if (v(off + i) > 0) 1L << i else 0L).sum
+    val q0 = e.find(_._1 == 0L).get._2
+    val (qLo, qHi) = (pack(q0, 0), pack(q0, 32))
+    val ham: Map[Long, Int] = e.filter(_._1 != 0L).map { case (id, v) =>
+      id -> (java.lang.Long.bitCount(pack(v, 0) ^ qLo) +
+             java.lang.Long.bitCount(pack(v, 32) ^ qHi))
+    }.toMap
+    val cutSet = ham.toSeq.sortBy { case (id, h) => (h, id) }
+      .take(50).map(_._1).toSet
+    val got = q("v_knn_binary").collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(cutSet(id), s"vec $id outside the deterministic Hamming-50 cut")
+      assert(r.getInt(1) == ham(id),
+        s"vec $id: hamming ${r.getInt(1)} != replicated ${ham(id)}")
+    }
+    // rerank contract: rows arrive cosine-desc with vec_id tie-break
+    val cos = got.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("g_butterflies matches a brute-force plain-Scala census") {
+    val inc = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = inc.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val expWedges = byPart.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    // brute pair enumeration per part, then C(cn,2) per supplier pair
+    val cnMap = byPart.values.flatMap { ss =>
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expButterflies = cnMap.values.map(c => c * (c - 1) / 2).sum
+    val r = q("g_butterflies").collect().head
+    assert(r.getLong(0) == expWedges)
+    assert(r.getLong(1) == cnMap.size.toLong)
+    assert(r.getLong(2) == cnMap.values.max)
+    assert(r.getLong(3) == expButterflies)
+  }
+
+  test("g_walks: every hop is an edge, and a replayed walk matches the argmin") {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] =
+      (li ++ li.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val walks = q("g_walks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(walks.size == adj.size, "one walk per node")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    walks.foreach { case (wid, path) =>
+      assert(path.length == 5 && path.head == wid)
+      path.zip(path.tail).zipWithIndex.foreach { case ((u, v), i) =>
+        assert(adj(u).contains(v), s"walk $wid step ${i + 1}: $u->$v not an edge")
+        // the picked hop IS the md5 argmin over u's neighbors
+        val exp = adj(u).map(n => (md5hex(s"$wid:${i + 1}:$n"), n)).min._2
+        assert(v == exp, s"walk $wid step ${i + 1}: picked $v, argmin is $exp")
+      }
+    }
+  }
+
+  test("g_mis: independent, exclusion-justified, and maximal when decided") {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Set[Long]] =
+      (li ++ li.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = q("g_mis").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2))).toMap
+    assert(rows.size == adj.size, "every node carries a decision row")
+    val mis = rows.collect { case (n, (true, _)) => n }.toSet
+    // independence: no edge joins two MIS members
+    li.foreach { case (u, v) =>
+      assert(!(mis(u) && mis(v)), s"adjacent MIS members $u, $v")
+    }
+    rows.foreach { case (n, (inMis, round)) =>
+      if (inMis) assert(round >= 1)
+      else if (round >= 1)
+        // excluded nodes must have a MIS neighbor decided no later
+        assert(adj(n).exists(m => rows(m) match {
+          case (true, mr) => mr <= round
+          case _          => false
+        }), s"excluded node $n has no earlier MIS neighbor")
+      else // undecided: NO decided neighbor may be in the MIS
+        assert(!adj(n).exists(mis), s"undecided node $n already dominated")
+    }
+    // maximality over the decided graph: if nothing is left undecided,
+    // every non-MIS node is dominated — the set is maximal, not just
+    // independent
+    if (!rows.values.exists(_._2 == -1))
+      rows.foreach { case (n, (inMis, _)) =>
+        if (!inMis) assert(adj(n).exists(mis), s"non-MIS node $n undominated")
+      }
+  }
+
+  test("t_kn_lm matches a plain-Scala Kneser–Ney replay; KN < MLE on seen mass") {
+    val texts = graft.Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val tk = t.split(" ", -1); tk.zip(tk.tail).map { case (a, b) => s"$a $b" }
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c12.toSeq.groupBy(_._1.split(" ")(0)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n1f = c12.keys.toSeq.groupBy(_.split(" ")(0)).view
+      .mapValues(_.size.toLong).toMap
+    val n1p = c12.keys.toSeq.groupBy(_.split(" ")(1)).view
+      .mapValues(_.size.toLong).toMap
+    val nb = c12.size.toLong
+    val got = q("t_kn_lm").collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val pair = r.getString(0); val Array(w1, w2) = pair.split(" ")
+      assert(r.getLong(1) == c12(pair) && r.getLong(2) == c1(w1))
+      assert(r.getLong(3) == n1f(w1) && r.getLong(4) == n1p(w2))
+      val exp = math.max(c12(pair) - 0.75, 0.0) / c1(w1) +
+        ((0.75 * n1f(w1)) / c1(w1)) * (n1p(w2).toDouble / nb)
+      assert(math.abs(r.getDouble(5) - exp) < 1e-9, s"$pair: p_kn off")
+      // the discount redistributes correctly: KN < MLE exactly when the
+      // pair's continuation weight is below average (N1f·N1p < Nb) —
+      // P_KN − MLE = (D/c1)·(N1f·N1p/Nb − 1), so the sign is an exact
+      // integer test
+      val mle = c12(pair).toDouble / c1(w1)
+      if (n1f(w1) * n1p(w2) < nb)
+        assert(r.getDouble(5) < mle + 1e-12, s"$pair: KN should discount")
+      else if (n1f(w1) * n1p(w2) > nb)
+        assert(r.getDouble(5) > mle - 1e-12, s"$pair: KN should boost")
+    }
+  }
 }

@@ -68,7 +68,8 @@ object Plans {
       "t_bpe_train", "g_harmonic", "g_eff_diameter",
       // round-10 third wave: binary-quantization retrieval, the bipartite
       // butterfly census, the random-walk corpus, Luby's MIS
-      "v_knn_binary", "g_butterflies", "g_walks", "g_mis")
+      "v_knn_binary", "g_butterflies", "g_walks", "g_mis",
+      "t_kn_lm", "t_bm25")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(

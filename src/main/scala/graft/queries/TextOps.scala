@@ -580,6 +580,47 @@ object TextOps {
         .orderBy(col("c12").desc, col("pair").asc)
         .limit(50)
     }),
+    "t_bm25" -> ((s, dir) => {
+      // Okapi BM25 scoring (Robertson & Spärck Jones; the BM25 of
+      // Robertson et al. TREC-3) — THE lexical retrieval baseline every
+      // hybrid (sparse+dense) serving stack still runs next to ANN:
+      // score(d) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen)),
+      // k1 = 1.2, b = 0.75, query = {hash, merge, vector}. Determinism
+      // substitution (the t_dsir precedent, recorded here): idf is the
+      // RSJ odds (N−df+0.5)/(df+0.5) WITHOUT the log — libm ln is not
+      // bit-identical cross-engine; the odds stay monotone in df so the
+      // per-term score keeps BM25's shape, and the oracle replays the
+      // identical formula. Plan: tf = one explode filtered to the 3
+      // query terms (the filter fuses into the generator — the corpus
+      // never explodes for non-query tokens), df reduces off the tf
+      // frame, corpus stats (N, decimal Σlen) are a 1-row broadcast; the
+      // per-(doc,term) score is one fixed IEEE chain cast to
+      // DECIMAL(28,16) so the per-doc sum over matched terms is
+      // order-independent. Top-20 by unrounded score, doc_id tie-break.
+      val qTerms = Seq("hash", "merge", "vector")
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("len", size(col("toks")))
+      val stats = d.agg(count(lit(1)).as("n_docs"),
+        sum(col("len").cast(DecimalType(28, 6))).cast("double").as("sum_len"))
+      val tf = d.select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+        .groupBy("doc_id", "len", "tok").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(dfr, "tok").crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("len") / (col("sum_len") / col("n_docs")))))
+            .cast(DecimalType(28, 16)).as("term_score"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("term_score")).cast("double").as("sc"))
+        .orderBy(col("sc").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("n_terms"), round(col("sc"), 6).as("score"))
+    }),
     "t_kn_lm" -> ((s, dir) => {
       // interpolated Kneser–Ney bigram smoothing (Kneser & Ney ICASSP'95;
       // Chen & Goodman CSL'99 crowned it the best-performing n-gram
@@ -1656,6 +1697,34 @@ object TextOps {
                 round((sp.c12 + 1.0) / (ctx.c1 + v.v), 9) AS p
          FROM sp JOIN ctx USING (w1), v
          ORDER BY c12 DESC, pair ASC LIMIT 50""",
+    "t_bm25" ->
+      // identical tf/df/stats reductions and the identically-parenthesized
+      // IEEE chain; the per-term score casts to DECIMAL(28,16) before the
+      // per-doc sum so accumulation order cannot matter
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS len
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs,
+                          CAST(sum(CAST(len AS DECIMAL(28,6))) AS DOUBLE)
+                            AS sum_len
+                   FROM d),
+         tf AS (SELECT doc_id, len, tok, count(*) AS tf
+                FROM (SELECT doc_id, len, unnest(toks) AS tok FROM d)
+                WHERE tok IN ('hash', 'merge', 'vector')
+                GROUP BY 1, 2, 3),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         ts AS (SELECT doc_id,
+                  CAST((n_docs - df + 0.5) / (df + 0.5)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * len / (sum_len / n_docs)))
+                    AS DECIMAL(28,16)) AS term_score
+                FROM tf JOIN dfx USING (tok), stats)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                round(CAST(sum(term_score) AS DOUBLE), 6) AS score
+         FROM ts GROUP BY 1
+         ORDER BY CAST(sum(term_score) AS DOUBLE) DESC, doc_id ASC
+         LIMIT 20""",
     "t_kn_lm" ->
       // the identical four integer statistics off one bigram frame and the
       // identically-parenthesized IEEE chain (D = 0.75 exactly

@@ -532,4 +532,32 @@ class CurationOpsSpec extends AnyFunSuite {
         assert(r.getDouble(5) > mle - 1e-12, s"$pair: KN should boost")
     }
   }
+
+  test("t_bm25 matches a plain-Scala BM25 replay on the same query") {
+    val qTerms = Seq("hash", "merge", "vector")
+    val docsArr = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docsArr.length.toLong
+    val avgLen = docsArr.map(_._2.length.toDouble).sum / n
+    val df = qTerms.map(t =>
+      t -> docsArr.count(_._2.contains(t)).toLong).toMap
+    val exp = docsArr.map { case (id, toks) =>
+      val score = qTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else (n - df(t) + 0.5) / (df(t) + 0.5) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * toks.length / avgLen))
+      }.sum
+      (id, score)
+    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = q("t_bm25").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case ((gid, gsc), (eid, esc)) =>
+      assert(gid == eid, s"rank order: got $gid, expected $eid")
+      // replay uses a naive double avg + unordered sum — 1e-6 agreement
+      // pins the formula, the oracle hash pins the exact bits
+      assert(math.abs(gsc - esc) < 1e-6, s"doc $gid: $gsc vs $esc")
+    }
+  }
 }

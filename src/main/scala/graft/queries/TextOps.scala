@@ -1023,6 +1023,66 @@ object TextOps {
     // twice — once per CC algorithm, both against the SAME oracle: the
     // O(diameter) propagation and the O(log^2 n) star-rewriting must be
     // indistinguishable in output.
+    "d_dbscan" -> ((s, dir) => {
+      // DBSCAN (Ester et al. KDD'96) over the SimHash Hamming metric —
+      // density-based near-dup clustering with an explicit NOISE class,
+      // which min-label components cannot express (components merge every
+      // chain; DBSCAN's core/border split stops chains at sparse links —
+      // the curation semantics when a near-dup "bridge" doc should not
+      // glue two big clusters). ε-neighborhood = Hamming ≤ 2 on the
+      // 32-bit SimHash, via a PIGEONHOLE-COMPLETE 3-band candidate join
+      // (bits 21-31 / 10-20 / 0-9: two flipped bits touch ≤ 2 bands, so
+      // every qualifying pair shares ≥ 1 exact band key — a bucketed
+      // equality join, never corpus², and provably lossless unlike the
+      // top-byte LSH block of d_simhash_pairs). core = ≥ 2 neighbors
+      // (minPts 3 counting self); clusters = connected components over
+      // CORE–CORE edges only (the Components operator); border docs
+      // attach to the min cluster id among their core neighbors
+      // (deterministic stand-in for DBSCAN's arbitrary first-reached
+      // assignment); everything else is noise (cluster −1). All
+      // decisions are integer tests — no FP anywhere.
+      val d = docs(s, dir)
+      val sh = TextDedup.simhash(d, "doc_id", "text").localCheckpoint()
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("bi"), expr("shiftright(simhash, 21)").as("bk")),
+          struct(lit(1).as("bi"), expr("shiftright(simhash, 10) & 2047").as("bk")),
+          struct(lit(2).as("bi"), expr("simhash & 1023").as("bk")))).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.bi"), col("b.bk"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast(IntegerType)
+            .as("hamming"))
+        .filter(col("hamming") <= 2)
+        .dropDuplicates("doc_a", "doc_b")
+        .localCheckpoint()
+      val nbrs = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"))
+        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nb")))
+      val core = nbrs.groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("doc_id").localCheckpoint()
+      val ccEdges = pairs
+        .join(core.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(core.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      val comp = Components.connectedComponents(ccEdges, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      val coreLab = core.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .localCheckpoint()
+      val borderLab = nbrs
+        .join(coreLab.withColumnRenamed("doc_id", "nb")
+          .withColumnRenamed("cluster_id", "nb_cluster"), Seq("nb"))
+        .join(core, Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(min("nb_cluster").as("cluster_id"))
+      val labeled = coreLab.withColumn("role", lit("core"))
+        .union(borderLab.withColumn("role", lit("border")))
+      d.select("doc_id").join(labeled, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("role"), lit("noise")).as("role"),
+          coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+    }),
     "d_dedup_clusters" -> ((s, dir) =>
       clustersVia(s, dir, Components.connectedComponents(_, _, _))),
     "d_clusters_stars" -> ((s, dir) =>
@@ -2078,6 +2138,60 @@ object TextOps {
     // scale; the engine side never materializes reachability — it
     // min-label-propagates in O(diameter) joins). d_clusters_stars runs
     // the large/small-star algorithm against the identical oracle.
+    "d_dbscan" ->
+      // identical simhash block, the 3-band pigeonhole candidate join,
+      // integer core test, min-reach components over core-core edges
+      // (the clustersCteSql recursion), min-cluster border attach
+      """WITH RECURSIVE tok AS (SELECT doc_id, tok, count(*) AS cnt
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                      GROUP BY 1, 2),
+         bits AS (SELECT doc_id, j,
+                         sum(CASE WHEN substr(md5(tok), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                                  THEN cnt ELSE -cnt END) AS s
+                  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js GROUP BY 1, 2),
+         sh AS MATERIALIZED (
+           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY 1),
+         bnd AS (SELECT doc_id, simhash, 0 AS bi, simhash >> 21 AS bk FROM sh
+                 UNION ALL
+                 SELECT doc_id, simhash, 1, (simhash >> 10) & 2047 FROM sh
+                 UNION ALL
+                 SELECT doc_id, simhash, 2, simhash & 1023 FROM sh),
+         prs AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bnd a JOIN bnd b
+             ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         nbrs AS (SELECT doc_a AS doc_id, doc_b AS nb FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+         core AS MATERIALIZED (
+           SELECT doc_id FROM (SELECT doc_id, count(*) AS deg FROM nbrs GROUP BY 1)
+           WHERE deg >= 2),
+         ce AS (SELECT doc_a, doc_b FROM prs
+                WHERE doc_a IN (SELECT doc_id FROM core)
+                  AND doc_b IN (SELECT doc_id FROM core)),
+         eds AS (SELECT doc_a AS src, doc_b AS dst FROM ce
+                 UNION SELECT doc_b, doc_a FROM ce),
+         reach AS (SELECT src AS node, src AS comp FROM eds
+                   UNION
+                   SELECT r.node, e.dst AS comp FROM reach r JOIN eds e ON e.src = r.comp),
+         labels AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1),
+         corelab AS MATERIALIZED (
+           SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+           FROM core c LEFT JOIN labels l USING (doc_id)),
+         borderlab AS (
+           SELECT n.doc_id, min(cl.cluster_id) AS cluster_id
+           FROM nbrs n JOIN corelab cl ON n.nb = cl.doc_id
+           WHERE n.doc_id NOT IN (SELECT doc_id FROM core)
+           GROUP BY 1)
+         SELECT d.doc_id,
+                CASE WHEN c.doc_id IS NOT NULL THEN 'core'
+                     WHEN b.doc_id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                COALESCE(c.cluster_id, b.cluster_id, -1) AS cluster_id
+         FROM documents d
+         LEFT JOIN corelab c USING (doc_id)
+         LEFT JOIN borderlab b USING (doc_id)""",
     "d_dedup_clusters" -> clustersOracleSql,
     "d_clusters_stars" -> clustersOracleSql,
     "t_fuzzy_curate" ->

@@ -560,4 +560,40 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(math.abs(gsc - esc) < 1e-6, s"doc $gid: $gsc vs $esc")
     }
   }
+
+  test("d_dbscan matches an all-pairs union-find replay (banded join complete)") {
+    // replay DBSCAN from the engine's own simhashes with ALL-PAIRS
+    // neighbor search + union-find — no banding, no dataflow. Agreement
+    // proves (a) the 3-band pigeonhole join dropped no qualifying pair
+    // and (b) the core/border/noise semantics are right.
+    val sh = graft.operators.TextDedup
+      .simhash(graft.Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs: Map[Long, Seq[Long]] = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a != b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b)).groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val core = nbrs.filter(_._2.size >= 2).keySet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for (c <- core; n <- nbrs(c) if core(n))
+      { val (ra, rb) = (find(c), find(n)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val coreLab = core.map(c => c -> find(c)).toMap
+    val got = q("d_dbscan").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.size == sh.length)
+    sh.foreach { case (id, _) =>
+      val (role, cl) = got(id)
+      if (core(id)) {
+        assert(role == "core", s"$id: expected core, got $role")
+        assert(cl == coreLab(id), s"$id: cluster $cl != ${coreLab(id)}")
+      } else if (nbrs.getOrElse(id, Nil).exists(core)) {
+        assert(role == "border", s"$id: expected border, got $role")
+        assert(cl == nbrs(id).filter(core).map(coreLab).min)
+      } else {
+        assert(role == "noise" && cl == -1L, s"$id: expected noise, got $role/$cl")
+      }
+    }
+  }
 }

@@ -1149,19 +1149,22 @@ object GraphOps {
          FROM w, c""",
     "g_walks" ->
       // four unrolled argmin-hash steps: each w_t picks, per walk, the
-      // out-neighbor minimizing md5(walk_id:t:neighbor) via the
-      // min(struct) idiom (md5 first, neighbor id as the deterministic
-      // tie-break); MATERIALIZED per the g_bfs inlining lesson — every
-      // w_t is consumed twice (next step + final union)
+      // out-neighbor minimizing md5(walk_id:t:neighbor) via arg_min —
+      // NOT the min(struct_pack) idiom: DuckDB's struct-min aggregate
+      // balloons to >130 GB and OOMs on the 11.8M-row sf1 edge join
+      // where arg_min finishes in 0.5 s. The argmin is unique without a
+      // tie-break because the hash inputs are distinct within a group
+      // (one frontier node per walk, distinct neighbors). MATERIALIZED
+      // per the g_bfs inlining lesson — every w_t is consumed twice
+      // (next step + final union).
       s"""WITH $edgesSqlLong,
          w0 AS MATERIALIZED (
            SELECT DISTINCT src AS walk_id, src AS node FROM edges),
          ${(1 to 4).map { t =>
            s"""w$t AS MATERIALIZED (
            SELECT f.walk_id,
-                  (min(struct_pack(h := md5(CAST(f.walk_id AS VARCHAR)
-                       || ':$t:' || CAST(e.dst AS VARCHAR)),
-                     d := e.dst))).d AS node
+                  arg_min(e.dst, md5(CAST(f.walk_id AS VARCHAR)
+                       || ':$t:' || CAST(e.dst AS VARCHAR))) AS node
            FROM w${t - 1} f JOIN edges e ON f.node = e.src
            GROUP BY 1)"""
          }.mkString(",\n         ")}

@@ -1065,7 +1065,11 @@ object TextOps {
       val ccEdges = pairs
         .join(core.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
         .join(core.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-      val comp = Components.connectedComponents(ccEdges, "doc_a", "doc_b")
+      // large/small-star, NOT min-label propagation: the dense-replica
+      // core graph at the generated sf1 has label-chain diameter > 30
+      // rounds (measured — propagation hit its round cap); star-rewriting
+      // converges in O(log² n) regardless of chain shape, same labels
+      val comp = Components.connectedComponentsStars(ccEdges, "doc_a", "doc_b")
         .withColumnRenamed("node", "doc_id")
       val coreLab = core.join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),

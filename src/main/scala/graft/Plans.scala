@@ -232,6 +232,64 @@ object Plans {
         "— not a plan at any scale; this is the ANF paper's actual " +
         "headline measurement, and the sketch rounds are the only " +
         "corpus-sized work."),
+      "v_knn_binary" -> ("100× plan: sign codes pack 64 dims into two " +
+        "32-bit words — 8 bytes/vector, a 32× smaller candidate scan than " +
+        "float32 whose xor+bit_count Hamming is a handful of ALU ops fused " +
+        "into whole-stage codegen (integer lambda folds, no shuffle, no " +
+        "join). The rank-50 candidate boundary is an INTEGER with a vec_id " +
+        "tie-break (no last-ULP hazard), and only the bounded candidate " +
+        "set fetches full-precision vectors for the decimal rerank. At " +
+        "scale the code column is the STORED candidate structure (the " +
+        "IvfIndex persistence precedent)."),
+      "g_butterflies" -> ("100× plan: the wedge enumeration is ONE " +
+        "key-equality self-join of the distinct incidence list on the " +
+        "part key (bucketed at scale, never corpus²) with the s1<s2 half " +
+        "cutting the stream in two; map-side-partial counts collapse " +
+        "wedges into the co-part matrix before the exchange, and the " +
+        "census is pure integer C(n,2) sums. Hub-part skew (dp² fan-out) " +
+        "takes the published degree-ordering mitigation — a degree cap " +
+        "slots in as a pre-join filter, the TextDedup prefix-df-cap " +
+        "pattern. sf1 measured: 4.5× on 10× data (wedge stream ∝ Σ dp²)."),
+      "g_walks" -> ("100× plan: one walk per node, next hop = argmin of " +
+        "md5(walk_id:step:neighbor) — the hash IS the RNG, so there is " +
+        "no generator state to coordinate across 1000 executors and the " +
+        "corpus is reproducible run-to-run. Per step ONE frontier⋈edges " +
+        "join on fixed-width longs + a map-side-combined min(struct) " +
+        "argmin; state is O(walks), never O(edges); sf1 measured 2.6× on " +
+        "10× data. Oracle-side lesson recorded: DuckDB's struct-min " +
+        "aggregate OOM'd at 130 GB where arg_min runs in 0.5 s."),
+      "g_mis" -> ("100× plan: Luby's round = one md5 priority projection " +
+        "fused into the scan, one edges⋈priorities key-equality join + " +
+        "map-side min per node, two anti joins — all on the UNDECIDED " +
+        "frontier, which shrinks by an expected constant factor per " +
+        "round (measured: 1.2× cost on 10× data because the frontier " +
+        "collapses after round 1). Independence holds by construction " +
+        "every round (adjacent local minima are impossible), so a " +
+        "truncated run is still a valid independent set."),
+      "t_kn_lm" -> ("100× plan: all four Kneser–Ney statistics (c12, " +
+        "c1, N1+fwd, N1+prec) reduce from ONE checkpointed map-side-" +
+        "combined bigram frame — no second corpus pass; the bigram-type " +
+        "total is a 1-row broadcast; P is a fixed IEEE chain over exact " +
+        "integers evaluated per model row (model-sized, not corpus-" +
+        "sized). The model table at web scale shards on w1 like any " +
+        "aggregate."),
+      "t_bm25" -> ("100× plan: the query-term filter sits INSIDE the " +
+        "explode generator, so the corpus never materializes non-query " +
+        "tokens; df reduces off the already-tiny tf frame; corpus stats " +
+        "(N, decimal Σlen) broadcast as one row; the per-(doc,term) " +
+        "score casts to DECIMAL(28,16) so the per-doc sum is order-" +
+        "independent at any parallelism. Zero corpus-sized shuffles — " +
+        "the scan dominates, which is why BM25 is THE production " +
+        "lexical filter."),
+      "d_dbscan" -> ("100× plan: the ε-neighborhood (Hamming ≤ 2) comes " +
+        "from a PIGEONHOLE-COMPLETE 3-band candidate join — 11/11/10-bit " +
+        "band keys, a bucketed equality join that provably drops no " +
+        "qualifying pair (spec: all-pairs union-find replay) — never " +
+        "corpus²; core/border/noise are integer tests; clusters run " +
+        "large/small-star over CORE-CORE edges only (min-label " +
+        "propagation exceeded 30 rounds on the sf1 replica corpus's " +
+        "33.7k-doc cluster; star-rewriting is O(log² n) regardless of " +
+        "chain shape). sf1 measured 1.8× on 10× data."),
       "g_lpa" -> ("100× plan: per round one edge-sized join + two " +
         "map-side-combined hash aggregates; the edge frame is " +
         "checkpointed ONCE per query (round 10 — previously each round " +

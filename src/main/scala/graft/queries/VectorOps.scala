@@ -838,6 +838,32 @@ object VectorOps {
       Similarity.knnBatch(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
+    "v_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining for contrastive retrieval training (DPR,
+      // Karpukhin et al. EMNLP'20; ANCE, Xiong et al. ICLR'21 — the
+      // negatives that actually move a dual-encoder's loss are the
+      // most-similar items with a DIFFERENT label, not random ones, and
+      // mining them is a full-corpus retrieval pass per training batch —
+      // a pipeline op, not a serving op). Same one-corpus-pass shape as
+      // v_knn_batch (8 broadcast queries, decimal-exact cosine, per-query
+      // top-5 through the two-phase TopKPerKey heap) with the label-
+      // mismatch test fused into the scan stage BEFORE the heap, so a
+      // query surrounded by same-label near-dups still yields k true
+      // negatives instead of a truncated list.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qv"), col("label").as("qlabel"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id")
+          && col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          Similarity.cosineCols(col("embedding"), col("qv")).as("c_raw"))
+      org.apache.spark.sql.GraftPlanBridge.topKPerKey(scored,
+          Seq("query_id"), Seq("c_raw" -> false, "vec_id" -> true), 5)
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(col("c_raw"), 6).as("cosine"))
+    }),
     "v_kcenter" -> ((s, dir) => {
       // greedy k-center / farthest-point selection (Gonzalez, TCS 1985 —
       // the 2-approximation every coreset/data-pruning pipeline uses to
@@ -1759,6 +1785,28 @@ object VectorOps {
                     ORDER BY dot/greatest(sqrt(n2)*sqrt(q2), 1e-12) DESC, vec_id ASC) AS rn
                 FROM d JOIN qn USING (query_id))
          SELECT query_id, vec_id, round(c, 6) AS cosine
+         FROM sc WHERE rn <= 5""",
+    "v_hard_negatives" ->
+      // the v_knn_batch replay with the label-mismatch filter applied
+      // before the rank, mirroring the engine's pre-heap filter
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                    FROM embeddings WHERE vec_id < 8),
+         u AS (SELECT q.query_id, e.vec_id, e.label, unnest(e.embedding) AS x, unnest(q.qe) AS y
+               FROM embeddings e CROSS JOIN q
+               WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+         d AS (SELECT query_id, vec_id, label,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+               FROM u GROUP BY 1, 2, 3),
+         qn AS (SELECT query_id,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS q2
+                FROM (SELECT query_id, unnest(qe) AS y FROM q) GROUP BY 1),
+         sc AS (SELECT d.query_id, vec_id, label,
+                  dot/greatest(sqrt(n2)*sqrt(q2), 1e-12) AS c,
+                  row_number() OVER (PARTITION BY d.query_id
+                    ORDER BY dot/greatest(sqrt(n2)*sqrt(q2), 1e-12) DESC, vec_id ASC) AS rn
+                FROM d JOIN qn USING (query_id))
+         SELECT query_id, vec_id, label, round(c, 6) AS cosine
          FROM sc WHERE rn <= 5""",
     "v_neardup" ->
       """WITH blocked AS (

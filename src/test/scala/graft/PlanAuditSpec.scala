@@ -41,6 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tpch_q11", // 1-row nation-total (value, part-count) aggregate broadcast
     "q_kmv_overlap", // event-type dim broadcast (~8 rows) into sketch pairs
     "v_knn_batch", // corpus x broadcast(8-query serving batch)
+    "v_hard_negatives", // corpus x broadcast(8-query mining batch)
     "t_dsir", // 1-row (Tt, Tr) model-total aggregate broadcast
     "v_knn_refine") // 1-row rank-50-score aggregate broadcast (the margined
     // stage boundary: every candidate within 1e-9 of the 50th coarse score)

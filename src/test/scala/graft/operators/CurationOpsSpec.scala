@@ -561,6 +561,35 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("v_hard_negatives: different-label only, and exactly the top-5 by cosine") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.max(math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum), 1e-12)
+    }
+    val byQ = q("v_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(byQ.keySet == (0L to 7L).toSet)
+    byQ.foreach { case (qid, rows) =>
+      val (qv, qlab) = e.find(_._1 == qid).map(t => (t._2, t._3)).get
+      assert(rows.length == 5)
+      rows.foreach { case (_, _, lab, _) => assert(lab != qlab) }
+      // plain-double replay of the top-5 different-label ids (1e-9 rank
+      // margin guards replay-vs-decimal last-ULP order flips)
+      val exp = e.filter(t => t._1 != qid && t._3 != qlab)
+        .map(t => (t._1, cos(qv, t._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      rows.sortBy(r => (-r._4, r._2)).zip(exp).foreach {
+        case ((_, gid, _, gc), (eid, ec)) =>
+          assert(gid == eid || math.abs(gc - ec) < 1e-6,
+            s"q$qid: got $gid ($gc), replay says $eid ($ec)")
+      }
+    }
+  }
+
   test("d_dbscan matches an all-pairs union-find replay (banded join complete)") {
     // replay DBSCAN from the engine's own simhashes with ALL-PAIRS
     // neighbor search + union-find — no banding, no dataflow. Agreement

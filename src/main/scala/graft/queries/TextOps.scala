@@ -580,6 +580,69 @@ object TextOps {
         .orderBy(col("c12").desc, col("pair").asc)
         .limit(50)
     }),
+    "t_span_corrupt" -> ((s, dir) => {
+      // T5 span corruption (Raffel et al., JMLR'20 §3.1.4 — the
+      // denoising objective's DATA step: mask ~15% of tokens in
+      // multi-token spans, replace each masked span with one sentinel in
+      // the input, and emit sentinel+span pairs as the target). Fixed
+      // span length 3 stands in for T5's mean-3 span sampling, and the
+      // mask decision is md5(doc_id:span) fraction < 0.15 — the hash is
+      // the RNG (the t_sample_split / g_walks rationale): masking is
+      // per-(doc,span) independent, reproducible across 1000 executors,
+      // and needs no generator state. Threshold 2516582 = ⌊0.15·16⁶⌋
+      // over the first 6 md5 hex digits — a pure integer test. Sentinel
+      // ordinals <Xk> come from a per-doc row_number over masked spans;
+      // input/target render via order-preserving reassembly (the
+      // d_dedup_cut idiom: sort-by-position collect, concat_ws) and ship
+      // as md5 fingerprints (the t_render_sft lineage pattern — one
+      // changed token or lost sentinel fails the hash gate). Everything
+      // is one doc_id-partitioned shuffle; the rendering fuses into the
+      // final aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val ex = docs(s, dir)
+        .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+        .withColumn("span", expr("pos div 3"))
+        .withColumn("masked",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("span").cast("string"))), 1, 6), 16, 10).cast("long")
+            < lit(2516582L))
+        .localCheckpoint()
+      val spanOrd = ex.filter(col("masked"))
+        .select("doc_id", "span").distinct()
+        .withColumn("k", row_number().over(
+          Window.partitionBy("doc_id").orderBy("span")))
+      val withK = ex.join(spanOrd, Seq("doc_id", "span"), "left")
+      val inputAgg = withK
+        .filter(!col("masked") || col("pos") % 3 === 0)
+        .select(col("doc_id"), col("pos"),
+          when(col("masked"), concat(lit("<X"), col("k"), lit(">")))
+            .otherwise(col("tok")).as("item"))
+        .groupBy("doc_id")
+        .agg(md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("item")))),
+          x => x.getField("item")))).as("input_md5"))
+      val targetAgg = withK.filter(col("masked"))
+        .select(col("doc_id"), col("pos"), col("span"),
+          when(col("pos") % 3 === 0,
+            concat(lit("<X"), col("k"), lit("> "), col("tok")))
+            .otherwise(col("tok")).as("item"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens_masked"),
+          countDistinct(col("span")).as("n_spans_masked"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("item")))),
+            x => x.getField("item")))).as("target_md5"))
+      docs(s, dir).select("doc_id")
+        .join(inputAgg, Seq("doc_id"))
+        .join(targetAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans_masked"), lit(0L)).as("n_spans_masked"),
+          coalesce(col("n_tokens_masked"), lit(0L)).as("n_tokens_masked"),
+          col("input_md5"),
+          coalesce(col("target_md5"),
+            lit("d41d8cd98f00b204e9800998ecf8427e")).as("target_md5"))
+    }),
     "t_bm25" -> ((s, dir) => {
       // Okapi BM25 scoring (Robertson & Spärck Jones; the BM25 of
       // Robertson et al. TREC-3) — THE lexical retrieval baseline every
@@ -1761,6 +1824,48 @@ object TextOps {
                 round((sp.c12 + 1.0) / (ctx.c1 + v.v), 9) AS p
          FROM sp JOIN ctx USING (w1), v
          ORDER BY c12 DESC, pair ASC LIMIT 50""",
+    "t_span_corrupt" ->
+      // identical md5-fraction masking, sentinel ordinals, and
+      // order-preserving input/target rendering; string_agg(ORDER BY pos)
+      // replays the sort-by-position collect
+      """WITH ex AS MATERIALIZED (
+           SELECT doc_id, i - 1 AS pos, tok, (i - 1) // 3 AS span,
+                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST((i - 1) // 3 AS VARCHAR)), 1, 6))::BIGINT
+                    < 2516582) AS masked
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                        generate_subscripts(string_split(text, ' '), 1) AS i
+                 FROM documents)),
+         spanord AS (
+           SELECT doc_id, span,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY span) AS k
+           FROM (SELECT DISTINCT doc_id, span FROM ex WHERE masked)),
+         withk AS (SELECT e.*, s.k FROM ex e
+                   LEFT JOIN spanord s USING (doc_id, span)),
+         inp AS (
+           SELECT doc_id, md5(string_agg(item, ' ' ORDER BY pos)) AS input_md5
+           FROM (SELECT doc_id, pos,
+                   CASE WHEN masked THEN '<X' || CAST(k AS VARCHAR) || '>'
+                        ELSE tok END AS item
+                 FROM withk WHERE NOT masked OR pos % 3 = 0)
+           GROUP BY 1),
+         tgt AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_masked,
+                  CAST(count(DISTINCT span) AS BIGINT) AS n_spans_masked,
+                  md5(string_agg(item, ' ' ORDER BY pos)) AS target_md5
+           FROM (SELECT doc_id, pos, span,
+                   CASE WHEN pos % 3 = 0
+                        THEN '<X' || CAST(k AS VARCHAR) || '> ' || tok
+                        ELSE tok END AS item
+                 FROM withk WHERE masked)
+           GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(t.n_spans_masked, 0) AS n_spans_masked,
+                COALESCE(t.n_tokens_masked, 0) AS n_tokens_masked,
+                i.input_md5,
+                COALESCE(t.target_md5, md5('')) AS target_md5
+         FROM documents d JOIN inp i USING (doc_id)
+         LEFT JOIN tgt t USING (doc_id)""",
     "t_bm25" ->
       // identical tf/df/stats reductions and the identically-parenthesized
       // IEEE chain; the per-term score casts to DECIMAL(28,16) before the

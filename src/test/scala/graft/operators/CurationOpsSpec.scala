@@ -561,6 +561,43 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t_span_corrupt matches a plain-Scala corruption replay") {
+    def md5hex2(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docsArr = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val got = q("t_span_corrupt").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(got.size == docsArr.length)
+    var totTok = 0L; var totMasked = 0L
+    docsArr.foreach { case (id, toks) =>
+      def masked(span: Long): Boolean =
+        java.lang.Long.parseLong(md5hex2(s"$id:$span").take(6), 16) < 2516582L
+      val items = toks.zipWithIndex.map { case (t, p) => (p, p / 3, t) }
+      val mSpans = items.map(_._2.toLong).distinct.filter(masked).sorted
+      val kOf = mSpans.zipWithIndex.map { case (sp, i) => sp -> (i + 1) }.toMap
+      val input = items.flatMap { case (p, sp, t) =>
+        if (!masked(sp)) Some(t)
+        else if (p % 3 == 0) Some(s"<X${kOf(sp)}>") else None
+      }.mkString(" ")
+      val target = items.filter { case (_, sp, _) => masked(sp) }
+        .map { case (p, sp, t) =>
+          if (p % 3 == 0) s"<X${kOf(sp)}> $t" else t }.mkString(" ")
+      val nTokMasked = items.count { case (_, sp, _) => masked(sp) }
+      val (gs, gt, gi, gtm) = got(id)
+      assert(gs == mSpans.length && gt == nTokMasked.toLong, s"doc $id counts")
+      assert(gi == md5hex2(input), s"doc $id input render")
+      assert(gtm == md5hex2(target), s"doc $id target render")
+      totTok += toks.length; totMasked += nTokMasked
+    }
+    // the mask rate lands near the designed 15% (hash uniformity)
+    val rate = totMasked.toDouble / totTok
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate out of band")
+  }
+
   test("v_hard_negatives: different-label only, and exactly the top-5 by cosine") {
     val e = graft.Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding", "label").collect()

@@ -580,6 +580,55 @@ object TextOps {
         .orderBy(col("c12").desc, col("pair").asc)
         .limit(50)
     }),
+    "t_render_dpo" -> ((s, dir) => {
+      // DPO preference-pair construction (Rafailov et al., NeurIPS'23 —
+      // the data step of direct preference optimization: each training
+      // record is a (prompt, chosen, rejected) triple; here the pair per
+      // SOURCE is its best-vs-worst doc under the hashed-linear quality
+      // classifier, the production stand-in for a reward model). The
+      // per-doc score is t_classifier_score's integer w_sum (order-
+      // independent, bit-exact); chosen = argmax (ties → smallest
+      // doc_id, via max(struct(w_sum, −doc_id))), rejected = argmin
+      // (ties → smallest doc_id); margin = score gap (the DPO implicit-
+      // reward margin a pipeline logs per pair). Rendering follows the
+      // t_render_sft lineage pattern — markers + md5 fingerprint, so a
+      // template or pairing drift fails the hash gate. Plan: one scan
+      // scores every doc (the lambda fuses into codegen), one source-key
+      // aggregate picks both ends, two id-equality joins fetch the texts.
+      def bucket(t: Column): Column =
+        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
+      def weight(t: Column): Column =
+        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
+          16, 10).cast(LongType) % 2001 - 1000
+      val scored = docs(s, dir)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("w_sum",
+          aggregate(transform(col("toks"), t => weight(t)),
+            lit(0L), (a, x) => a + x))
+        .localCheckpoint() // consumed 3× (pair agg + both text joins)
+      val pairs = scored.groupBy("source").agg(
+          max(struct(col("w_sum"), (-col("doc_id")).as("nd"))).as("mx"),
+          min(struct(col("w_sum"), col("doc_id").as("d"))).as("mn"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("source"),
+          (-col("mx.nd")).as("chosen_doc"), col("mx.w_sum").as("cs"),
+          col("mn.d").as("rejected_doc"), col("mn.w_sum").as("rs"))
+        .filter(col("chosen_doc") =!= col("rejected_doc"))
+      val ch = scored.select(col("doc_id").as("chosen_doc"),
+        col("text").as("ct"), col("toks").as("ctoks"))
+      val rj = scored.select(col("doc_id").as("rejected_doc"),
+        col("text").as("rt"))
+      pairs.join(ch, "chosen_doc").join(rj, "rejected_doc")
+        .withColumn("record",
+          concat(lit("<|prompt|>"), array_join(slice(col("ctoks"), 1, 8), " "),
+            lit("\n<|chosen|>"), col("ct"),
+            lit("\n<|rejected|>"), col("rt"), lit("<|end|>")))
+        .select(col("source"), col("chosen_doc"), col("rejected_doc"),
+          (col("cs") - col("rs")).as("margin"),
+          length(col("record")).as("record_chars"),
+          md5(col("record")).as("record_md5"))
+    }),
     "t_span_corrupt" -> ((s, dir) => {
       // T5 span corruption (Raffel et al., JMLR'20 §3.1.4 — the
       // denoising objective's DATA step: mask ~15% of tokens in
@@ -1824,6 +1873,43 @@ object TextOps {
                 round((sp.c12 + 1.0) / (ctx.c1 + v.v), 9) AS p
          FROM sp JOIN ctx USING (w1), v
          ORDER BY c12 DESC, pair ASC LIMIT 50""",
+    "t_render_dpo" ->
+      // identical hashed-linear scores, the same argmax/argmin structs
+      // (ties → smallest doc_id on both ends), byte-identical rendering
+      """WITH t AS (SELECT doc_id, source, text,
+                           string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, source, text, toks,
+                 CAST(list_aggregate(list_transform(toks,
+                   t -> ('0x' || substr(md5('w' ||
+                          CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % 64
+                               AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000),
+                   'sum') AS BIGINT) AS w_sum
+               FROM t),
+         p AS (SELECT source,
+                 -((max(struct_pack(w := w_sum, nd := -doc_id))).nd)
+                   AS chosen_doc,
+                 (max(struct_pack(w := w_sum, nd := -doc_id))).w AS cs,
+                 (min(struct_pack(w := w_sum, d := doc_id))).d
+                   AS rejected_doc,
+                 (min(struct_pack(w := w_sum, d := doc_id))).w AS rs,
+                 count(*) AS n
+               FROM c GROUP BY 1),
+         r AS (SELECT p.source, p.chosen_doc, p.rejected_doc,
+                      p.cs - p.rs AS margin,
+                      '<|prompt|>' ||
+                        array_to_string(list_slice(ch.toks, 1, 8), ' ') ||
+                        chr(10) || '<|chosen|>' || ch.text ||
+                        chr(10) || '<|rejected|>' || rj.text || '<|end|>'
+                        AS record
+               FROM p
+               JOIN c ch ON p.chosen_doc = ch.doc_id
+               JOIN c rj ON p.rejected_doc = rj.doc_id
+               WHERE p.n >= 2 AND p.chosen_doc <> p.rejected_doc)
+         SELECT source, chosen_doc, rejected_doc, margin,
+                CAST(length(record) AS INTEGER) AS record_chars,
+                md5(record) AS record_md5
+         FROM r""",
     "t_span_corrupt" ->
       // identical md5-fraction masking, sentinel ordinals, and
       // order-preserving input/target rendering; string_agg(ORDER BY pos)

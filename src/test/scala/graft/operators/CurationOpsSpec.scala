@@ -561,6 +561,41 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t_render_dpo: pairs are best-vs-worst per source, render replays byte-for-byte") {
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def wsum(text: String): Long = text.split(" ", -1).map { t =>
+      val bucket = java.lang.Long.parseLong(md5s(t).take(6), 16) % 64
+      java.lang.Long.parseLong(md5s("w" + bucket).take(4), 16) % 2001 - 1000
+    }.sum
+    val bySrc = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2)
+    val got = q("t_render_dpo").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    got.foreach { case (src, (cd, rd, margin, fp)) =>
+      val docsOf = bySrc(src).map(t => (t._1, wsum(t._3), t._3))
+      val exp_c = docsOf.minBy { case (id, w, _) => (-w, id) }
+      val exp_r = docsOf.minBy { case (id, w, _) => (w, id) }
+      assert(cd == exp_c._1 && rd == exp_r._1, s"$src pairing")
+      assert(margin == exp_c._2 - exp_r._2 && margin >= 0)
+      val record = "<|prompt|>" + exp_c._3.split(" ", -1).take(8).mkString(" ") +
+        "\n<|chosen|>" + exp_c._3 + "\n<|rejected|>" + exp_r._3 + "<|end|>"
+      assert(fp == md5s(record), s"$src render drift")
+    }
+    // every source with >= 2 docs and distinct ends is present
+    val expSrcs = bySrc.filter { case (_, ds) =>
+      ds.size >= 2 && {
+        val sc = ds.map(t => (t._1, wsum(t._3)))
+        sc.minBy { case (id, w) => (-w, id) }._1 != sc.minBy { case (id, w) => (w, id) }._1
+      }
+    }.keySet
+    assert(got.keySet == expSrcs)
+  }
+
   test("t_span_corrupt matches a plain-Scala corruption replay") {
     def md5hex2(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -69,7 +69,8 @@ object Plans {
       // round-10 third wave: binary-quantization retrieval, the bipartite
       // butterfly census, the random-walk corpus, Luby's MIS
       "v_knn_binary", "g_butterflies", "g_walks", "g_mis",
-      "t_kn_lm", "t_bm25")
+      "t_kn_lm", "t_bm25", "d_dbscan", "v_hard_negatives",
+      "t_span_corrupt", "t_render_dpo")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -290,6 +291,24 @@ object Plans {
         "propagation exceeded 30 rounds on the sf1 replica corpus's " +
         "33.7k-doc cluster; star-rewriting is O(log² n) regardless of " +
         "chain shape). sf1 measured 1.8× on 10× data."),
+      "v_hard_negatives" -> ("100× plan: one corpus pass answers the " +
+        "whole 8-query mining batch (broadcast query table) with the " +
+        "label-mismatch filter fused into the scan stage BEFORE the " +
+        "two-phase TopKPerKey heap — the exchange carries at most " +
+        "partitions·queries·k scored rows, never the corpus; at training " +
+        "scale the batch loops over query shards and the corpus side " +
+        "swaps to the IVF/PQ probe path unchanged."),
+      "t_span_corrupt" -> ("100× plan: md5(doc:span) IS the masking RNG — " +
+        "per-(doc,span) independent, no generator state across 1000 " +
+        "executors; sentinel ordinals, input, and target all render off " +
+        "ONE doc_id-partitioned shuffle (the windows and sort-by-position " +
+        "collects share the exchange), and the rendered records ship as " +
+        "md5 fingerprints, the lineage a training run logs."),
+      "t_render_dpo" -> ("100× plan: one scan scores every doc (the " +
+        "hashed-linear classifier fuses into codegen), ONE source-key " +
+        "aggregate picks both pair ends via max/min(struct) — no sort, " +
+        "no window — and two id-equality joins fetch the texts; output " +
+        "is source-cardinality, never corpus-shaped."),
       "g_lpa" -> ("100× plan: per round one edge-sized join + two " +
         "map-side-combined hash aggregates; the edge frame is " +
         "checkpointed ONCE per query (round 10 — previously each round " +

@@ -580,6 +580,34 @@ object TextOps {
         .orderBy(col("c12").desc, col("pair").asc)
         .limit(50)
     }),
+    "t_source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix (the C4-style dataset-overlap
+      // diagnostic, Dodge et al. EMNLP'21 §4; the dataset-level twin of
+      // t_decontaminate's per-doc gate): for every ordered source pair,
+      // the CONTAINMENT |sh(a) ∩ sh(b)| / |sh(a)| over distinct 3-gram
+      // shingles — asymmetric on purpose (a small benchmark fully inside
+      // a big crawl reads 1.0 in one direction, ~0 in the other, which
+      // is exactly the signal a decontamination pass acts on). Plan: the
+      // per-source distinct shingle frame reduces map-side off the
+      // shared shingle table; the pair counts come from ONE shingle-key
+      // equality self-join (bucketed at scale — a shingle's source list
+      // is short, so per-key fan-out is |sources touching it|², bounded
+      // by the source count, never corpus-shaped); per-source totals
+      // broadcast back onto the 400-row matrix.
+      val srcSh = TextDedup.shingleTable(docs(s, dir), "doc_id", "text", 3)
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .select("source", "sh").distinct()
+        .localCheckpoint() // consumed 3× (both join sides + totals)
+      val totals = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      srcSh.as("a").join(srcSh.as("b"), Seq("sh"))
+        .filter(col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(totals.select(col("source").as("src_a"), col("n_sh")), "src_a")
+        .select(col("src_a"), col("src_b"), col("n_common"), col("n_sh"),
+          round(col("n_common").cast("double") / col("n_sh"), 6)
+            .as("containment"))
+    }),
     "t_render_dpo" -> ((s, dir) => {
       // DPO preference-pair construction (Rafailov et al., NeurIPS'23 —
       // the data step of direct preference optimization: each training
@@ -1873,6 +1901,23 @@ object TextOps {
                 round((sp.c12 + 1.0) / (ctx.c1 + v.v), 9) AS p
          FROM sp JOIN ctx USING (w1), v
          ORDER BY c12 DESC, pair ASC LIMIT 50""",
+    "t_source_overlap" ->
+      // identical per-source distinct shingle sets, the same shingle-key
+      // pair join, per-source totals re-joined for the containment ratio
+      s"""WITH $shingleSql,
+         ss AS MATERIALIZED (
+           SELECT DISTINCT d.source, s.sh
+           FROM sh s JOIN documents d USING (doc_id)),
+         tot AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                       count(*) AS n_common
+                FROM ss a JOIN ss b
+                  ON a.sh = b.sh AND a.source <> b.source
+                GROUP BY 1, 2)
+         SELECT pr.src_a, pr.src_b, pr.n_common, t.n_sh,
+                round(CAST(pr.n_common AS DOUBLE) / t.n_sh, 6)
+                  AS containment
+         FROM pr JOIN tot t ON pr.src_a = t.source""",
     "t_render_dpo" ->
       // identical hashed-linear scores, the same argmax/argmin structs
       // (ties → smallest doc_id on both ends), byte-identical rendering

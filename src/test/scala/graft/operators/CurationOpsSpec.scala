@@ -561,6 +561,34 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t_source_overlap matches a plain-Scala shingle-set replay") {
+    val docsArr = graft.Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val setOf: Map[String, Set[String]] = docsArr.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, tk) =>
+        if (tk.length < 3) Nil
+        else (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+      }.toSet).toMap
+    val got = q("t_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val srcs = setOf.keys.toSeq
+    for (a <- srcs; b <- srcs if a != b) {
+      val common = (setOf(a) & setOf(b)).size.toLong
+      if (common == 0) assert(!got.contains((a, b)))
+      else {
+        val (gc, gn, gr) = got((a, b))
+        assert(gc == common && gn == setOf(a).size.toLong, s"($a,$b) counts")
+        assert(math.abs(gr - common.toDouble / setOf(a).size) < 1e-6)
+      }
+    }
+    // asymmetry is real on this corpus: containment(a,b) != containment(b,a)
+    // for at least one pair (sources differ in size)
+    assert(got.exists { case ((a, b), (_, _, r)) =>
+      got.get((b, a)).exists(o => math.abs(o._3 - r) > 1e-9) })
+  }
+
   test("t_render_dpo: pairs are best-vs-worst per source, render replays byte-for-byte") {
     def md5s(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

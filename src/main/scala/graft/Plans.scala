@@ -70,7 +70,7 @@ object Plans {
       // butterfly census, the random-walk corpus, Luby's MIS
       "v_knn_binary", "g_butterflies", "g_walks", "g_mis",
       "t_kn_lm", "t_bm25", "d_dbscan", "v_hard_negatives",
-      "t_span_corrupt", "t_render_dpo")
+      "t_span_corrupt", "t_render_dpo", "t_source_overlap")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -309,6 +309,14 @@ object Plans {
         "aggregate picks both pair ends via max/min(struct) — no sort, " +
         "no window — and two id-equality joins fetch the texts; output " +
         "is source-cardinality, never corpus-shaped."),
+      "t_source_overlap" -> ("100× plan: the contamination matrix's pair " +
+        "counts come from ONE shingle-key equality self-join over the " +
+        "per-source DISTINCT shingle frame (map-side-reduced off the " +
+        "shared shingle table, checkpointed once, consumed 3×) — a " +
+        "shingle's source list is at most |sources| long, so per-key " +
+        "fan-out is bounded by sources², never corpus-shaped, and the " +
+        "join key buckets at scale; per-source totals join back onto " +
+        "the sources²-row matrix, the only frame that leaves the agg."),
       "g_lpa" -> ("100× plan: per round one edge-sized join + two " +
         "map-side-combined hash aggregates; the edge frame is " +
         "checkpointed ONCE per query (round 10 — previously each round " +

@@ -654,8 +654,14 @@ object GraphOps {
         .localCheckpoint()
       var decided: Seq[DataFrame] = Nil
       for (t <- 1 to 4) {
+        // the zero-padded node id rides as an explicit suffix so
+        // priorities are collision-free by construction (distinct nodes
+        // ⇒ distinct p even if their md5s collide) — the strict p < np
+        // comparison then never ties across distinct nodes in either
+        // engine; md5 is 32 fixed chars so the suffix only breaks ties
         val pri = undecided.select(col("node"),
-          md5(concat(lit(s"$t:"), col("node").cast("string"))).as("p"))
+          concat(md5(concat(lit(s"$t:"), col("node").cast("string"))),
+            lpad(col("node").cast("string"), 20, "0")).as("p"))
         // min undecided-neighbor priority per undecided node: restrict
         // both endpoints to the frontier (src via pri, dst via undecided)
         val nbrMin = e.join(pri, e("src") === pri("node"))
@@ -1152,9 +1158,13 @@ object GraphOps {
       // out-neighbor minimizing md5(walk_id:t:neighbor) via arg_min —
       // NOT the min(struct_pack) idiom: DuckDB's struct-min aggregate
       // balloons to >130 GB and OOMs on the 11.8M-row sf1 edge join
-      // where arg_min finishes in 0.5 s. The argmin is unique without a
-      // tie-break because the hash inputs are distinct within a group
-      // (one frontier node per walk, distinct neighbors). MATERIALIZED
+      // where arg_min finishes in 0.5 s. The hash inputs are distinct
+      // within a group (one frontier node per walk, distinct neighbors)
+      // so the argmin is unique in practice, but the ordering key still
+      // carries the zero-padded dst as an explicit secondary tie-break —
+      // the md5 is 32 fixed chars, so lexicographic compare on the
+      // concat ≡ compare (h, dst) exactly like the engine's
+      // min(struct(h, dst)), even under a hash collision. MATERIALIZED
       // per the g_bfs inlining lesson — every w_t is consumed twice
       // (next step + final union).
       s"""WITH $edgesSqlLong,
@@ -1164,7 +1174,8 @@ object GraphOps {
            s"""w$t AS MATERIALIZED (
            SELECT f.walk_id,
                   arg_min(e.dst, md5(CAST(f.walk_id AS VARCHAR)
-                       || ':$t:' || CAST(e.dst AS VARCHAR))) AS node
+                       || ':$t:' || CAST(e.dst AS VARCHAR))
+                       || lpad(CAST(e.dst AS VARCHAR), 20, '0')) AS node
            FROM w${t - 1} f JOIN edges e ON f.node = e.src
            GROUP BY 1)"""
          }.mkString(",\n         ")}
@@ -1181,7 +1192,8 @@ object GraphOps {
          u0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
          ${(1 to 4).map { t =>
            s"""p$t AS MATERIALIZED (
-           SELECT node, md5('$t:' || CAST(node AS VARCHAR)) AS p
+           SELECT node, md5('$t:' || CAST(node AS VARCHAR))
+                        || lpad(CAST(node AS VARCHAR), 20, '0') AS p
            FROM u${t - 1}),
          nm$t AS (
            SELECT e.dst AS node, min(pp.p) AS np

@@ -5,7 +5,7 @@ package graft
   * cost never pollutes the number). Targeted per-query timing that the
   * full Bench run is too coarse for; every PLANS.md "quiet median" comes
   * from this entry point. Usage:
-  *   sbt "runMain graft.TimeQ <sfDir> <query> [query...]"
+  *   sbt "Test/runMain graft.TimeQ <sfDir> <query> [query...]"
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {

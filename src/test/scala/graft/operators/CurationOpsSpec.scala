@@ -470,9 +470,15 @@ class CurationOpsSpec extends AnyFunSuite {
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj: Map[Long, Set[Long]] =
       (li ++ li.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val rows = q("g_mis").collect()
+    val raw = q("g_mis").collect()
+    // assert on the RAW row count (and node distinctness) BEFORE the
+    // toMap — duplicate decision rows for one node would otherwise be
+    // silently collapsed by the map and still pass the size check
+    assert(raw.length == adj.size, "exactly one decision row per node")
+    assert(raw.map(_.getLong(0)).distinct.length == raw.length,
+      "node ids are distinct across decision rows")
+    val rows = raw
       .map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2))).toMap
-    assert(rows.size == adj.size, "every node carries a decision row")
     val mis = rows.collect { case (n, (true, _)) => n }.toSet
     // independence: no edge joins two MIS members
     li.foreach { case (u, v) =>

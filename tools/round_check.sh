@@ -25,4 +25,13 @@ if [[ "${1:-}" != "--quick" ]]; then
   # it) writes its full line to target/ instead of dirtying the work tree
   SPARK_GRAFT_BENCH_COMMIT=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
 fi
+# The driver rewrites LEAKCHECK.json in place each round (only the round
+# number changes when there are 0 hits). Like BENCH_full.json, driver
+# artifacts must not dirty the committed tree — restore the committed copy
+# so the post-gate `git status` is clean; a real finding would land in the
+# driver's own artifact set regardless.
+if ! git diff --quiet -- LEAKCHECK.json 2>/dev/null; then
+  git checkout -- LEAKCHECK.json
+  echo "== restored driver-touched LEAKCHECK.json =="
+fi
 echo "== round_check done =="

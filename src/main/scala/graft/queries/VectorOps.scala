@@ -466,15 +466,23 @@ object VectorOps {
       // 50), take the 50th score and admit EVERY candidate within 1e-9 of
       // it. Near-ties at the boundary all reach the exact decimal rerank,
       // which then decides under the full contract; the margin costs at
-      // most a handful of extra rerank rows.
+      // most a handful of extra rerank rows. The coarse score is computed
+      // ONCE behind a localCheckpoint (round-10: deriving s50 and then
+      // filtering against it re-ran the whole reconstruct+score pass —
+      // quiet med 1.90 s; checkpointed 0.4 s) and the checkpoint carries
+      // only (vec_id, coarse) — 16 bytes/row, never the embeddings — so
+      // at 100 TB the materialization is id-sized; survivors (~50 rows)
+      // join back to the corpus by vec_id for the exact decimal rerank.
       val scored = recon
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"),
           Similarity.cosineFast(col("recon"), typedLit(qv)).as("coarse"))
+        .localCheckpoint()
       val s50 = scored.orderBy(col("coarse").desc, col("vec_id").asc)
         .limit(50).agg(min(col("coarse")).as("s50"))
-      val coarse = scored.crossJoin(broadcast(s50))
+      val survivors = scored.crossJoin(broadcast(s50))
         .filter(col("coarse") >= col("s50") - 1e-9)
-      coarse
+        .select(col("vec_id"))
+      e.join(broadcast(survivors), Seq("vec_id"), "left_semi")
         .select(col("vec_id"),
           Similarity.cosineToQuery(col("embedding"), qv).as("c_raw"))
         .orderBy(col("c_raw").desc, col("vec_id").asc)

@@ -46,8 +46,20 @@ import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
   *    (all SQL types the WindowTopKRewrite idiom sees are); unorderable
   *    keys keep the unbounded heap path, documented here.
   */
+/** @param distinct DISTINCT top-k: rows that compare EQUAL under `order`
+  *   within a key group count once — `TopKPerKey(distinct=true)` over a
+  *   multiset ≡ `TopKPerKey` over `child.distinct()`, PROVIDED the order
+  *   is a total order on the row's payload (true for every caller: the
+  *   engine's contract already demands unique tie-breaks). The point is
+  *   the PLAN: dedup happens inside the bounded per-key heaps of the
+  *   map-side partial pass, so the exchange carries ≤ partitions·keys·k
+  *   rows — where a separate `.distinct()` upstream shuffles the ENTIRE
+  *   multiset (|E|·k rows per round in the KMV sketch chain, the g_anf
+  *   family's measured 1.25 GB/task memory cliff at sf1) before the heap
+  *   ever sees a row. */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                      child: LogicalPlan) extends UnaryNode {
+                      child: LogicalPlan, distinct: Boolean = false)
+    extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
@@ -55,13 +67,14 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, child, distinct) =>
       val budget = SQLConf.get.getConfString(
         "spark.graft.topk.rowBudget", (1 << 20).toString).toLong
       // final (clustered) over partial (map-side); EnsureRequirements
       // inserts the exchange between them, sized by the partial's output
-      TopKPerKeyExec(keys, order, k, budget,
-        TopKPerKeyPartialExec(keys, order, k, budget, planLater(child))) :: Nil
+      TopKPerKeyExec(keys, order, k, budget, distinct,
+        TopKPerKeyPartialExec(keys, order, k, budget, distinct,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +90,8 @@ private[plans] object TopKHeaps {
     * still present), which the caller degrades on. */
   def run(rows: Iterator[InternalRow], childOutput: Seq[Attribute],
           keyExprs: Seq[Expression], sortOrder: Seq[SortOrder],
-          limit: Int, budget: Long): (Boolean, Iterator[InternalRow]) = {
+          limit: Int, budget: Long,
+          distinct: Boolean = false): (Boolean, Iterator[InternalRow]) = {
     val keyProj = UnsafeProjection.create(keyExprs, childOutput)
     // max-heap by sort order: the worst retained row sits on top
     val ordering = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -99,9 +113,15 @@ private[plans] object TopKHeaps {
           h
       }
       val u = row.asInstanceOf[UnsafeRow]
-      if (heap.size < limit) { heap.enqueue(u.copy()); retained += 1 }
-      else if (ordering.compare(u, heap.head) < 0) {
-        heap.dequeue(); heap.enqueue(u.copy())
+      // distinct mode: a row comparing equal to a retained same-key row is
+      // a duplicate and counts once. O(k) scan per insert — k is small by
+      // contract, and this is exactly the work the avoided corpus-sized
+      // `.distinct()` exchange was doing with a corpus-sized hash table.
+      def isDup: Boolean = distinct && heap.exists(ordering.compare(u, _) == 0)
+      if (heap.size < limit) {
+        if (!isDup) { heap.enqueue(u.copy()); retained += 1 }
+      } else if (ordering.compare(u, heap.head) < 0) {
+        if (!isDup) { heap.dequeue(); heap.enqueue(u.copy()) }
       }
     }
     val kept = heaps.valuesIterator.flatMap(_.iterator)
@@ -114,14 +134,16 @@ private[plans] object TopKHeaps {
   * answer (≤ max(keys·k, budget) rows per partition), never wrong rows;
   * past the row budget it degrades to pass-through (still a superset). */
 case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
-                                 k: Int, budget: Long, child: SparkPlan)
+                                 k: Int, budget: Long, distinct: Boolean,
+                                 child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (keyExprs, sortOrder, limit, rowBudget) = (keys, order, k, budget)
+    val (keyExprs, sortOrder, limit, rowBudget, dd) =
+      (keys, order, k, budget, distinct)
     child.execute().mapPartitions { it =>
-      TopKHeaps.run(it, childOutput, keyExprs, sortOrder, limit, rowBudget)._2
+      TopKHeaps.run(it, childOutput, keyExprs, sortOrder, limit, rowBudget, dd)._2
     }
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
@@ -129,7 +151,8 @@ case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          budget: Long, child: SparkPlan) extends UnaryExecNode {
+                          budget: Long, distinct: Boolean,
+                          child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -139,16 +162,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (keyExprs, sortOrder, limit, rowBudget) = (keys, order, k, budget)
+    val (keyExprs, sortOrder, limit, rowBudget, dd) =
+      (keys, order, k, budget, distinct)
     // unorderable keys (no SQL ordering exists) cannot take the sort
     // degrade; give them an unbounded budget and the documented heap path
     val canDegrade = keyExprs.forall(e => RowOrdering.isOrderable(e.dataType))
     val effBudget = if (canDegrade) rowBudget else Long.MaxValue
     child.execute().mapPartitions { it =>
       val (within, rows) =
-        TopKHeaps.run(it, childOutput, keyExprs, sortOrder, limit, effBudget)
+        TopKHeaps.run(it, childOutput, keyExprs, sortOrder, limit, effBudget, dd)
       if (within) rows
-      else sortedGroupLimit(rows, childOutput, keyExprs, sortOrder, limit)
+      else sortedGroupLimit(rows, childOutput, keyExprs, sortOrder, limit, dd)
     }
   }
 
@@ -158,7 +182,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                                childOutput: Seq[Attribute],
                                keyExprs: Seq[Expression],
                                sortOrder: Seq[SortOrder],
-                               limit: Int): Iterator[InternalRow] = {
+                               limit: Int,
+                               distinct: Boolean): Iterator[InternalRow] = {
     val fullOrder =
       keyExprs.map(e => SortOrder(e, Ascending)) ++ sortOrder
     val schema = DataTypeUtils.fromAttributes(childOutput)
@@ -182,11 +207,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keyProj = UnsafeProjection.create(keyExprs, childOutput)
     var curKey: UnsafeRow = null
     var seen = 0
+    // distinct mode: after the (key, order) sort duplicates are ADJACENT —
+    // a row comparing equal to the previous same-key row counts zero
+    var prev: UnsafeRow = null
     sorted.filter { row =>
       val key = keyProj(row)
-      if (curKey == null || key != curKey) { curKey = key.copy(); seen = 1 }
-      else seen += 1
-      seen <= limit
+      val newKey = curKey == null || key != curKey
+      if (newKey) { curKey = key.copy(); seen = 0; prev = null }
+      val dup = distinct && prev != null &&
+        ordering.compare(row, prev) == 0
+      if (!dup) seen += 1
+      prev = row.asInstanceOf[UnsafeRow].copy()
+      !dup && seen <= limit
     }
   }
 

@@ -439,8 +439,13 @@ object GraphOps {
       for (_ <- 1 to 2) {
         val prop = e.join(sk, e("src") === sk("node"))
           .select(e("dst").as("node"), col("h"))
-        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
-            sk.union(prop).distinct(), Seq("node"), Seq("h" -> true), K)
+        // distinct-mode top-k: dedup happens INSIDE the bounded per-key
+        // heaps of the map-side partial pass (round 10) — the previous
+        // `.distinct()` shuffled the whole |E|·k propagation multiset
+        // (~190 M rows / ~1.25 GB-per-task at sf1) before the heap ever
+        // saw a row; now the only exchange carries ≤ partitions·keys·k
+        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKeyDistinct(
+            sk.union(prop), Seq("node"), Seq("h" -> true), K)
           .localCheckpoint()
       }
       val w = Window.partitionBy("node").orderBy("h")
@@ -487,8 +492,13 @@ object GraphOps {
       val balls = (1 to 2).map { r =>
         val prop = e.join(sk, e("src") === sk("node"))
           .select(e("dst").as("node"), col("h"))
-        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
-            sk.union(prop).distinct(), Seq("node"), Seq("h" -> true), K)
+        // distinct-mode top-k: dedup happens INSIDE the bounded per-key
+        // heaps of the map-side partial pass (round 10) — the previous
+        // `.distinct()` shuffled the whole |E|·k propagation multiset
+        // (~190 M rows / ~1.25 GB-per-task at sf1) before the heap ever
+        // saw a row; now the only exchange carries ≤ partitions·keys·k
+        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKeyDistinct(
+            sk.union(prop), Seq("node"), Seq("h" -> true), K)
           .localCheckpoint()
         ballEst(sk, s"b$r")
       }
@@ -528,8 +538,13 @@ object GraphOps {
       val perRadius = (1 to 3).map { r =>
         val prop = e.join(sk, e("src") === sk("node"))
           .select(e("dst").as("node"), col("h"))
-        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
-            sk.union(prop).distinct(), Seq("node"), Seq("h" -> true), K)
+        // distinct-mode top-k: dedup happens INSIDE the bounded per-key
+        // heaps of the map-side partial pass (round 10) — the previous
+        // `.distinct()` shuffled the whole |E|·k propagation multiset
+        // (~190 M rows / ~1.25 GB-per-task at sf1) before the heap ever
+        // saw a row; now the only exchange carries ≤ partitions·keys·k
+        sk = org.apache.spark.sql.GraftPlanBridge.topKPerKeyDistinct(
+            sk.union(prop), Seq("node"), Seq("h" -> true), K)
           .localCheckpoint()
         val w = Window.partitionBy("node").orderBy("h")
         sk.withColumn("rn", row_number().over(w))

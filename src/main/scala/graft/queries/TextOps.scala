@@ -51,6 +51,42 @@ object TextOps {
         col("n_windows"))
   }
 
+  /** Greedy LEFT-TO-RIGHT non-overlapping application of ONE BPE merge
+    * (a, b) to positional symbol sequences (doc_id, pos, sym) — the
+    * corpus-rewrite step of t_bpe_train, shared with t_bpe_encode's
+    * apply-only path: match positions → consecutive-run islands
+    * (gaps-and-islands) → keep every EVEN offset within its island
+    * (exactly the greedy scan's picks, incl. the a==b chain case) → drop
+    * each absorbed right symbol, reindex. Every window partitions by
+    * doc_id, so the corpus shuffles ONCE per call on the doc key and
+    * Spark reuses that exchange across the windows; rewrite joins are
+    * match-sized. */
+  private def bpeApplyMerge(seqs: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val matches = seqs
+      .withColumn("nxt", lead(col("sym"), 1).over(wPos))
+      .filter(col("sym") === a && col("nxt") === b)
+      .withColumn("island", col("pos") - row_number().over(wPos))
+      .withColumn("applied",
+        ((col("pos") - min(col("pos")).over(
+          Window.partitionBy("doc_id", "island"))) % 2) === 0)
+      .filter(col("applied"))
+      .select(col("doc_id"), col("pos").as("apos"))
+    val isA = matches.select(col("doc_id"),
+      col("apos").as("pos"), lit(1).as("is_a"))
+    val isB = matches.select(col("doc_id"),
+      (col("apos") + 1).as("pos"), lit(1).as("is_b"))
+    seqs
+      .join(isA, Seq("doc_id", "pos"), "left")
+      .join(isB, Seq("doc_id", "pos"), "left")
+      .filter(col("is_b").isNull)
+      .withColumn("sym", when(col("is_a") === 1,
+        concat(col("sym"), lit("+"), lit(b))).otherwise(col("sym")))
+      .withColumn("pos", (row_number().over(wPos) - 1).cast(LongType))
+      .select("doc_id", "pos", "sym")
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "los", "es", "y"),
@@ -1300,27 +1336,9 @@ object TextOps {
           .take(1).head
         val (a, b) = (top.getString(0), top.getString(1))
         merges :+= s"$a+$b"
-        val matches = withNext
-          .filter(col("sym") === a && col("nxt") === b)
-          .withColumn("island", col("pos") - row_number().over(wPos))
-          .withColumn("applied",
-            ((col("pos") - min(col("pos")).over(
-              Window.partitionBy("doc_id", "island"))) % 2) === 0)
-          .filter(col("applied"))
-          .select(col("doc_id"), col("pos").as("apos"))
-        val isA = matches.select(col("doc_id"),
-          col("apos").as("pos"), lit(1).as("is_a"))
-        val isB = matches.select(col("doc_id"),
-          (col("apos") + 1).as("pos"), lit(1).as("is_b"))
-        seqs = seqs
-          .join(isA, Seq("doc_id", "pos"), "left")
-          .join(isB, Seq("doc_id", "pos"), "left")
-          .filter(col("is_b").isNull)
-          .withColumn("sym", when(col("is_a") === 1,
-            concat(col("sym"), lit("+"), lit(b))).otherwise(col("sym")))
-          .withColumn("pos", (row_number().over(wPos) - 1).cast(LongType))
-          .select("doc_id", "pos", "sym")
-          .localCheckpoint()
+        // the rewrite is the shared greedy-apply (bpeApplyMerge) — also
+        // the apply-only path of t_bpe_encode
+        seqs = bpeApplyMerge(seqs, a, b).localCheckpoint()
       }
       seqs.groupBy("doc_id")
         .agg(count(lit(1)).as("n_syms"),
@@ -1330,6 +1348,66 @@ object TextOps {
         .select(col("doc_id"), col("n_syms"), col("doc_fp"),
           lit(merges(0)).as("m1"), lit(merges(1)).as("m2"),
           lit(merges(2)).as("m3"))
+    }),
+    "t_bpe_encode" -> ((s, dir) => {
+      // BPE ENCODING against a TRAINED merge table — the apply half of
+      // Sennrich et al. ACL'16, and the missing link between
+      // t_bpe_train's tokenizer training and t_pack/t_window_chunk's
+      // consumption of token-id sequences. The merge table is trained on
+      // a FIXED 20% split (doc_id % 5 = 0, the t_sample_split idiom —
+      // at 100 TB the tokenizer trains on a fixed-size sample, never the
+      // corpus), then applied IN TRAINING ORDER to the FULL corpus with
+      // the identical greedy left-to-right non-overlapping rewrite
+      // (bpeApplyMerge — shared code, so train/apply cannot drift).
+      // Token ids come from the trained vocab: the distinct symbols of
+      // the ENCODED train split, dense-ranked by symbol — tokenizer-sized,
+      // so the rank window and the id join are both bounded; corpus
+      // symbols outside the trained vocab are UNK (-1), exactly a frozen
+      // production tokenizer's OOV behavior. Plan: 3 split-sized training
+      // rounds + 3 corpus rewrite rounds (ONE doc-key exchange each,
+      // match-sized joins), then one broadcast vocab join. The per-doc
+      // md5 of the space-joined id sequence hash-gates merge order,
+      // overlap handling, vocab rank, and UNK mapping at once.
+      import org.apache.spark.sql.expressions.Window
+      val wPos = Window.partitionBy("doc_id").orderBy("pos")
+      val base = docs(s, dir).select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))))
+        .toDF("doc_id", "pos", "sym")
+        .withColumn("pos", col("pos").cast(LongType))
+        .localCheckpoint()
+      var train = base.filter(col("doc_id") % 5 === 0).localCheckpoint()
+      var merges = Vector.empty[(String, String)]
+      for (_ <- 1 to 3) {
+        // BOUNDED: take(1) is the 1-row merge decision (the Lloyd-class
+        // scalar), never data
+        val top = train.withColumn("nxt", lead(col("sym"), 1).over(wPos))
+          .filter(col("nxt").isNotNull)
+          .groupBy("sym", "nxt").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("sym").asc, col("nxt").asc)
+          .take(1).head
+        val (a, b) = (top.getString(0), top.getString(1))
+        merges :+= ((a, b))
+        train = bpeApplyMerge(train, a, b).localCheckpoint()
+      }
+      // trained vocab: distinct symbols of the encoded split, dense ids in
+      // symbol order — tokenizer-sized, the single-partition rank window
+      // is bounded by vocab cardinality, not the corpus
+      val vocab = train.select(col("sym")).distinct()
+        .withColumn("tok_id",
+          (row_number().over(Window.orderBy(col("sym"))) - 1).cast(LongType))
+      var enc = base
+      for ((a, b) <- merges) enc = bpeApplyMerge(enc, a, b).localCheckpoint()
+      val mergeTable = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
+      enc.join(broadcast(vocab), Seq("sym"), "left")
+        .withColumn("tok_id", coalesce(col("tok_id"), lit(-1L)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("tok_id") === -1L, 1L).otherwise(0L)).as("n_unk"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+            x => x.getField("tok_id").cast("string")))).as("ids_fp"))
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"), col("ids_fp"),
+          lit(mergeTable).as("merge_table"))
     }),
     "t_ccnet_bucket" -> ((s, dir) => {
       // CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 —
@@ -2523,6 +2601,97 @@ object TextOps {
                 (SELECT a || '+' || b FROM mr2) AS m2,
                 (SELECT a || '+' || b FROM mr3) AS m3
          FROM s3 s GROUP BY s.doc_id""",
+    "t_bpe_encode" ->
+      // the t_bpe_train machinery twice over: 3 training rounds on the
+      // doc_id % 5 = 0 split (producing mr1..mr3 + the encoded split s3,
+      // whose distinct symbols rank into the trained vocab), then 3
+      // apply-only rounds over the FULL corpus (e0..e3 — same island-
+      // parity greedy rewrite, matches taken against the TRAINED mr_r
+      // instead of a fresh count), then the vocab left join with UNK=-1
+      // and the per-doc ordered id-sequence md5
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+         x0 AS (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM t),
+         b0 AS MATERIALIZED (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS sym
+           FROM x0),
+         s0 AS MATERIALIZED (SELECT * FROM b0 WHERE doc_id % 5 = 0),
+         ${(1 to 3).map { r =>
+           s"""w$r AS MATERIALIZED (
+           SELECT doc_id, pos, sym,
+                  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM s${r - 1}),
+         mr$r AS MATERIALIZED (
+           SELECT sym AS a, nxt AS b FROM w$r WHERE nxt IS NOT NULL
+           GROUP BY sym, nxt
+           ORDER BY count(*) DESC, sym ASC, nxt ASC LIMIT 1),
+         mt$r AS (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY pos) AS rn
+                  FROM w$r, mr$r WHERE sym = mr$r.a AND nxt = mr$r.b),
+         ap$r AS MATERIALIZED (
+           SELECT doc_id, pos
+           FROM (SELECT doc_id, pos, pos - rn AS island FROM mt$r)
+           QUALIFY (pos - min(pos) OVER (PARTITION BY doc_id, island))
+                   % 2 = 0),
+         s$r AS MATERIALIZED (
+           SELECT s.doc_id,
+                  CAST(row_number() OVER (PARTITION BY s.doc_id
+                    ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+                  CASE WHEN ia.pos IS NOT NULL
+                       THEN s.sym || '+' || mr$r.b ELSE s.sym END AS sym
+           FROM s${r - 1} s
+           LEFT JOIN ap$r ia
+             ON s.doc_id = ia.doc_id AND s.pos = ia.pos
+           LEFT JOIN (SELECT doc_id, pos + 1 AS pos FROM ap$r) ib
+             ON s.doc_id = ib.doc_id AND s.pos = ib.pos
+           CROSS JOIN mr$r
+           WHERE ib.pos IS NULL)"""
+         }.mkString(",\n         ")},
+         vocab AS MATERIALIZED (
+           SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+                    AS tok_id
+           FROM (SELECT DISTINCT sym FROM s3)),
+         e0 AS MATERIALIZED (SELECT * FROM b0),
+         ${(1 to 3).map { r =>
+           s"""ew$r AS MATERIALIZED (
+           SELECT doc_id, pos, sym,
+                  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM e${r - 1}),
+         emt$r AS (SELECT doc_id, pos,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY pos) AS rn
+                   FROM ew$r, mr$r WHERE sym = mr$r.a AND nxt = mr$r.b),
+         eap$r AS MATERIALIZED (
+           SELECT doc_id, pos
+           FROM (SELECT doc_id, pos, pos - rn AS island FROM emt$r)
+           QUALIFY (pos - min(pos) OVER (PARTITION BY doc_id, island))
+                   % 2 = 0),
+         e$r AS MATERIALIZED (
+           SELECT s.doc_id,
+                  CAST(row_number() OVER (PARTITION BY s.doc_id
+                    ORDER BY s.pos) - 1 AS BIGINT) AS pos,
+                  CASE WHEN ia.pos IS NOT NULL
+                       THEN s.sym || '+' || mr$r.b ELSE s.sym END AS sym
+           FROM e${r - 1} s
+           LEFT JOIN eap$r ia
+             ON s.doc_id = ia.doc_id AND s.pos = ia.pos
+           LEFT JOIN (SELECT doc_id, pos + 1 AS pos FROM eap$r) ib
+             ON s.doc_id = ib.doc_id AND s.pos = ib.pos
+           CROSS JOIN mr$r
+           WHERE ib.pos IS NULL)"""
+         }.mkString(",\n         ")}
+         SELECT e.doc_id, count(*) AS n_tokens,
+                CAST(count(*) FILTER (v.tok_id IS NULL) AS BIGINT) AS n_unk,
+                md5(string_agg(CAST(coalesce(v.tok_id, -1) AS VARCHAR), ' '
+                      ORDER BY e.pos)) AS ids_fp,
+                (SELECT a || '+' || b FROM mr1) || ',' ||
+                (SELECT a || '+' || b FROM mr2) || ',' ||
+                (SELECT a || '+' || b FROM mr3) AS merge_table
+         FROM e3 e LEFT JOIN vocab v USING (sym)
+         GROUP BY e.doc_id""",
     "t_ccnet_bucket" ->
       // the t_lm_quality LM chain (UNROUNDED mean_p — bit-identical decimal
       // sums + IEEE divisions, so the ntile sort key cannot diverge), the

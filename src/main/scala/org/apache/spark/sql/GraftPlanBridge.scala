@@ -48,7 +48,8 @@ object GraftPlanBridge {
     * entries are (columnName, ascending); include a unique tie-break column
     * for deterministic output. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
-                 order: Seq[(String, Boolean)], k: Int): DataFrame = {
+                 order: Seq[(String, Boolean)], k: Int,
+                 distinct: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(keyCols.nonEmpty, "at least one key column is required")
     require(order.nonEmpty, "at least one order column is required")
@@ -59,6 +60,14 @@ object GraftPlanBridge {
       SortOrder(UnresolvedAttribute.quoted(name), if (asc) Ascending else Descending)
     }
     ofRows(spark, TopKPerKey(keyCols.map(UnresolvedAttribute.quoted), sortOrders, k,
-      logicalPlan(df)))
+      logicalPlan(df), distinct))
   }
+
+  /** DISTINCT per-key top-k: `topKPerKey(child.distinct(), …)` semantics
+    * with the dedup folded INTO the bounded heaps, so no corpus-sized
+    * distinct exchange precedes the operator (see TopKPerKey scaladoc).
+    * Requires `order` to be a total order on the row payload. */
+  def topKPerKeyDistinct(df: DataFrame, keyCols: Seq[String],
+                         order: Seq[(String, Boolean)], k: Int): DataFrame =
+    topKPerKey(df, keyCols, order, k, distinct = true)
 }

@@ -203,6 +203,60 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r.getLong(1) < origLen(r.getLong(0))))
   }
 
+  test("t_bpe_encode matches a sequential train-on-split / apply-everywhere encoder") {
+    // plain-Scala replay: while-loop trainer on the doc_id % 5 == 0 split,
+    // while-loop greedy apply of the trained merges IN ORDER to every doc,
+    // vocab = sorted distinct symbols of the encoded split, OOV -> -1
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def applyMerge(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+          out += s"$a+$b"; i += 2
+        } else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    val all = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector).toMap
+    var split = all.filter(_._1 % 5 == 0)
+    var merges = Vector.empty[(String, String)]
+    for (_ <- 1 to 3) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      split.values.foreach(_.sliding(2).foreach {
+        case Seq(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + 1
+        case _ => ()
+      })
+      val ((a, b), _) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head
+      merges :+= ((a, b))
+      split = split.view.mapValues(applyMerge(_, a, b)).toMap
+    }
+    val vocab: Map[String, Long] = split.values.flatten.toSet.toSeq.sorted
+      .zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+    val encoded = all.view.mapValues(v =>
+      merges.foldLeft(v) { case (acc, (a, b)) => applyMerge(acc, a, b) }
+        .map(sym => vocab.getOrElse(sym, -1L))).toMap
+    val mergeTable = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
+    val got = q("t_bpe_encode").collect()
+    assert(got.length == all.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == encoded(id).length, s"doc $id token count")
+      assert(r.getLong(2) == encoded(id).count(_ == -1L), s"doc $id unk count")
+      assert(r.getString(3) == md5hex(encoded(id).mkString(" ")), s"doc $id ids_fp")
+      assert(r.getString(4) == mergeTable)
+    }
+    // vacuous-pass guards: the merges must fire outside the split too, and
+    // the id space must actually be used (some non-trivial id > 0 appears)
+    assert(encoded.exists { case (id, ids) =>
+      id % 5 != 0 && ids.length < all(id).length })
+  }
+
   test("t_ccnet_bucket: balanced terciles, head strictly more fluent than tail") {
     val rows = q("t_ccnet_bucket").collect()
       .map(r => (r.getString(1), r.getDouble(3), r.getString(4)))

@@ -13,6 +13,20 @@ object Engine {
   /** Defaults that should hold on any deployment of this engine. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // TopKPerKey retained-row budget, sized to the heap/task ratio instead
+    // of the operator's 1M-row cap: per-task heap state is ~1 KB per
+    // retained row all-in (UnsafeRow copy + hash entry + priority-queue
+    // node). In local mode driver = executor, so maxMemory/threads IS the
+    // task's share (the KMV sketch chain OOM'd the 8 GB local default
+    // until this was sized — DESIGN.md round 10); a cluster deployment
+    // overrides it from executor-memory/executor-cores, and 4-8 GB/task
+    // production sizing lands back on the 1M cap.
+    .config("spark.graft.topk.rowBudget",
+      math.max(1L << 14, math.min(1L << 20,
+        Runtime.getRuntime.maxMemory /
+          sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+            .getOrElse(Runtime.getRuntime.availableProcessors.min(32)) /
+          1024)).toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -48,6 +62,11 @@ object Engine {
         // knob the deployment would size to max concurrent tasks × ~4.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
           (cores * 8).toString)
+        // exact thread count beats configure()'s env/availableProcessors
+        // guess for the TopKPerKey budget (see configure scaladoc)
+        .config("spark.graft.topk.rowBudget",
+          math.max(1L << 14, math.min(1L << 20,
+            Runtime.getRuntime.maxMemory / cores / 1024)).toString)
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -64,6 +64,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # the sf1 gate fans out one subprocess per query — cap each replica's
+    # DuckDB thread pool so J parallel oracles don't oversubscribe the host
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         # a table may be a single file (driver testdata) or a directory of
         # part files (gen_scale.py's multi-file scale-up corpora)

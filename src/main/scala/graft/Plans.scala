@@ -73,7 +73,12 @@ object Plans {
       "t_span_corrupt", "t_render_dpo", "t_source_overlap",
       // round 10: BPE encoding against the trained merge table, the
       // trained (fixed-point GD) classifier
-      "t_bpe_encode", "t_classifier_train")
+      "t_bpe_encode", "t_classifier_train",
+      // round-10 fourth wave: feature-hashed doc vectors, cluster-
+      // stratified sampling + purity eval, one Louvain level, the PNG
+      // metadata scrub
+      "t_hash_embed", "v_cluster_sample", "v_cluster_purity", "g_louvain",
+      "m_strip_meta")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -327,6 +332,36 @@ object Plans {
         "the 1-row loss reach the driver per round (the v_kmeans_iter " +
         "Lloyd-class state). Fixed-point integer arithmetic end to end, " +
         "so scale changes cost, never results."),
+      "t_hash_embed" -> ("100× plan: the hashing trick needs no trained " +
+        "model and no global state — one scan-fused explode, one " +
+        "(doc,bucket) hash aggregate, one doc-keyed aggregate, all " +
+        "map-side combinable; the output is 6 fixed-width columns per " +
+        "doc (moments + canonical fingerprint), never the D-wide dense " +
+        "frame, so the op is embarrassingly parallel at any corpus " +
+        "size and the vectors land ready for the d_/v_ families."),
+      "v_cluster_sample" -> ("100× plan: one AssignCellExpr projection " +
+        "pass (no shuffle — the v_knn_ivf assignment machinery) feeds " +
+        "the two-phase TopKPerKey heap keyed by cell: the exchange " +
+        "carries at most partitions·cells·k rows, never the corpus; " +
+        "rank = md5(vec_id), the hash-as-RNG idiom, so the sample is " +
+        "reproducible across 1000 executors with zero generator state."),
+      "v_cluster_purity" -> ("100× plan: assignment projection + one " +
+        "(cell,label) map-side-combined count + a cell-sized argmax — " +
+        "nothing corpus-shaped survives the first aggregate; the " +
+        "result is cells-sized. The eval gate a clustering rollout " +
+        "checks before driving sampling, priced at one corpus pass."),
+      "g_louvain" -> ("100× plan: per sweep the LPA communication shape " +
+        "(one edge⋈label join + two hash aggregates) plus a " +
+        "community-sized Σtot aggregate; the ΔQ argmax is pure integer " +
+        "arithmetic (DECIMAL(38,0) products — overflow-safe past " +
+        "m2 ~ 1e12), so the trajectory is deterministic on any cluster " +
+        "and the only driver state is the 1-row m2 scalar."),
+      "m_strip_meta" -> ("100× plan: the privacy scrub is scan-shaped — " +
+        "per-partition chunk walk + drop + re-decode, no shuffle, no " +
+        "global state; the hash gate proves metadata removal AND pixel " +
+        "preservation in one pass (dropped-count from construction " +
+        "arithmetic, px_sum from the lossless round trip), so the op " +
+        "costs exactly one pass over the binary column at any corpus."),
       "t_source_overlap" -> ("100× plan: the contamination matrix's pair " +
         "counts come from ONE shingle-key equality self-join over the " +
         "per-source DISTINCT shingle frame (map-side-reduced off the " +

@@ -143,6 +143,83 @@ object ImageIoCodec extends Codec {
   }
 }
 
+/** Raw PNG chunk-grammar walk (ISO/IEC 15948 §5: 8-byte signature, then
+  * length(4,BE) + type(4) + data + crc32(type‖data) chunks): the seam for
+  * metadata-level operations the pixel codecs never see. Criticality is
+  * the spec's bit-5 rule — an UPPERCASE first type letter (IHDR, PLTE,
+  * IDAT, IEND) is critical; lowercase (tEXt, zTXt, iTXt, eXIf, tIME, …)
+  * is ancillary and safe to drop without touching the image stream. */
+object PngChunks {
+
+  private val SigLen = 8
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** (offset, totalLen, type) for every chunk, signature excluded. */
+  private def walk(png: Array[Byte]): IndexedSeq[(Int, Int, String)] = {
+    require(png.length >= SigLen && (png(0) & 0xff) == 0x89,
+      "not a PNG payload")
+    val out = IndexedSeq.newBuilder[(Int, Int, String)]
+    var off = SigLen
+    while (off + 8 <= png.length) {
+      val dataLen = be32(png, off)
+      val tpe = new String(png, off + 4, 4, "US-ASCII")
+      val total = 12 + dataLen
+      out += ((off, total, tpe))
+      off += total
+    }
+    out.result()
+  }
+
+  private def textChunk(keyword: String, value: String): Array[Byte] = {
+    val data = keyword.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      value.getBytes("ISO-8859-1")
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes("US-ASCII"))
+    crc.update(data)
+    val bo = new java.io.ByteArrayOutputStream(12 + data.length)
+    val dd = new java.io.DataOutputStream(bo)
+    dd.writeInt(data.length)
+    dd.write("tEXt".getBytes("US-ASCII"))
+    dd.write(data)
+    dd.writeInt(crc.getValue.toInt)
+    bo.toByteArray
+  }
+
+  /** Splice tEXt metadata chunks immediately after IHDR (the spec's only
+    * ordering constraint for tEXt is "after IHDR, before IEND"). */
+  def injectText(png: Array[Byte], entries: Seq[(String, String)]): Array[Byte] = {
+    val first = walk(png).head
+    require(first._3 == "IHDR", s"first chunk must be IHDR, got ${first._3}")
+    val cut = first._1 + first._2
+    val bo = new java.io.ByteArrayOutputStream(png.length)
+    bo.write(png, 0, cut)
+    entries.foreach { case (k, v) => bo.write(textChunk(k, v)) }
+    bo.write(png, cut, png.length - cut)
+    bo.toByteArray
+  }
+
+  /** Drop every ancillary chunk; returns (scrubbed payload, #tEXt
+    * dropped). The image stream (IHDR/PLTE/IDAT/IEND) passes through
+    * byte-identical — PNG is lossless, so a decode of the result must
+    * equal a decode of the original, which is exactly what the
+    * m_strip_meta gate checks. */
+  def stripAncillary(png: Array[Byte]): (Array[Byte], Int) = {
+    val chunks = walk(png)
+    val bo = new java.io.ByteArrayOutputStream(png.length)
+    bo.write(png, 0, SigLen)
+    var nText = 0
+    chunks.foreach { case (off, total, tpe) =>
+      val critical = (tpe.charAt(0) & 0x20) == 0
+      if (critical) bo.write(png, off, total)
+      else if (tpe == "tEXt") nText += 1
+    }
+    (bo.toByteArray, nText)
+  }
+}
+
 /** Animated-GIF frame decode via the JDK's GIF plugin: the reader walks
   * the GIF89a block structure and LZW-decompresses each image descriptor;
   * `getNumImages(true)` scans the stream so multi-frame payloads fan out

@@ -131,6 +131,62 @@ object Multimodal {
       }(enc)
   }
 
+  /** PNG asset per document with 1 + len%3 injected tEXt metadata chunks
+    * ("Author" → "user-<id>-<j>" — the privacy-sensitive records web-crawled
+    * images actually carry) spliced after IHDR with correct CRCs
+    * ([[PngChunks.injectText]]): the fixture for [[stripMetaStats]]. The
+    * injection count is pure construction arithmetic, so the oracle
+    * predicts it without parsing anything. */
+  def pngAssetsWithText(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val (w, h, px) = rgbRaster(text)
+          val bo = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(toBufferedRgb(w, h, px), "png", bo)
+          val k = 1 + text.length % 3
+          val payload = PngChunks.injectText(bo.toByteArray,
+            (0 until k).map(j => ("Author", s"user-$id-$j")))
+          Row(id, "image", payload, payload.length, "png")
+        }
+      }(enc)
+  }
+
+  /** Schema of [[stripMetaStats]]. */
+  val stripSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_text_dropped", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false)))
+
+  /** The privacy-scrub operator: per asset walk the real PNG chunk
+    * grammar, drop every ancillary chunk ([[PngChunks.stripAncillary]] —
+    * tEXt/zTXt/iTXt/eXIf/tIME/…), reassemble, then DECODE the scrubbed
+    * payload with the real codec. Because PNG is lossless and the strip
+    * must not touch the image stream, the decoded dims + pixel checksum
+    * equal the construction arithmetic — the hash gate proves the
+    * metadata is gone AND the pixels survived, in one pass. Per-partition
+    * map, no shuffle; at 100 TB this is the same scan-shaped pass as
+    * every other m_* decode. */
+  def stripMetaStats(assets: DataFrame, codec: Codec): DataFrame = {
+    val enc = ExpressionEncoder(stripSchema)
+    assets.select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (clean, nText) = PngChunks.stripAncillary(r.getAs[Array[Byte]](1))
+          val img = codec.decode(clean)
+          var sum = 0L
+          img.pixels.foreach(b => sum += (b & 0xff))
+          Row(r.getLong(0), img.width, img.height, nText, sum)
+        }
+      }(enc)
+  }
+
   /** Deterministic multi-frame animated-GIF asset per document: 1 +
     * len%6 frames of the document's raster dims, frame f's gray sample at
     * flat index i = code(text[(i + 7f) mod len]) — each frame is the text

@@ -702,6 +702,59 @@ object GraphOps {
       val rest = undecided.select(col("node"), lit(false).as("in_mis"),
         lit(-1).as("decided_round"))
       decided.foldLeft(rest)(_ union _)
+    }),
+    "g_louvain" -> ((s, dir) => {
+      // one Louvain level (Blondel et al., J. Stat. Mech. 2008 §2 — THE
+      // production community detector; LPA's majority vote has no
+      // objective, Louvain maximizes modularity): every node starts in
+      // its own community and for 2 synchronous sweeps moves to the
+      // neighbouring community with the best modularity gain. The gain
+      // comparison is EXACT INTEGER arithmetic — argmax_c of
+      // m2·k_in(i,c) − k_i·Σtot′(c), the m2-scaled ΔQ numerator (the
+      // c-independent terms cancel across candidates; Σtot′ excludes k_i
+      // when c is i's own community, the "remove i first" step of the
+      // sequential algorithm) — so no doubles enter the trajectory and
+      // ties break to the smallest community id. Synchronous updates
+      // (the g_lpa determinism contract) instead of Blondel's sequential
+      // scan: a per-node visit order is inherently serial; 2 fixed
+      // synchronous sweeps are the distributed variant every large-scale
+      // implementation ships (e.g. Spark-Louvain lineages) and the whole
+      // trajectory is hash-gated. DECIMAL(38,0) products keep
+      // 100-TB-scale m2·k_in (≫ 2⁶³ when m2 ~ 1e12 and hubs are dense)
+      // overflow-safe. Plan per round: one edge⋈label join + two hash
+      // aggregates (the LPA shape) + one community-sized Σtot aggregate
+      // broadcast back; m2 is a 1-row driver scalar (BOUNDED — the
+      // v_semdedup_scaled count idiom); O(1) lineage via localCheckpoint.
+      val e = longEdges(s, dir).localCheckpoint()
+      val m2 = e.count() // BOUNDED: one scalar — 2·|E|, the ΔQ scale
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+        .localCheckpoint()
+      var lbl = deg.select(col("node"), col("node").as("c"))
+      for (_ <- 1 to 2) {
+        val sigma = lbl.join(deg, "node")
+          .groupBy(col("c").as("cand")).agg(sum("k").as("sigma"))
+        val nb = e.join(lbl.select(col("node").as("dst"), col("c").as("cd")),
+            "dst")
+          .groupBy(col("src").as("node"), col("cd").as("cand"))
+          .agg(count(lit(1)).as("k_in"))
+        val cand = nb.unionByName(
+            lbl.select(col("node"), col("c").as("cand"),
+              lit(0L).as("k_in")))
+          .groupBy("node", "cand").agg(sum("k_in").as("k_in"))
+        lbl = cand.join(lbl, "node").join(deg, "node")
+          .join(sigma, "cand")
+          .withColumn("score",
+            lit(m2).cast(DecimalType(38, 0)) *
+              col("k_in").cast(DecimalType(38, 0))
+            - col("k").cast(DecimalType(38, 0)) *
+              (col("sigma") - when(col("cand") === col("c"), col("k"))
+                .otherwise(lit(0L))).cast(DecimalType(38, 0)))
+          .groupBy("node")
+          .agg(max(struct(col("score"), (-col("cand")).as("nc"))).as("m"))
+          .select(col("node"), (-col("m.nc")).as("c"))
+          .localCheckpoint()
+      }
+      lbl.select(col("node"), col("c").as("community"))
     })
   )
 
@@ -1234,6 +1287,47 @@ object GraphOps {
                 CAST($t AS INTEGER) AS decided_round FROM m$t
          UNION ALL SELECT node, FALSE AS in_mis,
                 CAST($t AS INTEGER) AS decided_round FROM x$t"""
-         }.mkString("\n         ")}"""
+         }.mkString("\n         ")}""",
+    "g_louvain" ->
+      // 2 unrolled synchronous sweeps; the score is pure integer
+      // (HUGEINT here, DECIMAL(38,0) in the engine — identical values,
+      // identical order), so the argmax trajectory is deterministic.
+      // Every CTE a later round re-reads is MATERIALIZED (the g_kcore
+      // inlining lesson).
+      s"""WITH $edgesSqlLong,
+         deg AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+           FROM edges GROUP BY 1),
+         m2t AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM edges),
+         l0 AS MATERIALIZED (SELECT node, node AS c FROM deg),
+         ${(1 to 2).map { r =>
+           s"""sig$r AS MATERIALIZED (
+           SELECT l.c AS cand, CAST(sum(d.k) AS HUGEINT) AS sigma
+           FROM l${r - 1} l JOIN deg d USING (node) GROUP BY 1),
+         nb$r AS (
+           SELECT e.src AS node, l.c AS cand, CAST(count(*) AS HUGEINT) AS k_in
+           FROM edges e JOIN l${r - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         cand$r AS (
+           SELECT node, cand, CAST(sum(k_in) AS HUGEINT) AS k_in FROM (
+             SELECT node, cand, k_in FROM nb$r
+             UNION ALL
+             SELECT node, c AS cand, CAST(0 AS HUGEINT) AS k_in FROM l${r - 1})
+           GROUP BY 1, 2),
+         sc$r AS (
+           SELECT cd.node, cd.cand,
+                  m2t.m2 * cd.k_in - CAST(d.k AS HUGEINT) *
+                    (s.sigma - CASE WHEN cd.cand = l.c
+                                    THEN CAST(d.k AS HUGEINT)
+                                    ELSE CAST(0 AS HUGEINT) END) AS score
+           FROM cand$r cd
+           JOIN l${r - 1} l USING (node)
+           JOIN deg d USING (node)
+           JOIN sig$r s ON s.cand = cd.cand
+           CROSS JOIN m2t),
+         l$r AS MATERIALIZED (
+           SELECT node, -((max(struct_pack(score := score, nc := -cand))).nc) AS c
+           FROM sc$r GROUP BY 1)"""
+         }.mkString(",\n         ")}
+         SELECT node, c AS community FROM l2"""
   )
 }

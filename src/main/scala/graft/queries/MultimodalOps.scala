@@ -124,6 +124,22 @@ object MultimodalOps {
         graft.multimodal.ImageIoCodec)
         .select("asset_id", "width", "height", "channels", "px_sum")
     }),
+    "m_strip_meta" -> ((s, dir) => {
+      // metadata scrubbing — the privacy pass a crawled-image pipeline
+      // runs before training (EXIF GPS, author records, timestamps):
+      // each PNG carries 1 + len%3 injected tEXt chunks (correct CRCs,
+      // spliced after IHDR); the operator walks the REAL chunk grammar,
+      // drops every ancillary chunk, and re-decodes the scrubbed bytes
+      // with the real inflater. The oracle predicts the dropped-chunk
+      // count (construction arithmetic) AND the decoded dims + pixel
+      // checksum (PNG lossless) — so one hash gate proves the metadata
+      // left and the image stream survived byte-exact. Scan-shaped
+      // per-partition work, no shuffle.
+      Multimodal.stripMetaStats(
+        Multimodal.pngAssetsWithText(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.ImageIoCodec)
+    }),
     "m_jpeg_meta" -> ((s, dir) => {
       // REAL lossy decode: the same rasters through the JDK's baseline-DCT
       // JPEG encoder, decoded back by ImageIoCodec. Only the lossless
@@ -315,6 +331,21 @@ object MultimodalOps {
                 CAST(1 + length(text) % 16 AS INTEGER) AS width,
                 CAST(1 + (length(text) // 16) % 16 AS INTEGER) AS height,
                 3 AS channels,
+                CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+                  list_reduce(
+                    list_transform(
+                      range(0, (1 + length(text) % 16) * (1 + (length(text) // 16) % 16) * 3),
+                      i -> unicode(text[(i % length(text)) + 1])),
+                    (a, b) -> a + b) END AS BIGINT) AS px_sum
+         FROM documents""",
+    "m_strip_meta" ->
+      // the m_png_codec replay plus the injected-chunk count: the strip
+      // must remove exactly the 1 + len%3 tEXt records and leave the
+      // lossless image stream untouched
+      """SELECT doc_id AS asset_id,
+                CAST(1 + length(text) % 16 AS INTEGER) AS width,
+                CAST(1 + (length(text) // 16) % 16 AS INTEGER) AS height,
+                CAST(1 + length(text) % 3 AS INTEGER) AS n_text_dropped,
                 CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
                   list_reduce(
                     list_transform(

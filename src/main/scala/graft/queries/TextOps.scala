@@ -1543,6 +1543,48 @@ object TextOps {
           when(col("tercile") === 1, "head")
             .when(col("tercile") === 2, "middle")
             .otherwise("tail").as("ppl_bucket"))
+    }),
+    "t_hash_embed" -> ((s, dir) => {
+      // feature-hashed document vectors (the hashing trick — Weinberger
+      // et al., ICML'09: bucket = h(token) mod D, value accumulates a
+      // ±1 sign from an INDEPENDENT hash, so collisions cancel in
+      // expectation and the "embedding" needs no trained encoder). D=64
+      // via the shared md5-bucket idiom (t_classifier_score's feature
+      // map); sign = parity of the first hex digit of md5('s'||token).
+      // This is the bridge between the text corpus and the vector
+      // surface: cheap, deterministic per-doc vectors for clustering and
+      // near-dup when no model is available. The WHOLE sparse vector
+      // gates through one canonical fingerprint (sorted "b:v" pairs, the
+      // t_render_sft lineage idiom — one flipped sign or shifted bucket
+      // fails the hash) plus its L0/L1/L2 moments and argmax bucket
+      // (ties → smallest bucket). Plan: one scan-fused explode, one
+      // (doc,bucket) hash aggregate, one doc-keyed aggregate — both
+      // map-side combinable, nothing corpus-global; at 100 TB the op is
+      // embarrassingly parallel and the output is 6 fixed-width columns
+      // per doc, never the 64-wide dense frame.
+      val bv = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 6), 16, 10)
+            .cast(LongType) % 64).as("b"),
+          when(conv(substring(md5(concat(lit("s"), col("tok"))), 1, 1),
+            16, 10).cast(LongType) % 2 === 0, lit(1L))
+            .otherwise(lit(-1L)).as("sgn"))
+        .groupBy("doc_id", "b").agg(sum("sgn").as("v"))
+        .filter(col("v") =!= 0)
+      bv.groupBy("doc_id").agg(
+          count(lit(1)).cast("int").as("nnz"),
+          sum(abs(col("v"))).as("l1"),
+          sum(col("v") * col("v")).as("l2sq"),
+          max(struct(col("v"), (-col("b")).as("nb"))).as("mx"),
+          md5(concat_ws(",", transform(
+            array_sort(collect_list(struct(col("b"), col("v")))),
+            x => concat(x.getField("b").cast("string"), lit(":"),
+              x.getField("v").cast("string"))))).as("vec_md5"))
+        .select(col("doc_id"), col("nnz"), col("l1"), col("l2sq"),
+          (-col("mx.nb")).as("top_bucket"), col("mx.v").as("top_v"),
+          col("vec_md5"))
     })
   )
 
@@ -2880,7 +2922,33 @@ object TextOps {
                 CASE WHEN tercile = 1 THEN 'head'
                      WHEN tercile = 2 THEN 'middle'
                      ELSE 'tail' END AS ppl_bucket
-         FROM b"""
+         FROM b""",
+    "t_hash_embed" ->
+      // identical hash chain: bucket = first-6-hex md5 % 64, sign =
+      // first-hex-digit parity of md5('s'||tok); per-(doc,bucket) signed
+      // sums, zero-cancelled entries dropped, then the moments + argmax
+      // (max struct over (v, -b): ties → smallest bucket) and the
+      // canonical sorted "b:v" fingerprint
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         bv0 AS (SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS b,
+                   CASE WHEN ('0x' || substr(md5('s' || tok), 1, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+                 FROM toks),
+         bv AS (SELECT doc_id, b, CAST(sum(sgn) AS BIGINT) AS v
+                FROM bv0 GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+         agg AS (SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS nnz,
+                   CAST(sum(abs(v)) AS BIGINT) AS l1,
+                   CAST(sum(v * v) AS BIGINT) AS l2sq,
+                   max(struct_pack(v := v, nb := -b)) AS mx,
+                   md5(string_agg(CAST(b AS VARCHAR) || ':' || CAST(v AS VARCHAR),
+                       ',' ORDER BY b)) AS vec_md5
+                 FROM bv GROUP BY 1)
+         SELECT doc_id, nnz, l1, l2sq,
+                -((mx).nb) AS top_bucket, (mx).v AS top_v, vec_md5
+         FROM agg"""
   )
 
   /** Shared WITH-chain: SimHash candidate pairs closed transitively into

@@ -948,6 +948,55 @@ object VectorOps {
       picks.toDF("step", "vec_id", "cs_raw")
         .select(col("step"), col("vec_id"),
           round(col("cs_raw"), 6).as("cover_sim"))
+    }),
+    "v_cluster_sample" -> ((s, dir) => {
+      // cluster-stratified diversity sampling — the "balance the clusters,
+      // not the corpus" selection step a curation pipeline runs before
+      // quota-based mixing (cluster-proportional pruning in SemDeDup/DCLM-
+      // style stacks): assign every vector to its nearest seed centroid
+      // (the shared IVF sampled assignment — AssignCellExpr's codegen'd
+      // argmax with decimal-exact rerank, the machinery the whole
+      // v_knn_ivf family hash-gates), then keep exactly 2 representatives
+      // per cell ranked by md5(vec_id) — the hash-as-RNG idiom
+      // (t_sample_split): reproducible on 1000 executors, refreshes per
+      // corpus version, needs no generator state. The per-cell pick runs
+      // through the two-phase TopKPerKey heap, so the shuffle carries at
+      // most partitions·cells·k rows, never the corpus. At 100 TB this is
+      // one assignment pass + a heap-bounded shuffle — the cheapest
+      // defensible diversity downsample, and the sampled ids land already
+      // bucketed by cell for whatever consumes them next.
+      val e = emb(s, dir)
+      val ranked = IvfIndex.assignSampled(e, "vec_id", "embedding", 16)
+        .select(col("cell"), col("vec_id"),
+          md5(col("vec_id").cast("string")).as("h"))
+      org.apache.spark.sql.GraftPlanBridge.topKPerKey(ranked,
+          Seq("cell"), Seq("h" -> true, "vec_id" -> true), 2)
+        .select(col("cell"), col("vec_id"), col("h"))
+    }),
+    "v_cluster_purity" -> ((s, dir) => {
+      // external cluster-quality evaluation: per-cell majority-label purity
+      // of the sampled-seed assignment against the embeddings' labels —
+      // the acceptance gate a pipeline checks before letting a clustering
+      // drive downstream sampling (the g_modularity rationale, for the
+      // vector side). Per cell: size, majority label (ties → the LARGEST
+      // label id — max(struct) is total over (count, int label),
+      // identical in both engines), majority count, and purity =
+      // top_n / n as one IEEE
+      // division. Plan: one assignment pass, one (cell,label) hash
+      // aggregate, one cell-sized argmax — map-side combinable end to
+      // end; the result frame is cells-sized, nothing corpus-shaped
+      // survives the second aggregate.
+      val e = emb(s, dir)
+      IvfIndex.assignSampled(e, "vec_id", "embedding", 16)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("cell").agg(
+          sum(col("cnt")).as("n"),
+          max(struct(col("cnt"), col("label"))).as("mx"))
+        .select(col("cell"), col("n"),
+          col("mx.label").as("top_label"), col("mx.cnt").as("top_n"),
+          round(col("mx.cnt").cast("double") / col("n").cast("double"), 6)
+            .as("purity"))
     })
   )
 
@@ -1918,6 +1967,59 @@ object VectorOps {
                 CAST(NULL AS DOUBLE) AS cover_sim
          ${(2 to 5).map(r =>
            s"""UNION ALL SELECT CAST($r AS INTEGER), vec_id, round(ms, 6)
-               FROM s$r""").mkString("\n         ")}"""
+               FROM s$r""").mkString("\n         ")}""",
+    "v_cluster_sample" ->
+      // the ivfOracle assignment CTEs (decimal-exact cosine argmax, ties →
+      // smallest cell), then the identical md5-rank row_number pick: the
+      // heap operator and the window must agree row-for-row
+      s"""WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                 FROM embeddings WHERE vec_id < 16),
+       pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+              FROM embeddings e CROSS JOIN seeds s),
+       pd AS (SELECT vec_id, cell,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+              FROM pu GROUP BY 1, 2),
+       cn AS (SELECT cell,
+                CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+              FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+       cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+              FROM pd JOIN cn ON pd.cell = cn.cell),
+       assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                    FROM cc GROUP BY 1),
+       ranked AS (SELECT cell, vec_id, md5(CAST(vec_id AS VARCHAR)) AS h,
+                    row_number() OVER (PARTITION BY cell
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+                  FROM assigned)
+       SELECT CAST(cell AS INTEGER) AS cell, vec_id, h
+       FROM ranked WHERE rn <= 2""",
+    "v_cluster_purity" ->
+      // same assignment replay, then the (cell,label) counts and the
+      // max(struct) majority argmax — total over (count, ASCII label)
+      s"""WITH seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                 FROM embeddings WHERE vec_id < 16),
+       pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+              FROM embeddings e CROSS JOIN seeds s),
+       pd AS (SELECT vec_id, cell,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+              FROM pu GROUP BY 1, 2),
+       cn AS (SELECT cell,
+                CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+              FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+       cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+              FROM pd JOIN cn ON pd.cell = cn.cell),
+       assigned AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                    FROM cc GROUP BY 1),
+       cl AS (SELECT a.cell, e.label, CAST(count(*) AS BIGINT) AS cnt
+              FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+              GROUP BY 1, 2),
+       agg AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n,
+                      max(struct_pack(cnt := cnt, label := label)) AS mx
+               FROM cl GROUP BY 1)
+       SELECT CAST(cell AS INTEGER) AS cell, n,
+              (mx).label AS top_label, (mx).cnt AS top_n,
+              round(CAST((mx).cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity
+       FROM agg"""
   )
 }

@@ -269,4 +269,31 @@ class CodecSpec extends AnyFunSuite {
     }
     assert(fp == expected, f"fp=0x$fp%016x expected=0x$expected%016x")
   }
+
+  test("PngChunks: inject then strip restores the original bytes exactly") {
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, x * 37 + y * 101)
+    val bo = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bo)
+    val base = bo.toByteArray
+    val injected = PngChunks.injectText(base,
+      Seq("Author" -> "user-1-0", "Comment" -> "gps 1.2,3.4"))
+    assert(injected.length > base.length)
+    // the injected payload still decodes (readers skip unknown ancillary)
+    assert(ImageIoCodec.decode(injected).pixels.toSeq ==
+      ImageIoCodec.decode(base).pixels.toSeq)
+    val (clean, nText) = PngChunks.stripAncillary(injected)
+    assert(nText == 2, s"expected 2 tEXt dropped, got $nText")
+    // strip removes ONLY ancillary chunks: if the encoder wrote none, the
+    // scrub restores the original byte-for-byte (image stream untouched)
+    val (baseClean, baseText) = PngChunks.stripAncillary(base)
+    assert(baseText == 0)
+    assert(clean.toSeq == baseClean.toSeq)
+    assert(ImageIoCodec.decode(clean).pixels.toSeq ==
+      ImageIoCodec.decode(base).pixels.toSeq)
+    // no tEXt survives in the scrubbed bytes
+    val marker = "tEXt".getBytes("US-ASCII").toSeq
+    assert(!clean.toSeq.sliding(4).contains(marker))
+  }
 }

@@ -841,4 +841,119 @@ class CurationOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("t_hash_embed matches an independent per-doc reimplementation") {
+    // straight-Scala hashing-trick vectors (bucket/sign/moments/
+    // fingerprint) — same hash chain, different execution substrate
+    val rows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+    val expect = rows.flatMap { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val bv = scala.collection.mutable.Map[Long, Long]()
+      // Spark split(text, " ") keeps trailing empties (limit -1)
+      text.split(" ", -1).foreach { tok =>
+        val b = java.lang.Long.parseLong(md5hex(tok).take(6), 16) % 64
+        val sgn = if (java.lang.Long.parseLong(
+          md5hex("s" + tok).take(1), 16) % 2 == 0) 1L else -1L
+        bv(b) = bv.getOrElse(b, 0L) + sgn
+      }
+      val nz = bv.toSeq.filter(_._2 != 0).sortBy(_._1)
+      if (nz.isEmpty) None
+      else {
+        val (topB, topV) = nz.maxBy { case (b, v) => (v, -b) }
+        Some(id -> ((nz.size, nz.map(x => math.abs(x._2)).sum,
+          nz.map(x => x._2 * x._2).sum, topB, topV,
+          md5hex(nz.map { case (b, v) => s"$b:$v" }.mkString(",")))))
+      }
+    }.toMap
+    val got = q("t_hash_embed").collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: ${got(id)} != $e") }
+  }
+
+  test("v_cluster_sample picks the 2 smallest (md5, id) per assignment cell") {
+    val assigned = graft.operators.IvfIndex.assignSampled(
+        graft.Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", 16)
+      .select("cell", "vec_id")
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val byCell = q("v_cluster_sample").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    byCell.foreach { case (_, id, h) =>
+      assert(h == md5hex(id.toString), s"vec $id: stored rank hash mismatch") }
+    val gotCells = byCell.groupBy(_._1)
+    val expCells = assigned.groupBy(_._1)
+    assert(gotCells.keySet == expCells.keySet)
+    expCells.foreach { case (cell, members) =>
+      val want = members.map(_._2)
+        .sortBy(id => (md5hex(id.toString), id)).take(2).toSet
+      val have = gotCells(cell).map(_._2).toSet
+      assert(have == want, s"cell $cell: $have != $want")
+    }
+  }
+
+  test("v_cluster_purity: majority counts against an independent tally") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val lab = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val assigned = graft.operators.IvfIndex.assignSampled(
+        e, "vec_id", "embedding", 16)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val tally = assigned.groupBy(_._2).map { case (cell, ms) =>
+      val counts = ms.groupBy(m => lab(m._1)).view.mapValues(_.size.toLong)
+      // ties → largest label id (the max(struct) order)
+      val (tl, tn) = counts.toSeq.maxBy { case (l, n) => (n, l) }
+      cell -> ((ms.size.toLong, tl, tn))
+    }
+    val got = q("v_cluster_purity").collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == tally.keySet)
+    tally.foreach { case (cell, (n, tl, tn)) =>
+      val (gn, gl, gtn, p) = got(cell)
+      assert((gn, gl, gtn) == ((n, tl, tn)), s"cell $cell")
+      assert(math.abs(p - tn.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("g_louvain matches an independent integer-score reimplementation") {
+    val e0 = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("s"), (col("l_partkey") * 2 + 1).as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (e0 ++ e0.map(x => (x._2, x._1))).toSeq
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m2 = BigInt(edges.size)
+    var lbl: Map[Long, Long] = deg.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      val sigma = lbl.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => BigInt(deg(x._1))).sum).toMap
+      val nbr = edges.groupBy(_._1).view
+        .mapValues(_.groupBy(x => lbl(x._2)).view
+          .mapValues(_.size.toLong).toMap).toMap
+      lbl = lbl.map { case (i, ci) =>
+        val cands = nbr.getOrElse(i, Map.empty[Long, Long]) ++
+          (if (nbr.getOrElse(i, Map.empty[Long, Long]).contains(ci)) Map.empty
+           else Map(ci -> 0L))
+        val ki = BigInt(deg(i))
+        val best = cands.toSeq.map { case (c, kin) =>
+          val sig = sigma(c) - (if (c == ci) ki else BigInt(0))
+          (m2 * BigInt(kin) - ki * sig, c)
+        }.maxBy { case (score, c) => (score, -c) }
+        i -> best._2
+      }
+    }
+    val got = q("g_louvain").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == lbl.size)
+    lbl.foreach { case (n, c) =>
+      assert(got(n) == c, s"node $n: ${got(n)} != $c") }
+  }
 }

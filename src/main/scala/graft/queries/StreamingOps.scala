@@ -459,7 +459,13 @@ object StreamingOps {
     "s_anomaly" ->
       // PRIOR-only frame (UNBOUNDED PRECEDING .. 1 PRECEDING) = the state
       // the streaming op had seen before each row; decimal window sums
-      // cast to double round the same rationals as the op's integer units
+      // cast to double round the same rationals as the op's integer units.
+      // The sqrt sits inside a CASE repeating the variance guard: DuckDB
+      // pushes the outer z >= 2 predicate into this CTE and may evaluate
+      // it BEFORE the WHERE conjuncts, so an unguarded sqrt errors on a
+      // negative-variance row (first observed at sf1 — a constant-prefix
+      // key whose fp cancellation dips below 0). CASE evaluation is
+      // per-row lazy, and surviving rows compute the identical double.
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us, value
                     FROM events
                     WHERE event_type IS NOT NULL AND value IS NOT NULL),
@@ -472,7 +478,10 @@ object StreamingOps {
                WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
          z AS (SELECT event_type, event_id, value,
-                 (value - sx / nn) / sqrt((nn * sxx - sx * sx) / (nn * nn)) AS z
+                 CASE WHEN nn >= 12 AND nn * sxx - sx * sx > 0
+                      THEN (value - sx / nn)
+                           / sqrt((nn * sxx - sx * sx) / (nn * nn))
+                      END AS z
                FROM w WHERE nn >= 12 AND nn * sxx - sx * sx > 0)
          SELECT event_type, event_id, value, round(z, 6) AS z
          FROM z WHERE z >= 2""",

@@ -68,6 +68,13 @@ def main():
     # DuckDB thread pool so J parallel oracles don't oversubscribe the host
     if os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    # sf1-scale replays of the iterative-CTE oracles (LPA/Louvain, the
+    # cluster families) can exceed physical RAM when several run at once:
+    # bound the allocator and give DuckDB a spill directory so the replay
+    # completes slower instead of being OOM-killed
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # a table may be a single file (driver testdata) or a directory of
         # part files (gen_scale.py's multi-file scale-up corpora)

@@ -725,38 +725,93 @@ object GraphOps {
       // aggregates (the LPA shape) + one community-sized Σtot aggregate
       // broadcast back; m2 is a 1-row driver scalar (BOUNDED — the
       // v_semdedup_scaled count idiom); O(1) lineage via localCheckpoint.
-      val e = longEdges(s, dir).localCheckpoint()
+      val e = longEdges(s, dir)
+        .select(col("src"), col("dst"), lit(1L).as("w")).localCheckpoint()
       val m2 = e.count() // BOUNDED: one scalar — 2·|E|, the ΔQ scale
-      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+      val deg = e.groupBy(col("src").as("node")).agg(sum("w").as("k"))
         .localCheckpoint()
       var lbl = deg.select(col("node"), col("node").as("c"))
-      for (_ <- 1 to 2) {
-        val sigma = lbl.join(deg, "node")
-          .groupBy(col("c").as("cand")).agg(sum("k").as("sigma"))
-        val nb = e.join(lbl.select(col("node").as("dst"), col("c").as("cd")),
-            "dst")
-          .groupBy(col("src").as("node"), col("cd").as("cand"))
-          .agg(count(lit(1)).as("k_in"))
-        val cand = nb.unionByName(
-            lbl.select(col("node"), col("c").as("cand"),
-              lit(0L).as("k_in")))
-          .groupBy("node", "cand").agg(sum("k_in").as("k_in"))
-        lbl = cand.join(lbl, "node").join(deg, "node")
-          .join(sigma, "cand")
-          .withColumn("score",
-            lit(m2).cast(DecimalType(38, 0)) *
-              col("k_in").cast(DecimalType(38, 0))
-            - col("k").cast(DecimalType(38, 0)) *
-              (col("sigma") - when(col("cand") === col("c"), col("k"))
-                .otherwise(lit(0L))).cast(DecimalType(38, 0)))
-          .groupBy("node")
-          .agg(max(struct(col("score"), (-col("cand")).as("nc"))).as("m"))
-          .select(col("node"), (-col("m.nc")).as("c"))
-          .localCheckpoint()
-      }
+      for (_ <- 1 to 2) lbl = louvainSweep(e, deg, m2, lbl)
       lbl.select(col("node"), col("c").as("community"))
+    }),
+    "g_louvain2" -> ((s, dir) => {
+      // the Louvain AGGREGATION phase + second level (Blondel et al. '08
+      // §2 "second phase" — THE step that makes Louvain multi-level and
+      // the reason it scales: after a level converges, communities
+      // COLLAPSE into single nodes whose edge weights are the
+      // inter-community edge counts and whose self-loops carry the
+      // internal mass, and the same sweep runs on a graph that is orders
+      // of magnitude smaller). Level 1 = the g_louvain trajectory
+      // (identical integer arithmetic — the shared louvainSweep with
+      // w = 1). Coarsening is one edges⋈labels⋈labels join + a
+      // (community, community) weighted aggregate — the coarse graph is
+      // communities², bounded far below |E|. The level-2 sweep is the
+      // SAME integer ΔQ argmax, now over summed weights: the coarse
+      // degree INCLUDES the self-loop (k_c = Σ_{i∈c} k_i, since each
+      // intra-community edge contributes both directions), while the
+      // candidate edges EXCLUDE it (a coarse node alone in its own
+      // community has no internal neighbours to score against); m2 — the
+      // total edge mass — is invariant under coarsening. Output is the
+      // full two-level trajectory (node, level-1 community, final
+      // community), all hash-gated. At 100 TB the coarse sweep is the
+      // cheap one; level 1's LPA-shaped rounds dominate, unchanged.
+      val e = longEdges(s, dir)
+        .select(col("src"), col("dst"), lit(1L).as("w")).localCheckpoint()
+      val m2 = e.count() // BOUNDED: one scalar (the g_louvain idiom)
+      val deg = e.groupBy(col("src").as("node")).agg(sum("w").as("k"))
+        .localCheckpoint()
+      var lbl = deg.select(col("node"), col("node").as("c"))
+      for (_ <- 1 to 2) lbl = louvainSweep(e, deg, m2, lbl)
+      val ce = e
+        .join(lbl.select(col("node").as("src"), col("c").as("cs")), "src")
+        .join(lbl.select(col("node").as("dst"), col("c").as("cd")), "dst")
+        .groupBy("cs", "cd").agg(sum("w").as("w"))
+        .localCheckpoint()
+      val cdeg = ce.groupBy(col("cs").as("node")).agg(sum("w").as("k"))
+        .localCheckpoint()
+      val cedges = ce.filter(col("cs") =!= col("cd"))
+        .select(col("cs").as("src"), col("cd").as("dst"), col("w"))
+      val l2 = louvainSweep(cedges, cdeg, m2,
+        cdeg.select(col("node"), col("node").as("c")))
+      lbl.select(col("node"), col("c").as("c1"))
+        .join(l2.select(col("node").as("c1"), col("c").as("community")),
+          "c1")
+        .select(col("node"), col("c1"), col("community"))
     })
   )
+
+  /** One synchronous Louvain sweep over a WEIGHTED edge frame
+    * (src, dst, w) — the g_louvain ΔQ argmax generalized so the level-2
+    * coarsened graph reuses it verbatim (g_louvain passes w = 1; counts
+    * and weighted sums coincide, so its hashes are unchanged). Exact
+    * integer scores: argmax_c of m2·k_in(i,c) − k_i·Σtot′(c) in
+    * DECIMAL(38,0) (HUGEINT in the oracle), ties → smallest community.
+    * Plan: one edge⋈label join + two hash aggregates + one
+    * community-sized Σtot aggregate; O(1) lineage via localCheckpoint. */
+  private def louvainSweep(e: DataFrame, deg: DataFrame, m2: Long,
+                           lbl: DataFrame): DataFrame = {
+    val sigma = lbl.join(deg, "node")
+      .groupBy(col("c").as("cand")).agg(sum("k").as("sigma"))
+    val nb = e.join(lbl.select(col("node").as("dst"), col("c").as("cd")),
+        "dst")
+      .groupBy(col("src").as("node"), col("cd").as("cand"))
+      .agg(sum("w").as("k_in"))
+    val cand = nb.unionByName(
+        lbl.select(col("node"), col("c").as("cand"), lit(0L).as("k_in")))
+      .groupBy("node", "cand").agg(sum("k_in").as("k_in"))
+    cand.join(lbl, "node").join(deg, "node")
+      .join(sigma, "cand")
+      .withColumn("score",
+        lit(m2).cast(DecimalType(38, 0)) *
+          col("k_in").cast(DecimalType(38, 0))
+        - col("k").cast(DecimalType(38, 0)) *
+          (col("sigma") - when(col("cand") === col("c"), col("k"))
+            .otherwise(lit(0L))).cast(DecimalType(38, 0)))
+      .groupBy("node")
+      .agg(max(struct(col("score"), (-col("cand")).as("nc"))).as("m"))
+      .select(col("node"), (-col("m.nc")).as("c"))
+      .localCheckpoint()
+  }
 
   private val edgesSql =
     """e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
@@ -1328,6 +1383,80 @@ object GraphOps {
            SELECT node, -((max(struct_pack(score := score, nc := -cand))).nc) AS c
            FROM sc$r GROUP BY 1)"""
          }.mkString(",\n         ")}
-         SELECT node, c AS community FROM l2"""
+         SELECT node, c AS community FROM l2""",
+    "g_louvain2" ->
+      // the g_louvain replay + the aggregation phase: coarsen on the
+      // level-1 labels (self-loops carry internal mass), then ONE weighted
+      // sweep with the identical HUGEINT ΔQ argmax — coarse degree keeps
+      // the self-loop, candidate edges drop it
+      s"""WITH $edgesSqlLong,
+         deg AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+           FROM edges GROUP BY 1),
+         m2t AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM edges),
+         l0 AS MATERIALIZED (SELECT node, node AS c FROM deg),
+         ${(1 to 2).map { r =>
+           s"""sig$r AS MATERIALIZED (
+           SELECT l.c AS cand, CAST(sum(d.k) AS HUGEINT) AS sigma
+           FROM l${r - 1} l JOIN deg d USING (node) GROUP BY 1),
+         nb$r AS (
+           SELECT e.src AS node, l.c AS cand, CAST(count(*) AS HUGEINT) AS k_in
+           FROM edges e JOIN l${r - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         cand$r AS (
+           SELECT node, cand, CAST(sum(k_in) AS HUGEINT) AS k_in FROM (
+             SELECT node, cand, k_in FROM nb$r
+             UNION ALL
+             SELECT node, c AS cand, CAST(0 AS HUGEINT) AS k_in FROM l${r - 1})
+           GROUP BY 1, 2),
+         sc$r AS (
+           SELECT cd.node, cd.cand,
+                  m2t.m2 * cd.k_in - CAST(d.k AS HUGEINT) *
+                    (s.sigma - CASE WHEN cd.cand = l.c
+                                    THEN CAST(d.k AS HUGEINT)
+                                    ELSE CAST(0 AS HUGEINT) END) AS score
+           FROM cand$r cd
+           JOIN l${r - 1} l USING (node)
+           JOIN deg d USING (node)
+           JOIN sig$r s ON s.cand = cd.cand
+           CROSS JOIN m2t),
+         l$r AS MATERIALIZED (
+           SELECT node, -((max(struct_pack(score := score, nc := -cand))).nc) AS c
+           FROM sc$r GROUP BY 1)"""
+         }.mkString(",\n         ")},
+         ce AS MATERIALIZED (
+           SELECT a.c AS cs, b.c AS cd, CAST(count(*) AS BIGINT) AS w
+           FROM edges e JOIN l2 a ON e.src = a.node
+                        JOIN l2 b ON e.dst = b.node
+           GROUP BY 1, 2),
+         cdeg AS MATERIALIZED (
+           SELECT cs AS node, CAST(sum(w) AS BIGINT) AS k FROM ce GROUP BY 1),
+         cl0 AS (SELECT node, node AS c FROM cdeg),
+         csig AS (SELECT l.c AS cand, CAST(sum(d.k) AS HUGEINT) AS sigma
+                  FROM cl0 l JOIN cdeg d USING (node) GROUP BY 1),
+         cnb AS (SELECT e.cs AS node, l.c AS cand,
+                        CAST(sum(e.w) AS HUGEINT) AS k_in
+                 FROM ce e JOIN cl0 l ON e.cd = l.node
+                 WHERE e.cs <> e.cd GROUP BY 1, 2),
+         ccand AS (SELECT node, cand, CAST(sum(k_in) AS HUGEINT) AS k_in FROM (
+             SELECT node, cand, k_in FROM cnb
+             UNION ALL
+             SELECT node, c AS cand, CAST(0 AS HUGEINT) AS k_in FROM cl0)
+           GROUP BY 1, 2),
+         csc AS (SELECT cd2.node, cd2.cand,
+                   m2t.m2 * cd2.k_in - CAST(d.k AS HUGEINT) *
+                     (s.sigma - CASE WHEN cd2.cand = l.c
+                                     THEN CAST(d.k AS HUGEINT)
+                                     ELSE CAST(0 AS HUGEINT) END) AS score
+                 FROM ccand cd2
+                 JOIN cl0 l USING (node)
+                 JOIN cdeg d USING (node)
+                 JOIN csig s ON s.cand = cd2.cand
+                 CROSS JOIN m2t),
+         cl1 AS MATERIALIZED (
+           SELECT node,
+                  -((max(struct_pack(score := score, nc := -cand))).nc) AS c
+           FROM csc GROUP BY 1)
+         SELECT l.node, l.c AS c1, cl1.c AS community
+         FROM l2 l JOIN cl1 ON cl1.node = l.c"""
   )
 }

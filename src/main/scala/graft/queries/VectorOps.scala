@@ -997,6 +997,107 @@ object VectorOps {
           col("mx.label").as("top_label"), col("mx.cnt").as("top_n"),
           round(col("mx.cnt").cast("double") / col("n").cast("double"), 6)
             .as("purity"))
+    }),
+    "v_rrf" -> ((s, dir) => {
+      // hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+      // Büttcher SIGIR'09): fuse the BM25 lexical top-50 (the t_bm25
+      // scoring chain verbatim, same RSJ-odds determinism substitution)
+      // with the dense cosine top-50 (the v_knn_brute leg, query = vec 0)
+      // as rrf = Σ_legs 1/(60 + rank) — THE production sparse+dense
+      // combiner, because it is rank-based and needs no score calibration
+      // between legs. documents.doc_id ↔ embeddings.vec_id align 1:1 by
+      // construction (the doc→embedding lineage a real corpus carries).
+      // Determinism: ranks are integers off totally-ordered (unrounded
+      // score, id) sorts; each leg contributes one IEEE division and the
+      // fusion is one fixed-order double add — bit-identical cross-engine.
+      // Plan: each leg is its existing bounded retrieval (TakeOrdered
+      // top-50); ranking + fusion run on two 50-row frames (a window over
+      // ≤50 rows, then a full outer join) — nothing corpus-shaped leaves
+      // the legs, and at scale each leg swaps to its index path (IVF
+      // probe / postings list) without touching the fusion.
+      import org.apache.spark.sql.expressions.Window
+      val qTerms = Seq("hash", "merge", "vector")
+      val dtok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("len", size(col("toks")))
+      val stats = dtok.agg(count(lit(1)).as("n_docs"),
+        sum(col("len").cast(DecimalType(28, 6))).cast("double").as("sum_len"))
+      val tf = dtok
+        .select(col("doc_id"), col("len"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+        .groupBy("doc_id", "len", "tok").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val lex50 = tf.join(dfr, "tok").crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("len") / (col("sum_len") / col("n_docs")))))
+            .cast(DecimalType(28, 16)).as("term_score"))
+        .groupBy("doc_id").agg(sum(col("term_score")).cast("double").as("sc"))
+        .orderBy(col("sc").desc, col("doc_id").asc).limit(50)
+      val lexR = lex50.withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("sc").desc, col("doc_id").asc))
+          .cast("long")).select("doc_id", "lex_rank")
+      val e = emb(s, dir)
+      // 1-row query fetch (the knnBrute watermark-style scalar)
+      val qv: Seq[Float] = e.filter(col("vec_id") === 0)
+        .select("embedding").take(1).head.getSeq[Float](0)
+      val den50 = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosineToQuery(col("embedding"), qv).as("c"))
+        .orderBy(col("c").desc, col("doc_id").asc).limit(50)
+      val denR = den50.withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("c").desc, col("doc_id").asc))
+          .cast("long")).select("doc_id", "dense_rank")
+      lexR.join(denR, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+            .as("rrf_raw"))
+        .orderBy(col("rrf_raw").desc, col("doc_id").asc).limit(20)
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+          round(col("rrf_raw"), 9).as("rrf"))
+    }),
+    "v_knn_graph" -> ((s, dir) => {
+      // cell-blocked k-NN graph construction — the substrate SemDeDup-
+      // style clustering, NN-Descent refinement, and mutual-kNN density
+      // methods all start from (a corpus-wide "top-k neighbors per
+      // vector" table, not a per-query retrieval). Blocking: every vector
+      // assigns to its sampled-seed IVF cell with nCells = ⌈√N⌉ (the
+      // v_semdedup_scaled scale derivation: E[cell] ≈ √N ⇒ Σ n_c² ≈ N^1.5,
+      // never corpus²), within-cell pairs score ONE hoisted-norm decimal
+      // cosine each, each vector keeps its top-3 through the two-phase
+      // TopKPerKey heap (exchange ≤ partitions·N·k rows, never the pair
+      // stream), and the mutual flag is one self-join of the k·N edge
+      // list on the reversed key. At 100 TB the assignment is the
+      // bucketing column, so the pair join is co-located per cell.
+      val e = emb(s, dir)
+      val nCells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val a = IvfIndex.assignSampled(e, "vec_id", "embedding", nCells)
+        .withColumn("n2", Similarity.decNorm2(col("embedding")))
+        .localCheckpoint() // consumed by both sides of the pair join
+      val l = a.select(col("cell"), col("vec_id").as("src"),
+        col("embedding").as("ea"), col("n2").as("na"))
+      val r = a.select(col("cell"), col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("n2").as("nb"))
+      val scored = l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          Similarity.cosineFromParts(
+            Similarity.decDot(col("ea"), col("eb")),
+            col("na"), col("nb")).as("c_raw"))
+      val knn = org.apache.spark.sql.GraftPlanBridge.topKPerKey(scored,
+          Seq("src"), Seq("c_raw" -> false, "dst" -> true), 3)
+        .localCheckpoint() // consumed twice: edges + reversed-edge probe
+      knn.join(
+          knn.select(col("dst").as("src"), col("src").as("dst"),
+            lit(1).as("m")),
+          Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"), round(col("c_raw"), 6).as("cosine"),
+          coalesce(col("m"), lit(0)).cast("int").as("mutual"))
     })
   )
 
@@ -2020,6 +2121,106 @@ object VectorOps {
        SELECT CAST(cell AS INTEGER) AS cell, n,
               (mx).label AS top_label, (mx).cnt AS top_n,
               round(CAST((mx).cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity
-       FROM agg"""
+       FROM agg""",
+    "v_rrf" ->
+      // the t_bm25 CTEs (identical IEEE chain, decimal per-term cast) for
+      // the lexical leg, the shared decimal-accumulation fragment for the
+      // dense leg, row_number ranks off the same total orders, and the
+      // identically-parenthesized fused division chain
+      s"""WITH dk AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS len
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs,
+                          CAST(sum(CAST(len AS DECIMAL(28,6))) AS DOUBLE)
+                            AS sum_len
+                   FROM dk),
+         tf AS (SELECT doc_id, len, tok, count(*) AS tf
+                FROM (SELECT doc_id, len, unnest(toks) AS tok FROM dk)
+                WHERE tok IN ('hash', 'merge', 'vector')
+                GROUP BY 1, 2, 3),
+         dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         ts AS (SELECT doc_id,
+                  CAST((n_docs - df + 0.5) / (df + 0.5)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * len / (sum_len / n_docs)))
+                    AS DECIMAL(28,16)) AS term_score
+                FROM tf JOIN dfx USING (tok), stats),
+         lex50 AS (SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS sc
+                   FROM ts GROUP BY 1
+                   ORDER BY sc DESC, doc_id ASC LIMIT 50),
+         lexr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC)
+                      AS BIGINT) AS lex_rank
+                  FROM lex50),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ${accumSql("embeddings", "v")},
+         den50 AS (SELECT vec_id AS doc_id,
+                     dot/greatest(sqrt(norm2)*sqrt(qnv.qnorm2), 1e-12) AS c
+                   FROM dv, qnv WHERE vec_id <> 0
+                   ORDER BY c DESC, doc_id ASC LIMIT 50),
+         denr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC)
+                      AS BIGINT) AS dense_rank
+                  FROM den50)
+         SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+                COALESCE(l.lex_rank, 0) AS lex_rank,
+                COALESCE(r.dense_rank, 0) AS dense_rank,
+                round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+                    + COALESCE(CAST(1 AS DOUBLE) / (60 + r.dense_rank), 0.0),
+                  9) AS rrf
+         FROM lexr l FULL OUTER JOIN denr r ON l.doc_id = r.doc_id
+         ORDER BY COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+                + COALESCE(CAST(1 AS DOUBLE) / (60 + r.dense_rank), 0.0) DESC,
+                  COALESCE(l.doc_id, r.doc_id) ASC
+         LIMIT 20""",
+    "v_knn_graph" ->
+      // the v_semdedup_scaled assignment replay (nCells = ceil(sqrt(N))),
+      // per-pair decimal dot + hoisted norms, row_number top-3 per src off
+      // the identical (unrounded cosine, dst) total order, reversed-key
+      // self-join for the mutual flag
+      """WITH k AS (SELECT ceil(sqrt(count(*))) AS nc FROM embeddings),
+         seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                   FROM embeddings WHERE vec_id < (SELECT nc FROM k)),
+         pu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+                FROM embeddings e CROSS JOIN seeds s),
+         pd AS (SELECT vec_id, cell,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                FROM pu GROUP BY 1, 2),
+         cn AS (SELECT cell,
+                  CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+                FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+         cc AS (SELECT vec_id, pd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+                FROM pd JOIN cn ON pd.cell = cn.cell),
+         assigned AS MATERIALIZED (
+           SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+           FROM cc GROUP BY 1),
+         norms AS (SELECT vec_id,
+                     CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+                   FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+                   GROUP BY 1),
+         pu2 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                   unnest(ae.embedding) AS x, unnest(be.embedding) AS y
+                 FROM assigned a JOIN assigned b
+                   ON a.cell = b.cell AND a.vec_id <> b.vec_id
+                 JOIN embeddings ae ON ae.vec_id = a.vec_id
+                 JOIN embeddings be ON be.vec_id = b.vec_id),
+         pdot AS (SELECT src, dst,
+                    CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot
+                  FROM pu2 GROUP BY 1, 2),
+         sc AS (SELECT src, dst,
+                  dot/greatest(sqrt(na.n2)*sqrt(nb.n2), 1e-12) AS c
+                FROM pdot JOIN norms na ON na.vec_id = src
+                          JOIN norms nb ON nb.vec_id = dst),
+         knn AS (SELECT src, dst, c,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY c DESC, dst ASC) AS rn
+                 FROM sc),
+         topk AS MATERIALIZED (SELECT src, dst, c FROM knn WHERE rn <= 3)
+         SELECT t.src, t.dst, round(t.c, 6) AS cosine,
+                CAST(CASE WHEN m.src IS NULL THEN 0 ELSE 1 END AS INTEGER)
+                  AS mutual
+         FROM topk t LEFT JOIN topk m ON m.src = t.dst AND m.dst = t.src"""
   )
 }

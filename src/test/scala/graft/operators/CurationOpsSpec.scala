@@ -956,4 +956,140 @@ class CurationOpsSpec extends AnyFunSuite {
     lbl.foreach { case (n, c) =>
       assert(got(n) == c, s"node $n: ${got(n)} != $c") }
   }
+
+  test("v_rrf matches an independent plain-double two-leg fusion replay") {
+    // recompute both legs and the fusion in straight Scala doubles —
+    // different accumulation order, no decimal casts: agreement on the
+    // ranked ids is evidence the relational chain retrieves and fuses the
+    // right lists, not just self-consistent ones
+    val docRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val qTerms = Seq("hash", "merge", "vector")
+    val nDocs = docRows.length.toDouble
+    val avgLen = docRows.map(_._2.size).sum / nDocs
+    val tf = docRows.flatMap { case (id, toks) =>
+      qTerms.flatMap { t =>
+        val c = toks.count(_ == t)
+        if (c > 0) Some((id, toks.size, t, c)) else None }
+    }
+    val dfm = tf.groupBy(_._3).view.mapValues(_.size.toDouble).toMap
+    val lexScore = tf.groupBy(_._1).view.mapValues(_.map {
+      case (_, len, t, c) =>
+        (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) * (c * 2.2) /
+          (c + 1.2 * (0.25 + 0.75 * len / avgLen))
+    }.sum).toMap
+    val lexRank = lexScore.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(50).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val embRows = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val qv = embRows.find(_._1 == 0L).get._2
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val denRank = embRows.filter(_._1 != 0L).map { case (id, v) =>
+      val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+      id -> dot / math.max(math.sqrt(v.map(x => x * x).sum) * qn, 1e-12)
+    }.sortBy { case (id, c) => (-c, id) }
+      .take(50).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fused = (lexRank.keySet ++ denRank.keySet).toSeq.map { id =>
+      val r = lexRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        denRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, r)
+    }.sortBy { case (id, r) => (-r, id) }.take(20)
+    val got = q("v_rrf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == fused.length)
+    got.zip(fused).foreach { case ((id, lr, dr, rrf), (eid, er)) =>
+      assert(id == eid, s"fused order: $id != $eid")
+      assert(lr == lexRank.getOrElse(id, 0L), s"doc $id lex_rank")
+      assert(dr == denRank.getOrElse(id, 0L), s"doc $id dense_rank")
+      assert(math.abs(rrf - er) < 1e-9, s"doc $id rrf $rrf != $er")
+    }
+  }
+
+  test("v_knn_graph: per-src top-3 and mutual flags vs a direct replay") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val nCells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    // assignment correctness is AssignCellSpec's job — take the engine's
+    // cells as ground truth and independently verify the within-cell
+    // top-3 selection and the reciprocal-edge flags
+    val assigned = graft.operators.IvfIndex
+      .assignSampled(e, "vec_id", "embedding", nCells)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.max(math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    val expEdges: Seq[(Long, Long, Double)] =
+      assigned.groupBy(_._2).values.toSeq.flatMap { members =>
+        val ids: Seq[Long] = members.map(_._1).toSeq
+        ids.flatMap { src =>
+          ids.filter(_ != src)
+            .map(dst => (dst, cos(vecs(src), vecs(dst))))
+            .sortBy { case (dst, c) => (-c, dst) }.take(3)
+            .map { case (dst, c) => (src, dst, c) }
+        }
+      }
+    val expSet = expEdges.map(t => (t._1, t._2)).toSet
+    val got = q("v_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == expEdges.size, s"${got.length} != ${expEdges.size}")
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    assert(gotSet == expSet)
+    val expCos = expEdges.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (src, dst, c, m) =>
+      assert(math.abs(c - expCos((src, dst))) < 1e-6, s"($src,$dst) cosine")
+      assert(m == (if (expSet((dst, src))) 1 else 0), s"($src,$dst) mutual")
+    }
+  }
+
+  test("g_louvain2: coarsened second level vs a BigInt-score replay") {
+    val e0 = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_suppkey") * 2).as("s"), (col("l_partkey") * 2 + 1).as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (e0 ++ e0.map(x => (x._2, x._1))).toSeq
+    val m2 = BigInt(edges.size)
+    // level 1: the same weighted-sweep replay with w = 1
+    def sweep(ed: Seq[(Long, Long, Long)], deg: Map[Long, Long],
+              lbl: Map[Long, Long]): Map[Long, Long] = {
+      val sigma = lbl.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => BigInt(deg(x._1))).sum).toMap
+      val nbr = ed.groupBy(_._1).view
+        .mapValues(_.groupBy(x => lbl(x._2)).view
+          .mapValues(_.map(_._3).sum).toMap).toMap
+      lbl.map { case (i, ci) =>
+        val base = nbr.getOrElse(i, Map.empty[Long, Long])
+        val cands = base ++ (if (base.contains(ci)) Map.empty
+                             else Map(ci -> 0L))
+        val ki = BigInt(deg(i))
+        i -> cands.toSeq.map { case (c, kin) =>
+          val sig = sigma(c) - (if (c == ci) ki else BigInt(0))
+          (m2 * BigInt(kin) - ki * sig, c)
+        }.maxBy { case (score, c) => (score, -c) }._2
+      }
+    }
+    val w1 = edges.map { case (a, b) => (a, b, 1L) }
+    val deg1 = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var lbl: Map[Long, Long] = deg1.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 2) lbl = sweep(w1, deg1, lbl)
+    // aggregation phase: coarse weighted graph incl. self-loops
+    val ce = edges.groupBy { case (a, b) => (lbl(a), lbl(b)) }.view
+      .mapValues(_.size.toLong).toMap
+    val cdeg = ce.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val cw = ce.toSeq.collect { case ((cs, cd), w) if cs != cd => (cs, cd, w) }
+    val cl0 = cdeg.keys.map(n => n -> n).toMap
+    val cl1 = sweep(cw, cdeg, cl0)
+    val got = q("g_louvain2").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == lbl.size)
+    lbl.foreach { case (n, c1) =>
+      assert(got(n) == ((c1, cl1(c1))), s"node $n: ${got(n)} != ($c1, ${cl1(c1)})")
+    }
+  }
 }

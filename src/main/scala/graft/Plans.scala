@@ -78,7 +78,10 @@ object Plans {
       // stratified sampling + purity eval, one Louvain level, the PNG
       // metadata scrub
       "t_hash_embed", "v_cluster_sample", "v_cluster_purity", "g_louvain",
-      "m_strip_meta")
+      "m_strip_meta",
+      // round-10 fifth wave: hybrid RRF fusion, the cell-blocked kNN
+      // graph, the second Louvain level, the JPEG metadata scrub
+      "v_rrf", "v_knn_graph", "g_louvain2", "m_jpeg_strip")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -362,6 +365,34 @@ object Plans {
         "preservation in one pass (dropped-count from construction " +
         "arithmetic, px_sum from the lossless round trip), so the op " +
         "costs exactly one pass over the binary column at any corpus."),
+      "m_jpeg_strip" -> ("100× plan: the m_strip_meta posture on the " +
+        "LOSSY format — a per-partition T.81 marker-segment walk that " +
+        "drops APP1..APP15/COM and copies the entropy-coded stream " +
+        "verbatim, then decodes scrubbed vs original to prove px_equal " +
+        "row-for-row (stripping is lossless even though the codec is " +
+        "not); zero shuffles, one binary-column pass at any corpus."),
+      "v_rrf" -> ("100× plan: fusion is rank-based, so the corpus-sized " +
+        "work is confined to the two retrieval legs (BM25 scoring scan + " +
+        "TakeOrdered top-50; decimal-cosine scan + TakeOrdered top-50 — " +
+        "each swaps to its index path at scale: postings for lexical, " +
+        "IVF probe for dense); ranking and the 1/(60+rank) fusion run on " +
+        "two 50-row frames through a ≤50-row window and a full outer " +
+        "join — serving-constant-sized, whatever the corpus."),
+      "v_knn_graph" -> ("100× plan: the corpus-wide kNN-graph build is " +
+        "cell-blocked with nCells = ceil(sqrt(N)) (the v_semdedup_scaled " +
+        "derivation), so the pair stage is sum(n_c^2) ~ N^1.5 co-located " +
+        "per cell (the assignment IS the bucketing column at scale), " +
+        "norms are hoisted to one decimal dot per row, the per-src top-3 " +
+        "runs through the two-phase TopKPerKey heap (exchange <= " +
+        "partitions*N*k, never the pair stream), and the mutual flag " +
+        "self-joins the k*N edge list on its reversed key."),
+      "g_louvain2" -> ("100× plan: level 1 is the audited g_louvain " +
+        "LPA-shaped rounds; the aggregation phase is one " +
+        "edges⋈labels⋈labels join + a (community,community) weighted " +
+        "count — communities² rows, orders of magnitude below |E| — and " +
+        "the level-2 sweep runs the identical integer ΔQ argmax on that " +
+        "coarse frame, so the second level costs less than one level-1 " +
+        "round; m2 is invariant under coarsening (no re-derivation pass)."),
       "t_source_overlap" -> ("100× plan: the contamination matrix's pair " +
         "counts come from ONE shingle-key equality self-join over the " +
         "per-source DISTINCT shingle frame (map-side-reduced off the " +

@@ -220,6 +220,89 @@ object PngChunks {
   }
 }
 
+/** Raw JPEG marker-segment walk (ITU-T T.81 §B: SOI, then FF-marker
+  * segments each carrying a 2-byte big-endian length that includes
+  * itself, until SOS — after which the entropy-coded stream runs to EOI
+  * and is copied verbatim): the PngChunks seam for the lossy format.
+  * Metadata lives in APPn (EXIF = APP1, ICC = APP2, … — where crawled
+  * images carry GPS/author/timestamps) and COM segments; the image
+  * stream (DQT/SOF/DHT/SOS/scan data) passes through byte-identical, so
+  * although JPEG is lossy, STRIPPING is lossless — a decode of the
+  * scrubbed payload must equal a decode of the original bit-for-bit,
+  * which is exactly what the m_jpeg_strip gate checks. */
+object JpegSegments {
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** (offset, totalLen, marker) for every segment after SOI up to and
+    * excluding SOS; returns (segments, sosOffset). */
+  private def walk(jpeg: Array[Byte]): (IndexedSeq[(Int, Int, Int)], Int) = {
+    require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG payload")
+    val out = IndexedSeq.newBuilder[(Int, Int, Int)]
+    var off = 2
+    while (off + 4 <= jpeg.length) {
+      require((jpeg(off) & 0xff) == 0xff, s"expected marker at $off")
+      val m = jpeg(off + 1) & 0xff
+      if (m == 0xda) return (out.result(), off) // SOS: scan data follows
+      val total = 2 + be16(jpeg, off + 2)
+      out += ((off, total, m))
+      off += total
+    }
+    (out.result(), jpeg.length)
+  }
+
+  private def segment(marker: Int, data: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(4 + data.length)
+    bo.write(0xff); bo.write(marker)
+    val len = data.length + 2
+    bo.write((len >> 8) & 0xff); bo.write(len & 0xff)
+    bo.write(data, 0, data.length)
+    bo.toByteArray
+  }
+
+  /** Splice APP1 (EXIF-shaped) and COM metadata segments immediately
+    * after SOI — where EXIF actually sits in camera output. */
+  def injectMeta(jpeg: Array[Byte], app1: Seq[String],
+                 comments: Seq[String]): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG payload")
+    val bo = new java.io.ByteArrayOutputStream(jpeg.length)
+    bo.write(jpeg, 0, 2)
+    app1.foreach { v =>
+      val d = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+        v.getBytes("ISO-8859-1")
+      val s = segment(0xe1, d); bo.write(s, 0, s.length)
+    }
+    comments.foreach { v =>
+      val s = segment(0xfe, v.getBytes("ISO-8859-1"))
+      bo.write(s, 0, s.length)
+    }
+    bo.write(jpeg, 2, jpeg.length - 2)
+    bo.toByteArray
+  }
+
+  /** Drop every APP1..APP15 and COM segment; APP0 (JFIF geometry) and the
+    * whole image stream pass through byte-identical. Returns
+    * (scrubbed payload, #APP1 dropped, #COM dropped). */
+  def stripMeta(jpeg: Array[Byte]): (Array[Byte], Int, Int) = {
+    val (segs, sos) = walk(jpeg)
+    val bo = new java.io.ByteArrayOutputStream(jpeg.length)
+    bo.write(jpeg, 0, 2)
+    var nApp1 = 0
+    var nCom = 0
+    segs.foreach { case (off, total, m) =>
+      val drop = (m >= 0xe1 && m <= 0xef) || m == 0xfe
+      if (!drop) bo.write(jpeg, off, total)
+      else if (m == 0xe1) nApp1 += 1
+      else if (m == 0xfe) nCom += 1
+    }
+    bo.write(jpeg, sos, jpeg.length - sos)
+    (bo.toByteArray, nApp1, nCom)
+  }
+}
+
 /** Animated-GIF frame decode via the JDK's GIF plugin: the reader walks
   * the GIF89a block structure and LZW-decompresses each image descriptor;
   * `getNumImages(true)` scans the stream so multi-frame payloads fan out

@@ -187,6 +187,66 @@ object Multimodal {
       }(enc)
   }
 
+  /** JPEG asset per document with 1 + len%3 injected EXIF-shaped APP1
+    * segments ("Exif\0\0user-<id>-<j>" — where camera GPS/author/time
+    * records actually live) and len%2 COM segments spliced after SOI
+    * ([[JpegSegments.injectMeta]]): the fixture for [[jpegStripStats]].
+    * Both injection counts are pure construction arithmetic, so the
+    * oracle predicts them without parsing anything. */
+  def jpegAssetsWithMeta(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val (w, h, px) = rgbRaster(text)
+          val bo = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(toBufferedRgb(w, h, px), "jpeg", bo)
+          val k = 1 + text.length % 3
+          val c = text.length % 2
+          val payload = JpegSegments.injectMeta(bo.toByteArray,
+            (0 until k).map(j => s"user-$id-$j"),
+            (0 until c).map(j => s"comment-$id-$j"))
+          Row(id, "image", payload, payload.length, "jpeg")
+        }
+      }(enc)
+  }
+
+  /** Schema of [[jpegStripStats]]. */
+  val jpegStripSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_app1", IntegerType, nullable = false),
+    StructField("n_com", IntegerType, nullable = false),
+    StructField("px_equal", BooleanType, nullable = false)))
+
+  /** The privacy scrub for the LOSSY image format: walk the real JPEG
+    * marker-segment grammar, drop every APP1..APP15 and COM segment
+    * ([[JpegSegments.stripMeta]]), reassemble, and decode BOTH payloads
+    * with the real codec. JPEG is lossy but stripping is not — the
+    * entropy-coded stream passes through byte-identical — so the decoded
+    * rasters must match bit-for-bit (px_equal), while dims and the
+    * dropped-segment counts replay from construction arithmetic. The
+    * same scan-shaped per-partition pass as [[stripMetaStats]]. */
+  def jpegStripStats(assets: DataFrame, codec: Codec): DataFrame = {
+    val enc = ExpressionEncoder(jpegStripSchema)
+    assets.select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val (clean, nApp1, nCom) = JpegSegments.stripMeta(payload)
+          val img = codec.decode(clean)
+          val orig = codec.decode(payload)
+          val eq = img.width == orig.width && img.height == orig.height &&
+            java.util.Arrays.equals(img.pixels, orig.pixels)
+          Row(r.getLong(0), img.width, img.height, nApp1, nCom, eq)
+        }
+      }(enc)
+  }
+
   /** Deterministic multi-frame animated-GIF asset per document: 1 +
     * len%6 frames of the document's raster dims, frame f's gray sample at
     * flat index i = code(text[(i + 7f) mod len]) — each frame is the text

@@ -140,6 +140,23 @@ object MultimodalOps {
           Tables.load(s, dir, "documents"), "doc_id", "text"),
         graft.multimodal.ImageIoCodec)
     }),
+    "m_jpeg_strip" -> ((s, dir) => {
+      // the privacy scrub for the LOSSY format (the m_strip_meta twin on
+      // JPEG's marker-segment grammar): each JPEG carries 1 + len%3
+      // injected EXIF-shaped APP1 segments and len%2 COM segments (where
+      // crawled-image GPS/author/timestamp records actually live); the
+      // operator walks the real T.81 segment grammar, drops every
+      // APP1..APP15/COM, and decodes BOTH payloads with the real DCT
+      // codec. JPEG is lossy but STRIPPING is lossless — the entropy-
+      // coded stream passes through byte-identical — so px_equal must be
+      // true row-for-row while dims and both dropped counts replay from
+      // construction arithmetic. Scan-shaped per-partition work, no
+      // shuffle (the m_strip_meta 100× posture verbatim).
+      Multimodal.jpegStripStats(
+        Multimodal.jpegAssetsWithMeta(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.ImageIoCodec)
+    }),
     "m_jpeg_meta" -> ((s, dir) => {
       // REAL lossy decode: the same rasters through the JDK's baseline-DCT
       // JPEG encoder, decoded back by ImageIoCodec. Only the lossless
@@ -352,6 +369,18 @@ object MultimodalOps {
                       range(0, (1 + length(text) % 16) * (1 + (length(text) // 16) % 16) * 3),
                       i -> unicode(text[(i % length(text)) + 1])),
                     (a, b) -> a + b) END AS BIGINT) AS px_sum
+         FROM documents""",
+    "m_jpeg_strip" ->
+      // dims + both injected-segment counts are construction arithmetic;
+      // px_equal = true IS the gate's content — the engine computes it by
+      // decoding scrubbed vs original, and any strip that touched the
+      // entropy-coded stream (or failed to parse a segment) breaks it
+      """SELECT doc_id AS asset_id,
+                CAST(1 + length(text) % 16 AS INTEGER) AS width,
+                CAST(1 + (length(text) // 16) % 16 AS INTEGER) AS height,
+                CAST(1 + length(text) % 3 AS INTEGER) AS n_app1,
+                CAST(length(text) % 2 AS INTEGER) AS n_com,
+                TRUE AS px_equal
          FROM documents""",
     "m_jpeg_meta" ->
       // only the lossless invariants of the lossy codec: dims and channel

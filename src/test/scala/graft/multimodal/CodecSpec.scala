@@ -296,4 +296,32 @@ class CodecSpec extends AnyFunSuite {
     val marker = "tEXt".getBytes("US-ASCII").toSeq
     assert(!clean.toSeq.sliding(4).contains(marker))
   }
+
+  test("JpegSegments: inject then strip restores the original bytes exactly") {
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, x * 37 + y * 101)
+    val bo = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bo)
+    val base = bo.toByteArray
+    val injected = JpegSegments.injectMeta(base,
+      Seq("user-1-0", "gps 1.2,3.4"), Seq("crawler note"))
+    assert(injected.length > base.length)
+    // the injected payload still decodes (readers skip unknown APPn/COM)
+    assert(ImageIoCodec.decode(injected).pixels.toSeq ==
+      ImageIoCodec.decode(base).pixels.toSeq)
+    val (clean, nApp1, nCom) = JpegSegments.stripMeta(injected)
+    assert(nApp1 == 2, s"expected 2 APP1 dropped, got $nApp1")
+    assert(nCom == 1, s"expected 1 COM dropped, got $nCom")
+    // stripping is lossless even though the codec is not: the JDK encoder
+    // writes no APP1/COM of its own, so the scrub restores the original
+    // byte-for-byte (entropy-coded stream untouched)
+    val (baseClean, baseApp1, baseCom) = JpegSegments.stripMeta(base)
+    assert(baseApp1 == 0 && baseCom == 0)
+    assert(clean.toSeq == baseClean.toSeq)
+    assert(clean.toSeq == base.toSeq)
+    // no EXIF identifier survives in the scrubbed bytes
+    val marker = "Exif".getBytes("US-ASCII").toSeq
+    assert(!clean.toSeq.sliding(4).contains(marker))
+  }
 }

@@ -81,7 +81,8 @@ object Plans {
       "m_strip_meta",
       // round-10 fifth wave: hybrid RRF fusion, the cell-blocked kNN
       // graph, the second Louvain level, the JPEG metadata scrub
-      "v_rrf", "v_knn_graph", "g_louvain2", "m_jpeg_strip")
+      "v_rrf", "v_knn_graph", "g_louvain2", "m_jpeg_strip",
+      "v_knn_ivfpq_res")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -386,6 +387,13 @@ object Plans {
         "runs through the two-phase TopKPerKey heap (exchange <= " +
         "partitions*N*k, never the pair stream), and the mutual flag " +
         "self-joins the k*N edge list on its reversed key."),
+      "v_knn_ivfpq_res" -> ("100× plan: identical stage shape to " +
+        "v_knn_ivfpq (probed-cell prune, m-byte codes as the only " +
+        "corpus-sized artifact, broadcast LUT) — residual encoding adds " +
+        "one broadcast(centroids) zip_with per scanned row and grows the " +
+        "LUT to nprobe·m·nCodes rows, both serving constants; the " +
+        "estimate join keys on (cell, sub, code) so codes stay bucketed " +
+        "by cell at write time exactly as before."),
       "g_louvain2" -> ("100× plan: level 1 is the audited g_louvain " +
         "LPA-shaped rounds; the aggregation phase is one " +
         "edges⋈labels⋈labels join + a (community,community) weighted " +

@@ -183,4 +183,63 @@ object PqIndex {
     val enc = encode(probed, idCol, vecCol, cb, m, subDim)
     topK(adcEstimates(enc, adcLut(cb, query, subDim), queryId), k)
   }
+
+  /** RESIDUAL IVF-PQ — the production detail [[knnIvfPq]] leaves out
+    * (Jégou et al. TPAMI 2011 §IV.A, "IVFADC"; what Faiss's IndexIVFPQ
+    * actually encodes): PQ codes quantize the residual x − centroid(cell),
+    * not x itself. Residuals concentrate near zero once the coarse
+    * quantizer has removed the cell's mean, so the same codebook budget
+    * spends its resolution on the part of the vector the IVF has NOT
+    * already explained — the reason every production IVF-PQ defaults to
+    * residual encoding. Consequences carried faithfully here: the ADC
+    * lookup table becomes PER-PROBED-CELL (the query's residual differs
+    * per cell), costing nprobe·m·nCodes broadcast rows instead of
+    * m·nCodes — still serving constants; codes join their estimate on
+    * (cell, sub, code). All residual arithmetic is exact IEEE
+    * subtraction on doubles, so the oracle replays the full chain
+    * (assign → residual → codebook → encode → per-cell LUT → ADC)
+    * bit-for-bit. Scale shape unchanged from knnIvfPq: the code table is
+    * the only corpus-sized artifact, bucketed by cell at write time. */
+  def knnIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, k: Int, nCells: Int, nprobe: Int,
+                       m: Int, nCodes: Int): DataFrame = {
+    val query = queryVec(emb, idCol, vecCol, queryId)
+    require(query.length % m == 0, s"dim ${query.length} not divisible by m=$m")
+    val subDim = query.length / m
+    val assigned = IvfIndex.assignSampled(emb, idCol, vecCol, nCells)
+    val cents = emb.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("cd"))
+    val probeC = IvfIndex.probeCells(emb, idCol, vecCol, query, nCells, nprobe)
+    def residual(vec: Column): Column =
+      zip_with(vec, col("cd"), (x, c) => x.cast("double") - c)
+    // probed vectors' residuals (the knnIvfPq probed-only-encode pattern,
+    // which is what keeps the whole chain single-oracle-replayable)
+    val res = assigned.join(broadcast(probeC), "cell")
+      .join(broadcast(cents), "cell")
+      .select(col(idCol), col("cell"), residual(col(vecCol)).as("rv"))
+    // residual codebook: the first nCodes rows' residuals w.r.t. their
+    // OWN cells (the sampled-codebook construction, applied post-coarse)
+    val seedRes = assigned.filter(col(idCol) < nCodes)
+      .join(broadcast(cents), "cell")
+      .select(col(idCol), residual(col(vecCol)).as("rv"))
+    val cb = codebook(seedRes, idCol, "rv", m, subDim, nCodes)
+    val enc = encode(res, idCol, "rv", cb, m, subDim)
+    // per-probed-cell query-residual ADC LUT
+    val qlit = typedLit(query.map(_.toDouble))
+    val lut = cents.join(broadcast(probeC), "cell")
+      .select(col("cell"),
+        zip_with(qlit, col("cd"), (x, c) => x - c).as("qr"))
+      .crossJoin(broadcast(cb))
+      .select(col("cell"), col("sub"), col("code"),
+        decL2(col("cv"),
+          slice(col("qr"), col("sub") * subDim + 1, lit(subDim))).as("qd"))
+    val est = enc
+      .join(res.select(col(idCol).as("vid"), col("cell")), "vid")
+      .join(broadcast(lut), Seq("cell", "sub", "code"))
+      .filter(col("vid") =!= queryId)
+      .groupBy(col("vid"))
+      .agg(sum(col("qd").cast(dec)).as("est"))
+    topK(est, k)
+  }
 }

@@ -561,6 +561,15 @@ object VectorOps {
       // (4 of 16 cells), PQ ADC compresses HOW (m-byte codes + LUT)
       PqIndex.knnIvfPq(emb(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16)),
+    "v_knn_ivfpq_res" -> ((s, dir) =>
+      // RESIDUAL encoding — what production IVF-PQ (Faiss IVFADC)
+      // actually quantizes: x − centroid(cell), so the codebook budget
+      // spends on what the coarse quantizer has not explained; the ADC
+      // LUT becomes per-probed-cell (nprobe·m·nCodes broadcast rows,
+      // still serving constants). Full chain oracle-replayed: assign →
+      // residual → codebook → encode → per-cell LUT → ADC top-10.
+      PqIndex.knnIvfPqResidual(emb(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4, m = 8, nCodes = 16)),
     "v_recall_nprobe" -> ((s, dir) => {
       // ANN TUNING SWEEP (the d_threshold_sweep theme on the index side):
       // recall@10 of the sampled-centroid IVF probe at nprobe = 1 / 2 / 4
@@ -1199,6 +1208,79 @@ object VectorOps {
        est AS (SELECT vid, sum(CAST(qd AS DECIMAL(28,16))) AS est
                FROM enc JOIN lut USING (sub, code)
                WHERE vid <> 0 AND vid IN (SELECT vec_id FROM cand)
+               GROUP BY 1)
+       SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
+       FROM est ORDER BY est ASC, vid ASC LIMIT 10"""
+
+  /** Residual IVF-PQ replay: the ivfpqOracle assignment/probe CTEs, then
+    * residuals (exact IEEE double subtraction vs the own-cell centroid),
+    * a residual codebook from the first 16 rows, per-(vid,sub) argmin
+    * encode, a PER-PROBED-CELL query-residual LUT, and the (cell, sub,
+    * code)-joined ADC sum. */
+  private val ivfpqResOracle: String =
+    """WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       seeds AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+                 FROM embeddings WHERE vec_id < 16),
+       ipu AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+               FROM embeddings e CROSS JOIN seeds s),
+       ipd AS (SELECT vec_id, cell,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                 CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+               FROM ipu GROUP BY 1, 2),
+       cn AS (SELECT cell,
+                CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+              FROM (SELECT cell, unnest(ce) AS y FROM seeds) GROUP BY 1),
+       cc AS (SELECT vec_id, ipd.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+              FROM ipd JOIN cn ON ipd.cell = cn.cell),
+       assigned AS MATERIALIZED (
+         SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+         FROM cc GROUP BY 1),
+       probes AS (SELECT cell FROM cc WHERE vec_id = 0
+                  ORDER BY c DESC, cell ASC LIMIT 4),
+       centsd AS (SELECT cell, list_transform(ce, y -> CAST(y AS DOUBLE)) AS cd
+                  FROM seeds),
+       res AS MATERIALIZED (
+         SELECT a.vec_id AS vid, a.cell,
+                list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) - cd[i]) AS rv
+         FROM assigned a JOIN probes p ON a.cell = p.cell
+         JOIN embeddings e ON e.vec_id = a.vec_id
+         JOIN centsd ON centsd.cell = a.cell),
+       sres AS (SELECT a.vec_id,
+                  list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) - cd[i]) AS rv
+                FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+                JOIN centsd ON centsd.cell = a.cell
+                WHERE a.vec_id < 16),
+       cb AS MATERIALIZED (
+         SELECT CAST(vec_id AS INTEGER) AS code, sub,
+                rv[sub*8+1 : sub*8+8] AS cv
+         FROM sres, subs),
+       sl AS (SELECT vid, sub, rv[sub*8+1 : sub*8+8] AS sv FROM res, subs),
+       pu AS (SELECT vid, sl.sub AS sub, code, unnest(sv) AS x, unnest(cv) AS y
+              FROM sl JOIN cb ON sl.sub = cb.sub),
+       pd AS (SELECT vid, sub, code,
+                CAST(sum(CAST((x - y) * (x - y) AS DECIMAL(28,16))) AS DOUBLE) AS d
+              FROM pu GROUP BY 1, 2, 3),
+       enc AS (SELECT vid, sub, (min(struct_pack(d := d, c := code))).c AS code
+               FROM pd GROUP BY 1, 2),
+       qres AS (SELECT p.cell,
+                  list_transform(range(1, len(q.qe) + 1),
+                    i -> CAST(q.qe[i] AS DOUBLE) - cd[i]) AS qr
+                FROM probes p JOIN centsd USING (cell), q),
+       qsl AS (SELECT cell, sub, qr[sub*8+1 : sub*8+8] AS qv FROM qres, subs),
+       lu AS (SELECT qsl.cell, cb.sub AS sub, code, unnest(cv) AS y, unnest(qv) AS x
+              FROM cb JOIN qsl ON cb.sub = qsl.sub),
+       lut AS (SELECT cell, sub, code,
+                 CAST(sum(CAST((x - y) * (x - y) AS DECIMAL(28,16))) AS DOUBLE) AS qd
+               FROM lu GROUP BY 1, 2, 3),
+       est AS (SELECT e.vid, sum(CAST(l.qd AS DECIMAL(28,16))) AS est
+               FROM enc e
+               JOIN res v ON e.vid = v.vid
+               JOIN lut l ON l.cell = v.cell AND l.sub = e.sub
+                         AND l.code = e.code
+               WHERE e.vid <> 0
                GROUP BY 1)
        SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
        FROM est ORDER BY est ASC, vid ASC LIMIT 10"""
@@ -1959,6 +2041,7 @@ object VectorOps {
          SELECT vid AS vec_id, round(CAST(est AS DOUBLE), 6) AS dist_est
          FROM est ORDER BY est ASC, vid ASC LIMIT 10""",
     "v_knn_ivfpq" -> ivfpqOracle,
+    "v_knn_ivfpq_res" -> ivfpqResOracle,
     "v_knn_ivfpq_probe" -> ivfpqOracle,
     "v_knn_batch" ->
       // per-query replay of the v_knn_brute accumulation with the query

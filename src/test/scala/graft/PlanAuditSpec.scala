@@ -44,6 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "v_hard_negatives", // corpus x broadcast(8-query mining batch)
     "t_dsir", // 1-row (Tt, Tr) model-total aggregate broadcast
     "v_rrf", // the t_bm25 1-row corpus-stats (N, sum_len) broadcast, reused
+    "v_knn_ivfpq_res", // LUT build: nprobe-row query-residual frame ×
+    // broadcast(m·nCodes codebook) — serving constants on both sides
     "v_knn_refine") // 1-row rank-50-score aggregate broadcast (the margined
     // stage boundary: every candidate within 1e-9 of the 50th coarse score)
     // -- the assignSampled family (v_knn_ivf, v_knn_ivfpq, v_kmeans,

@@ -1048,6 +1048,37 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("v_knn_ivfpq_res: residual ADC is EXACT for codebook-seed vectors") {
+    // for a vector that IS a codeword (vec_id < nCodes), encode picks its
+    // own residual with per-sub distance 0, so the ADC estimate collapses
+    // to sum_sub ||qr_sub - rv_sub||^2 = ||(q - c) - (x - c)||^2 =
+    // ||q - x||^2 EXACTLY — the identity that makes residual encoding
+    // well-posed. A raw-PQ chain has no such exactness anywhere.
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val got = graft.operators.PqIndex.knnIvfPqResidual(e, "vec_id",
+        "embedding", 0L, k = 100000, nCells = 16, nprobe = 4, m = 8,
+        nCodes = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val qv = vecs(0L)
+    val seeds = got.keySet.filter(id => id < 16 && id != 0L)
+    assert(seeds.nonEmpty, "no codebook seed landed in a probed cell")
+    seeds.foreach { id =>
+      val exact = vecs(id).zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(got(id) - exact) < 1e-5, s"vec $id: ${got(id)} vs $exact")
+    }
+    // and the estimate ranking is a genuine approximation elsewhere:
+    // every returned id must come from a probed cell of the assignment
+    val assigned = graft.operators.IvfIndex
+      .assignSampled(e, "vec_id", "embedding", 16)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = got.keySet.map(assigned)
+    assert(probed.size <= 4, s"results span ${probed.size} cells (nprobe=4)")
+  }
+
   test("g_louvain2: coarsened second level vs a BigInt-score replay") {
     val e0 = graft.Tables.load(spark, dir, "lineitem")
       .select((col("l_suppkey") * 2).as("s"), (col("l_partkey") * 2 + 1).as("p"))

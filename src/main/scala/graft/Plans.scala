@@ -82,7 +82,7 @@ object Plans {
       // round-10 fifth wave: hybrid RRF fusion, the cell-blocked kNN
       // graph, the second Louvain level, the JPEG metadata scrub
       "v_rrf", "v_knn_graph", "g_louvain2", "m_jpeg_strip",
-      "v_knn_ivfpq_res")
+      "v_knn_ivfpq_res", "t_kn_score")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -394,6 +394,14 @@ object Plans {
         "LUT to nprobe·m·nCodes rows, both serving constants; the " +
         "estimate join keys on (cell, sub, code) so codes stay bucketed " +
         "by cell at write time exactly as before."),
+      "t_kn_score" -> ("100× plan: train/apply split means the model " +
+        "statistics reduce from the SPLIT's bigram frame only (one " +
+        "checkpointed map-side-combined aggregate, consumed 4x); apply " +
+        "is three key-equality LEFT joins (pair/w1/w2) on the corpus " +
+        "bigram stream — corpus-sized but bucketable string keys, no " +
+        "explosion (each stream row matches <= 1 model row per join) — " +
+        "plus a 1-row type-total broadcast; per-doc reduction is " +
+        "map-side combinable decimal sums."),
       "g_louvain2" -> ("100× plan: level 1 is the audited g_louvain " +
         "LPA-shaped rounds; the aggregation phase is one " +
         "edges⋈labels⋈labels join + a (community,community) weighted " +

@@ -842,6 +842,61 @@ object TextOps {
         .orderBy(col("c12").desc, col("pair").asc)
         .limit(50)
     }),
+    "t_kn_score" -> ((s, dir) => {
+      // the CCNet filter shape PROPER (Wenzek et al. LREC 2020): a
+      // Kneser–Ney LM TRAINED on the clean split scores the WHOLE corpus
+      // — t_kn_lm builds the model, this op deploys it. Train = the
+      // doc_id%5=0 split (the t_bpe_encode split convention: the LM must
+      // not be fit on the text it filters); apply = every doc's bigram
+      // stream LEFT-joined to the trained statistics, with principled
+      // backoff where the model has gaps: pair unseen → the KN formula
+      // at c12 = 0 (discounted mass times the continuation probability);
+      // CONTEXT w1 unseen → pure continuation P_cont(w2) =
+      // N1+(·w2)/N1+(··); w2 also unseen → 0. Per-doc score = mean p
+      // (the t_lm_quality libm-free substitution — each p is a fixed
+      // IEEE chain over exact integers, per-doc sums in DECIMAL(28,16)),
+      // plus the OOV-context count a filter thresholds jointly with the
+      // mean. Plan: the four model statistics reduce from ONE
+      // checkpointed train-bigram frame (the t_kn_lm shape); apply is
+      // pair/w1/w2 key-equality left joins on the corpus bigram stream —
+      // corpus-sized shuffles on string keys that bucket at scale; the
+      // type total is a 1-row broadcast.
+      val d = docs(s, dir)
+      def grams(src: DataFrame) = src.select(col("doc_id"),
+        explode(TextFunctions.ngrams(
+          TextFunctions.tokens(col("text")), 2)).as("pair"))
+      val bi = grams(d.filter(col("doc_id") % 5 === 0))
+        .groupBy("pair").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("pair"), " ", 1))
+        .withColumn("w2", substring_index(col("pair"), " ", -1))
+        .localCheckpoint()
+      val ctx = bi.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1_fwd"))
+      val prec = bi.groupBy("w2").agg(count(lit(1)).as("n1_prec"))
+      val total = bi.agg(count(lit(1)).as("nb"))
+      val corpus = grams(d)
+        .withColumn("w1", substring_index(col("pair"), " ", 1))
+        .withColumn("w2", substring_index(col("pair"), " ", -1))
+      corpus
+        .join(bi.select("pair", "c12"), Seq("pair"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(prec, Seq("w2"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("pcont",
+          coalesce(col("n1_prec"), lit(0L)) / col("nb"))
+        .withColumn("p",
+          when(col("c1").isNotNull,
+            greatest(coalesce(col("c12"), lit(0L)) - lit(0.75), lit(0.0))
+              / col("c1")
+              + ((lit(0.75) * col("n1_fwd")) / col("c1")) * col("pcont"))
+            .otherwise(col("pcont")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c1").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_oov_ctx"),
+          round(sum(col("p").cast(DecimalType(28, 16))).cast("double")
+            / count(lit(1)), 9).as("mean_p"))
+    }),
     "t_bpe_pairs" -> ((s, dir) =>
       // corpus-global adjacent-pair frequencies — the merge-candidate
       // statistic a BPE/WordPiece tokenizer trainer recomputes each round
@@ -2271,6 +2326,53 @@ object TextOps {
                         * (prec.n1_prec / total.nb), 9) AS p_kn
          FROM bi JOIN ctx USING (w1) JOIN prec USING (w2), total
          ORDER BY c12 DESC, pair ASC LIMIT 50""",
+    "t_kn_score" ->
+      // the t_kn_lm statistics CTEs restricted to the train split, then
+      // the identical left-join apply with the identically-parenthesized
+      // backoff chain (integer/integer division is float division in
+      // both engines; the decimal per-doc sum is order-independent)
+      """WITH tg AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS pair
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id % 5 = 0)
+           WHERE len(toks) >= 2),
+         bi AS MATERIALIZED (
+           SELECT pair, count(*) AS c12,
+                  string_split(pair, ' ')[1] AS w1,
+                  string_split(pair, ' ')[2] AS w2
+           FROM tg GROUP BY 1),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                        count(*) AS n1_fwd
+                 FROM bi GROUP BY 1),
+         prec AS (SELECT w2, count(*) AS n1_prec FROM bi GROUP BY 1),
+         total AS (SELECT count(*) AS nb FROM bi),
+         cg AS (SELECT doc_id, pair,
+                       string_split(pair, ' ')[1] AS w1,
+                       string_split(pair, ' ')[2] AS w2
+                FROM (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1])) AS pair
+                      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                            FROM documents)
+                      WHERE len(toks) >= 2)),
+         sc AS (SELECT cg.doc_id,
+                  CASE WHEN ctx.c1 IS NOT NULL THEN
+                    greatest(COALESCE(bi.c12, 0) - 0.75, 0.0) / ctx.c1
+                      + ((0.75 * ctx.n1_fwd) / ctx.c1)
+                        * (COALESCE(prec.n1_prec, 0) / total.nb)
+                  ELSE COALESCE(prec.n1_prec, 0) / total.nb END AS p,
+                  CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS oov
+                FROM cg
+                LEFT JOIN bi ON cg.pair = bi.pair
+                LEFT JOIN ctx ON cg.w1 = ctx.w1
+                LEFT JOIN prec ON cg.w2 = prec.w2
+                CROSS JOIN total)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(oov) AS BIGINT) AS n_oov_ctx,
+                round(CAST(sum(CAST(p AS DECIMAL(28,16))) AS DOUBLE)
+                  / count(*), 9) AS mean_p
+         FROM sc GROUP BY 1""",
     "t_bpe_pairs" ->
       """WITH grams AS (
            SELECT unnest(list_transform(generate_series(1, len(toks) - 1),

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_freq_quality", // 1-row corpus-size frame broadcast
     "t_ngram_lm", // 1-row vocab-total broadcast
     "t_kn_lm", // 1-row bigram-type-total broadcast (the t_ngram_lm pattern)
+    "t_kn_score", // same 1-row type-total broadcast, in the apply join
     "t_bm25", // 1-row corpus-stats (N, sum_len) broadcast
     "t_lm_quality", // same 1-row vocab-total broadcast as t_ngram_lm
     "t_ccnet_bucket", // the t_lm_quality chain (1-row vocab-total broadcast)

@@ -1048,6 +1048,42 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t_kn_score matches an independent train/apply KN replay") {
+    val docRows = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    def bigrams(toks: Seq[String]): Seq[(String, String)] =
+      if (toks.size < 2) Seq.empty else toks.zip(toks.tail)
+    val trainBi = docRows.filter(_._1 % 5 == 0)
+      .flatMap(d => bigrams(d._2))
+    val c12 = trainBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = trainBi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1f = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1p = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nb = c12.size.toDouble
+    val exp = docRows.filter(_._2.size >= 2).map { case (id, toks) =>
+      val bs = bigrams(toks)
+      val ps = bs.map { case (w1, w2) =>
+        val pcont = n1p.getOrElse(w2, 0L) / nb
+        if (c1.contains(w1))
+          math.max(c12.getOrElse((w1, w2), 0L) - 0.75, 0.0) / c1(w1) +
+            ((0.75 * n1f(w1)) / c1(w1)) * pcont
+        else pcont
+      }
+      val oov = bs.count { case (w1, _) => !c1.contains(w1) }
+      id -> ((bs.size.toLong, oov.toLong, ps.sum / bs.size))
+    }.toMap
+    val got = q("t_kn_score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (id, (n, oov, mp)) =>
+      val (gn, goov, gmp) = got(id)
+      assert((gn, goov) == ((n, oov)), s"doc $id counts")
+      assert(math.abs(gmp - mp) < 1e-9, s"doc $id mean_p $gmp != $mp")
+    }
+  }
+
   test("v_knn_ivfpq_res: residual ADC is EXACT for codebook-seed vectors") {
     // for a vector that IS a codeword (vec_id < nCodes), encode picks its
     // own residual with per-sub distance 0, so the ADC estimate collapses

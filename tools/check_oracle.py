@@ -74,7 +74,11 @@ def main():
     # completes slower instead of being OOM-killed
     if os.environ.get("GRAFT_DUCKDB_MEM"):
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # per-PID spill dir: concurrent gate subprocesses sharing one
+        # temp_directory collide on temp block names / cleanup (observed
+        # as "Cannot open file .../duckdb_temp_block-..." in the first
+        # full sf1 gate run) — isolate each replica's spill space
+        con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         # a table may be a single file (driver testdata) or a directory of
         # part files (gen_scale.py's multi-file scale-up corpora)

@@ -82,7 +82,7 @@ object Plans {
       // round-10 fifth wave: hybrid RRF fusion, the cell-blocked kNN
       // graph, the second Louvain level, the JPEG metadata scrub
       "v_rrf", "v_knn_graph", "g_louvain2", "m_jpeg_strip",
-      "v_knn_ivfpq_res", "t_kn_score")
+      "v_knn_ivfpq_res", "t_kn_score", "m_wav_resample")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -394,6 +394,11 @@ object Plans {
         "LUT to nprobe·m·nCodes rows, both serving constants; the " +
         "estimate join keys on (cell, sub, code) so codes stay bucketed " +
         "by cell at write time exactly as before."),
+      "m_wav_resample" -> ("100× plan: scan-shaped per-partition decode " +
+        "+ pairwise floor-average, no shuffle, only 5 fixed-width stats " +
+        "leave the scan (the m_wav_stats posture); floor division is the " +
+        "determinism choice — floorDiv and DuckDB // agree on negative " +
+        "pair sums where truncation would not."),
       "t_kn_score" -> ("100× plan: train/apply split means the model " +
         "statistics reduce from the SPLIT's bigram frame only (one " +
         "checkpointed map-side-combined aggregate, consumed 4x); apply " +

@@ -468,6 +468,43 @@ object Multimodal {
       }(enc)
   }
 
+  /** Schema of [[resampleAudioStats]]. */
+  val resampleSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_out", IntegerType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false),
+    StructField("amp_max", IntegerType, nullable = false)))
+
+  /** 2× audio downsampling in the decode pass — the m_resize idea on the
+    * audio axis, but with REAL decoded PCM (a speech pipeline resamples
+    * everything to its model rate before windowing): consecutive sample
+    * pairs average with FLOOR division (Math.floorDiv here, `//` in the
+    * oracle — identical on negatives, unlike truncation), a trailing odd
+    * sample is dropped, and the output clip's amplitude stats ship. Per
+    * partition, no shuffle; only fixed-width stats leave the scan. */
+  def resampleAudioStats(assets: DataFrame, codec: AudioCodec): DataFrame = {
+    val enc = ExpressionEncoder(resampleSchema)
+    assets.select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = codec.decode(r.getAs[Array[Byte]](1))
+          val n = a.samples.length / 2
+          var sum = 0L
+          var mx = 0
+          var k = 0
+          while (k < n) {
+            val v = Math.floorDiv(a.samples(2 * k) + a.samples(2 * k + 1), 2)
+            val av = math.abs(v)
+            sum += av
+            if (av > mx) mx = av
+            k += 1
+          }
+          Row(r.getLong(0), a.sampleRate / 2, n, sum, mx)
+        }
+      }(enc)
+  }
+
   /** Decoded-audio statistics schema: per-clip amplitude stats plus the
     * longest run of zero samples (the silence-span primitive of
     * voice-activity trimming). */

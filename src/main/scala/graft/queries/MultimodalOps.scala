@@ -73,6 +73,20 @@ object MultimodalOps {
         .select("asset_id", "sample_rate", "channels", "n_samples",
           "amp_sum", "amp_max", "max_silence_run")
     }),
+    "m_wav_resample" -> ((s, dir) => {
+      // 2× downsampling over REAL decoded PCM — the rate-normalization
+      // step a speech pipeline runs before windowing/VAD: consecutive
+      // sample pairs average with FLOOR division (floorDiv ≡ DuckDB //
+      // on negatives), the odd tail drops, and the resampled clip's
+      // amplitude stats gate. The oracle replays the sample construction
+      // + pairing arithmetic, so the JDK RIFF parse, the pairing, and
+      // the floor-average all hash-gate in one pass. Scan-shaped, no
+      // shuffle (the m_wav_stats posture).
+      Multimodal.resampleAudioStats(
+        Multimodal.wavAssetsFromDocuments(
+          Tables.load(s, dir, "documents"), "doc_id", "text"),
+        graft.multimodal.WavCodec)
+    }),
     "m_wav_segments" -> ((s, dir) => {
       // audio SEGMENTATION (the m_shot_detect idea on the audio axis):
       // voice-activity-style maximal non-silent runs over REAL decoded
@@ -552,6 +566,30 @@ object MultimodalOps {
                 CAST(amax AS INTEGER) AS amp_max,
                 CAST(coalesce(msr, 0) AS INTEGER) AS max_silence_run
          FROM m LEFT JOIN rmax ON m.doc_id = rmax.doc_id""",
+    "m_wav_resample" ->
+      // the m_wav_stats sample replay, paired at k = i//2 (complete pairs
+      // only — the odd tail drops), floor-averaged with //, then exact
+      // integer stats; docs whose clip has a single sample emit n_out = 0
+      """WITH s AS (
+           SELECT doc_id, i,
+                  CASE WHEN length(text) = 0 THEN 0
+                       ELSE (unicode(text[(i % length(text)) + 1]) % 64 - 32) * 512
+                  END AS amp
+           FROM (SELECT doc_id, text, unnest(range(0, 1 + length(text) % 64)) AS i
+                 FROM documents)),
+         p AS (SELECT doc_id, i // 2 AS k, CAST(sum(amp) AS BIGINT) AS s2,
+                      count(*) AS c
+               FROM s GROUP BY 1, 2),
+         o AS (SELECT doc_id, CAST(s2 // 2 AS BIGINT) AS amp
+               FROM p WHERE c = 2),
+         agg AS (SELECT doc_id, count(*) AS n_out, sum(abs(amp)) AS asum,
+                        max(abs(amp)) AS amax
+                 FROM o GROUP BY 1)
+         SELECT d.doc_id AS asset_id, 4000 AS sample_rate,
+                CAST(COALESCE(a.n_out, 0) AS INTEGER) AS n_out,
+                CAST(COALESCE(a.asum, 0) AS BIGINT) AS amp_sum,
+                CAST(COALESCE(a.amax, 0) AS INTEGER) AS amp_max
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "m_frames" ->
       """SELECT doc_id AS asset_id,
                 CAST(greatest(1, (octet_length(encode(text)) + 63) // 64) AS INTEGER) AS n_frames,

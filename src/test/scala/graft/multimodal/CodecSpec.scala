@@ -297,6 +297,19 @@ class CodecSpec extends AnyFunSuite {
     assert(!clean.toSeq.sliding(4).contains(marker))
   }
 
+  test("resample floor-average: floorDiv semantics on negative pair sums") {
+    // (-512 + -513) = -1025 → floorDiv = -513 (truncation would give
+    // -512, silently diverging from the oracle's // on exactly the
+    // clips that contain odd negative pair sums)
+    assert(Math.floorDiv(-1025, 2) == -513)
+    assert(Math.floorDiv(1025, 2) == 512)
+    // end-to-end on a hand-built clip: samples from the fixture formula
+    val samples = Array(-16384, 15872, -512, -513, 7)
+    val pairs = (0 until samples.length / 2)
+      .map(k => Math.floorDiv(samples(2 * k) + samples(2 * k + 1), 2))
+    assert(pairs == Seq(-256, -513)) // odd tail (7) dropped
+  }
+
   test("JpegSegments: inject then strip restores the original bytes exactly") {
     val img = new java.awt.image.BufferedImage(
       5, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)

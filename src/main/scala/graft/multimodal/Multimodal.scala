@@ -262,52 +262,88 @@ object Multimodal {
     val enc = ExpressionEncoder(assetSchema)
     docs.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { rows =>
-        val grays = Array.tabulate(256)(_.toByte)
-        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
         rows.map { r =>
           val id = r.getLong(0)
           val text = r.getString(1)
           val len = text.length
-          val w = 1 + len % 16
-          val h = 1 + (len / 16) % 16
-          val nFrames = 1 + len % 6
-          val bo = new java.io.ByteArrayOutputStream()
-          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
-          val param = wr.getDefaultWriteParam
-          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
-          try {
-            wr.setOutput(ios)
-            wr.prepareWriteSequence(null)
-            var f = 0
-            while (f < nFrames) {
-              val img = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-              val raster = img.getRaster
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val v = if (len == 0) 0
-                    else text.charAt((y * w + x + f * 7) % len).toInt
-                  raster.setSample(x, y, 0, v)
-                  x += 1
-                }
-                y += 1
-              }
-              wr.writeToSequence(
-                new javax.imageio.IIOImage(img, null, null), param)
-              f += 1
-            }
-            wr.endWriteSequence()
-          } finally {
-            wr.dispose()
-            ios.close()
-          }
-          val payload = bo.toByteArray
+          val payload = buildGrayGif(1 + len % 16, 1 + (len / 16) % 16,
+            1 + len % 6, (x, y, w, f) =>
+              if (len == 0) 0 else text.charAt((y * w + x + f * 7) % len).toInt)
           Row(id, "video", payload, payload.length, "gif")
         }
       }(enc)
+  }
+
+  /** [[gifAssetsFromDocuments]] plus a RE-ENCODED variant for every 4th
+    * doc — the near-dup video fixture (the m_strip_meta injected-chunk
+    * idiom applied to the video modality): asset 2·doc_id is the original,
+    * asset 2·doc_id+1 (doc_id ≡ 0 mod 4 only) re-renders the identical
+    * content with pixel 0 of every frame brightened one gray level — the
+    * kind of sub-perceptual drift a real re-encode introduces, small
+    * enough that frame fingerprints stay within the banded Hamming
+    * radius, large enough that the payload is byte-distinct. */
+  def gifAssetsWithReencodes(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val enc = ExpressionEncoder(assetSchema)
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val len = text.length
+          val (w, h, nf) = (1 + len % 16, 1 + (len / 16) % 16, 1 + len % 6)
+          def gray(x: Int, y: Int, wd: Int, f: Int): Int =
+            if (len == 0) 0 else text.charAt((y * wd + x + f * 7) % len).toInt
+          val orig = buildGrayGif(w, h, nf, gray)
+          val base = Row(id * 2, "video", orig, orig.length, "gif")
+          if (id % 4 != 0) Iterator(base)
+          else {
+            val re = buildGrayGif(w, h, nf, (x, y, wd, f) =>
+              gray(x, y, wd, f) + (if (y * wd + x == 0) 1 else 0))
+            Iterator(base, Row(id * 2 + 1, "video", re, re.length, "gif"))
+          }
+        }
+      }(enc)
+  }
+
+  /** Shared indexed-gray animated-GIF writer: frame f's pixel (x, y) =
+    * px(x, y, w, f), palette entry i = rgb(i,i,i). */
+  private def buildGrayGif(w: Int, h: Int, nFrames: Int,
+                           px: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bo = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, px(x, y, w, f))
+            x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally {
+      wr.dispose()
+      ios.close()
+    }
+    bo.toByteArray
   }
 
   /** Deterministic RIFF/AVI asset per document — a REAL video CONTAINER
@@ -423,6 +459,65 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** Per-frame signature schema for [[frameHashes]]. */
+  val frameHashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+
+  /** Per-frame perceptual signatures from a multi-frame container decode —
+    * [[decodeFrameStats]]'s pass shape emitting the [[aHash]] instead of
+    * raw stats. Frames with fewer pixels than the 64-position sampling
+    * grid are excluded: below that every sample re-reads the same few
+    * bytes, all such frames collapse onto one degenerate signature, and at
+    * corpus scale that one hot key would weld unrelated videos into a
+    * single clique (the same reason MinHash pipelines drop ultra-short
+    * documents). Rasters die in the scan stage; 20 bytes/frame flow on. */
+  def frameHashes(assets: DataFrame, codec: FrameCodec): DataFrame = {
+    val enc = ExpressionEncoder(frameHashSchema)
+    assets
+      .filter(lower(col("format")).isin(codec.formats.toSeq: _*))
+      .select("asset_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          codec.decodeFrames(r.getAs[Array[Byte]](1)).zipWithIndex
+            .filter { case (img, _) => img.width * img.height >= 64 }
+            .map { case (img, f) =>
+              val (hi, lo) = aHash(img.pixels)
+              Row(id, f, hi, lo)
+            }
+        }
+      }(enc)
+  }
+
+  /** Video near-duplicate pairs — the content-ID shape: per-frame
+    * signature → the pigeonhole-complete banded Hamming join
+    * ([[phashPairs]], keyed by the composite frame id asset·8+frame —
+    * containers cap at 6 frames, so the key is bijective) → per-video-pair
+    * matched-frame count. A pair qualifies when matched frame pairs cover
+    * at least half the smaller video (2·matched ≥ min(nf_a, nf_b)). At
+    * 100 TB the candidate volume is 4 band-key equality shuffles over
+    * 16-byte signatures — Σ (frames per band-key)², bounded by real
+    * visual duplication, never frames². */
+  def videoNeardupPairs(frames: DataFrame, maxDist: Int): DataFrame = {
+    val keyed = frames.select(
+      (col("asset_id") * 8 + col("frame_idx")).as("asset_id"),
+      col("hi"), col("lo")).localCheckpoint(true)
+    val fpairs = phashPairs(keyed, maxDist)
+    val nf = frames.groupBy("asset_id").agg(count(lit(1)).as("nf"))
+    fpairs
+      .select(expr("id_a div 8").as("va"), expr("id_b div 8").as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy("va", "vb").agg(count(lit(1)).as("matched_frames"))
+      .join(nf.select(col("asset_id").as("va"), col("nf").as("nf_a")), "va")
+      .join(nf.select(col("asset_id").as("vb"), col("nf").as("nf_b")), "vb")
+      .filter(col("matched_frames") * 2 >= least(col("nf_a"), col("nf_b")))
+      .select(col("va").as("id_a"), col("vb").as("id_b"),
+        col("matched_frames"), col("nf_a"), col("nf_b"))
   }
 
   /** Deterministic RIFF/WAVE PCM asset per document — REAL audio payloads

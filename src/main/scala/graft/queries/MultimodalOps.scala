@@ -240,6 +240,26 @@ object MultimodalOps {
         .select(col("asset_id"), col("frame_idx"), col("mean_delta"),
           (col("mean_delta") >= 2.0).as("is_cut"))
     }),
+    "m_video_neardup" -> ((s, dir) => {
+      // VIDEO near-dup — the content-ID pipeline shape: real GIF decode
+      // (GifCodec LZW, the m_shot_detect path) over a corpus where every
+      // 4th doc also ships a RE-ENCODED variant (one gray level of drift
+      // on pixel 0 — the m_strip_meta fixture idiom on the video
+      // modality) → per-frame 64-bit aHash → the pigeonhole-complete
+      // banded join at Hamming ≤ 3 on frame signatures → video pairs
+      // where matched frames cover half the smaller video. Frames below
+      // the 64-sample grid are excluded (degenerate signatures would weld
+      // unrelated videos into one clique — Multimodal.frameHashes). The
+      // oracle replays construction, byte-exact aHash over the
+      // gray-tripled raster, ALL-PAIRS frame distances (no blocking — so
+      // the gate again proves band completeness), and the pair algebra.
+      Multimodal.videoNeardupPairs(
+        Multimodal.frameHashes(
+          Multimodal.gifAssetsWithReencodes(
+            Tables.load(s, dir, "documents"), "doc_id", "text"),
+          graft.multimodal.GifCodec),
+        maxDist = 3)
+    }),
     "m_phash" -> ((s, dir) => {
       // multimodal × dedup crossover: REAL decoded rasters (PpmCodec) →
       // 64-bit average-hash → banded near-dup join at Hamming ≤ 3. The
@@ -451,6 +471,62 @@ object MultimodalOps {
                           i -> unicode(text[CAST((i + 7 * f) % len AS INTEGER) + 1])),
                         (a, b) -> a + b) END AS BIGINT) AS px_sum
          FROM fx""",
+    "m_video_neardup" ->
+      // replays the GIF construction (the m_gif_frames recipe, plus the
+      // re-encode bump on pixel 0 for doc_id ≡ 0 mod 4 variants), the
+      // aHash over the gray-TRIPLED decoded raster (N = 3wh bytes; byte m
+      // holds gray(m/3), so sample j reads pixel ((j*N)//64)//3 and the
+      // mean test v·N ≥ 3·Σgray is pure integer arithmetic), then
+      // ALL-PAIRS frame Hamming with no blocking — equality with the
+      // engine's banded join proves band completeness at frame level
+      """WITH g AS (
+           SELECT doc_id, text, length(text) AS len,
+                  1 + length(text) % 16 AS w,
+                  1 + (length(text) // 16) % 16 AS h,
+                  1 + length(text) % 6 AS nf
+           FROM documents),
+         assets AS (
+           SELECT doc_id * 2 AS aid, 0 AS bump, text, len, w, h, nf FROM g
+           UNION ALL
+           SELECT doc_id * 2 + 1, 1, text, len, w, h, nf FROM g
+           WHERE doc_id % 4 = 0),
+         fx AS (
+           SELECT aid, bump, text, len, w, h, unnest(range(0, nf)) AS f
+           FROM assets WHERE w * h >= 64),
+         px AS (
+           SELECT aid, f, 3 * w * h AS n,
+                  list_transform(range(0, w * h), i ->
+                    unicode(text[CAST((i + 7 * f) % len AS INTEGER) + 1])
+                    + CASE WHEN bump = 1 AND i = 0 THEN 1 ELSE 0 END) AS v
+           FROM fx),
+         hs AS (
+           SELECT aid, f, n, v,
+                  3 * list_reduce(v, (a, b) -> a + b) AS s
+           FROM px),
+         bits AS (
+           SELECT aid,
+                  list_reduce(list_transform(range(32, 64), j ->
+                    CASE WHEN v[CAST((j * n // 64) // 3 AS INTEGER) + 1] * n >= s
+                         THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))
+                         ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS hi,
+                  list_reduce(list_transform(range(0, 32), j ->
+                    CASE WHEN v[CAST((j * n // 64) // 3 AS INTEGER) + 1] * n >= s
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                         ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS lo
+           FROM hs),
+         nfs AS (SELECT aid, count(*) AS nfr FROM bits GROUP BY 1),
+         fp AS (
+           SELECT x.aid AS va, y.aid AS vb, count(*) AS matched_frames
+           FROM bits x JOIN bits y
+             ON x.aid < y.aid
+            AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+           GROUP BY 1, 2)
+         SELECT va AS id_a, vb AS id_b, matched_frames,
+                na.nfr AS nf_a, nb.nfr AS nf_b
+         FROM fp
+         JOIN nfs na ON fp.va = na.aid
+         JOIN nfs nb ON fp.vb = nb.aid
+         WHERE matched_frames * 2 >= least(na.nfr, nb.nfr)""",
     "m_shot_detect" ->
       // the m_gif_frames construction replay + the same lag window; the
       // verdict compares the ROUNDED delta in both engines

@@ -856,6 +856,31 @@ object VectorOps {
       IvfIndex.probeSampled(assigned, e, "vec_id", "embedding", query,
         queryId = 0L, k = 10, nCells = 16, nprobe = 4)
     }),
+    "v_knn_ivf_delete" -> ((s, dir) => {
+      // ERASURE on a serving ANN index — v_knn_ivf_append's mirror, and
+      // the p_targeted_delete obligation applied to the vector store: a
+      // delete batch (vec_id ≡ 17 mod 20 — seeds 0..15 and the query
+      // survive) tombstones out of the PERSISTED assignment via one
+      // batch-sized anti-join. No reassignment, no retraining: centroids
+      // stay frozen (production never retrains on erasure), and because
+      // sampled-centroid assignment is per-row independent,
+      // delete-then-probe is bit-identical to rebuild-on-the-survivors-
+      // then-probe — proven by gating the probe against the rebuild
+      // oracle on the filtered corpus. At 100 TB the anti-join is
+      // delete-batch-sized against the cell-bucketed index: the GDPR
+      // path costs the batch, never the corpus.
+      val e = emb(s, dir)
+      val assigned = IvfIndex.assignSampled(e, "vec_id", "embedding", 16)
+      val dels = e.filter(pmod(col("vec_id"), lit(20)) === 17)
+        .select(col("vec_id").as("del_id"))
+      val compacted = assigned
+        .join(dels, assigned("vec_id") === dels("del_id"), "left_anti")
+      val kept = e.join(dels, e("vec_id") === dels("del_id"), "left_anti")
+      val query = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      IvfIndex.probeSampled(compacted, kept, "vec_id", "embedding", query,
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4)
+    }),
     "v_semdedup_scaled" -> ((s, dir) => {
       // v_semdedup with the cell count DERIVED from corpus size —
       // nCells = ⌈√N⌉ — so the in-cell quadratic stays bounded as the
@@ -1914,6 +1939,14 @@ object VectorOps {
     // assignment makes the incremental index bit-identical to the rebuild,
     // so the maintenance path shares the rebuild's oracle
     "v_knn_ivf_append" -> ivfOracle,
+    // delete-then-probe ≡ rebuild-then-probe on the surviving corpus: the
+    // rebuild oracle with the erased batch filtered out of every corpus
+    // reference (seeds 0..15 and the query are untouched by vec_id ≡ 17
+    // mod 20, so the replay's trained parameters are identical)
+    "v_knn_ivf_delete" ->
+      ("WITH kept AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 17),\n " +
+        ivfOracle.trim.stripPrefix("WITH ")
+          .replace("FROM embeddings", "FROM kept")),
     "v_semdedup_scaled" ->
       // the v_semdedup replay with nCells derived as ceil(sqrt(N)) — the
       // seed predicate is the only difference; ceil/sqrt of an

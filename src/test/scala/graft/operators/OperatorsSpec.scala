@@ -145,6 +145,24 @@ class OperatorsSpec extends AnyFunSuite {
       b10.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("IVF delete: tombstoned probe equals rebuild on survivors, erased ids gone") {
+    val e = emb
+    val dels = e.filter(pmod(col("vec_id"), lit(20)) === 17)
+      .select(col("vec_id").as("del_id"))
+    val kept = e.join(dels, e("vec_id") === dels("del_id"), "left_anti")
+    val compacted = IvfIndex.assignSampled(e, "vec_id", "embedding", 16)
+      .join(dels, col("vec_id") === dels("del_id"), "left_anti")
+    val q = e.filter(col("vec_id") === 0L)
+      .select("embedding").first().getSeq[Float](0)
+    val probed = IvfIndex.probeSampled(compacted, kept, "vec_id", "embedding",
+      q, queryId = 0L, k = 10, nCells = 16, nprobe = 4).collect()
+    val rebuilt = IvfIndex.knnSampled(kept, "vec_id", "embedding",
+      queryId = 0L, k = 10, nCells = 16, nprobe = 4).collect()
+    assert(probed.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      rebuilt.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(probed.forall(_.getLong(0) % 20 != 17), "erased ids must not serve")
+  }
+
   test("PQ ADC: non-negative estimates; a codebook-seed neighbor scores its LUT row") {
     val pq = PqIndex.knnPq(emb, "vec_id", "embedding",
       queryId = 0L, k = 1000, m = 8, nCodes = 16).collect()

@@ -856,6 +856,50 @@ object VectorOps {
       IvfIndex.probeSampled(assigned, e, "vec_id", "embedding", query,
         queryId = 0L, k = 10, nCells = 16, nprobe = 4)
     }),
+    "s_knn_ingest" -> ((s, dir) => {
+      // STREAMING INDEX INGEST — the IVF write path run continuously (the
+      // s_cdc_stream pinned-mtime file-replay staging idiom on the vector
+      // modality): the corpus arrives as 4 micro-batches (vec_id mod 4);
+      // foreachBatch assigns each batch against the FROZEN centroids
+      // (assignSampledWith — one batch-sized codegen'd argmax, never a
+      // rebuild) and appends to the index table. After the drain, probing
+      // the accumulated index must equal probing a one-shot rebuild:
+      // per-row-independent assignment makes the streamed index
+      // bit-identical to the batch one, proven under the rebuild's own
+      // oracle (ivfOracle, shared with v_knn_ivf/append/delete). This is
+      // the steady state of a 100 TB vector store — ingestion is a
+      // stream, each micro-batch pays its own assignment, the probe
+      // never notices.
+      val e = emb(s, dir)
+      val table = "rpt_s_knn_ingest_idx"
+      graft.pipeline.Catalog.dropManaged(s, table)
+      val root = java.nio.file.Files.createTempDirectory("graft-knn-ingest-")
+      val streamDir = root.resolve("stream")
+      java.nio.file.Files.createDirectory(streamDir)
+      for (i <- 0 until 4) {
+        val st = root.resolve(s"stage_$i").toString
+        e.filter(pmod(col("vec_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        val dst = streamDir.resolve(f"chunk_$i%02d.parquet").toFile
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1600000000000L + i * 60000L)
+      }
+      val q = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IvfIndex.assignSampledWith(batch, e, "vec_id", "embedding", 16)
+            .write.mode("append").format("parquet").saveAsTable(table)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val query = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      IvfIndex.probeSampled(s.table(table), e, "vec_id", "embedding", query,
+        queryId = 0L, k = 10, nCells = 16, nprobe = 4)
+    }),
     "v_knn_ivf_delete" -> ((s, dir) => {
       // ERASURE on a serving ANN index — v_knn_ivf_append's mirror, and
       // the p_targeted_delete obligation applied to the vector store: a
@@ -1939,6 +1983,10 @@ object VectorOps {
     // assignment makes the incremental index bit-identical to the rebuild,
     // so the maintenance path shares the rebuild's oracle
     "v_knn_ivf_append" -> ivfOracle,
+    // streamed-ingest index ≡ one-shot rebuild: per-row-independent
+    // assignment batch by batch accumulates the identical index, so the
+    // streaming write path shares the rebuild's oracle
+    "s_knn_ingest" -> ivfOracle,
     // delete-then-probe ≡ rebuild-then-probe on the surviving corpus: the
     // rebuild oracle with the erased batch filtered out of every corpus
     // reference (seeds 0..15 and the query are untouched by vec_id ≡ 17

@@ -82,7 +82,12 @@ object Plans {
       // round-10 fifth wave: hybrid RRF fusion, the cell-blocked kNN
       // graph, the second Louvain level, the JPEG metadata scrub
       "v_rrf", "v_knn_graph", "g_louvain2", "m_jpeg_strip",
-      "v_knn_ivfpq_res", "t_kn_score", "m_wav_resample")
+      "v_knn_ivfpq_res", "t_kn_score", "m_wav_resample",
+      // round-10 sixth wave: video near-dup, ANN erasure, sharded
+      // scatter-gather serving, curriculum/mixture schedules, the
+      // backfill planner
+      "m_video_neardup", "v_knn_ivf_delete", "v_knn_shards",
+      "t_curriculum", "t_mix_doremi", "p_backfill")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -360,6 +365,41 @@ object Plans {
         "arithmetic (DECIMAL(38,0) products — overflow-safe past " +
         "m2 ~ 1e12), so the trajectory is deterministic on any cluster " +
         "and the only driver state is the 1-row m2 scalar."),
+      "v_knn_shards" -> ("100× plan: the multi-shard deployment shape — " +
+        "each shard trains its own centroids on its own data (disjoint " +
+        "indexing jobs, no global coordination) and the query scatter-" +
+        "gathers: per shard one scan-fused AssignCellExpr argmax + one " +
+        "broadcast probe-cell join + a k-row TakeOrdered, gathered by a " +
+        "2k-row exact-score fuse. Nothing grows with shard count except " +
+        "the k-row lists, so the serving path is flat as the corpus " +
+        "scales out across shards."),
+      "v_knn_ivf_delete" -> ("100× plan: erasure on the serving index — " +
+        "the delete batch tombstones out of the persisted assignment via " +
+        "one batch-sized anti-join against the cell-bucketed index; " +
+        "centroids stay frozen and delete-then-probe is proven ≡ rebuild-" +
+        "on-the-survivors under the rebuild oracle, so the GDPR path " +
+        "costs the batch, never the corpus."),
+      "m_video_neardup" -> ("100× plan: per-partition frame decode " +
+        "behind the FrameCodec seam emits one fixed-width fingerprint " +
+        "row per sampled frame; the near-dup candidate generator is the " +
+        "banded-Hamming key-equality join (pigeonhole-complete), never " +
+        "clip² — the m_wav_neardup shape on the video modality."),
+      "t_curriculum" -> ("100× plan: difficulty is the scan-fused hashed-" +
+        "classifier score (zero shuffles to compute); the phase window " +
+        "PARTITIONS by source, so the only exchange is the per-source " +
+        "hash partitioning — parallel at any corpus size, no global " +
+        "sort. At 100 TB the phase column is written as a partition key " +
+        "and each training stage reads only its phase."),
+      "t_mix_doremi" -> ("100× plan: one map-side-combined corpus pass " +
+        "to a sources-sized frame; corpus mean and share denominator " +
+        "are windows over that dims-sized frame (DECIMAL-cast order-" +
+        "independent totals). The reweighting itself is O(sources) " +
+        "arithmetic — nothing beyond the single pass touches data."),
+      "p_backfill" -> ("100× plan: both sides aggregate map-side to " +
+        "days-cardinality before the diff, so the planner is two scans " +
+        "+ one days-sized join at any corpus size; the emitted plan rows " +
+        "drive partition-pruned p_partition_overwrite re-runs — the " +
+        "repair cost is the damaged fraction, never a full reload."),
       "m_strip_meta" -> ("100× plan: the privacy scrub is scan-shaped — " +
         "per-partition chunk walk + drop + re-decode, no shuffle, no " +
         "global state; the hash gate proves metadata removal AND pixel " +

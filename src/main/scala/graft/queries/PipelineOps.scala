@@ -209,6 +209,41 @@ object PipelineOps {
           sm(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double").as("sum_value"))
     }),
+    "p_backfill" -> ((s, dir) => {
+      // BACKFILL PLANNER — the step BEFORE p_partition_overwrite: given a
+      // sink that is missing some partitions (a loader died mid-month)
+      // and holds one PARTIAL partition (a re-run that loaded only half a
+      // day before failing — the nastier case, invisible to existence
+      // checks), diff per-day row counts source-vs-sink and emit the
+      // repair plan: which days to backfill and why. Plan shape: both
+      // sides aggregate map-side to days-cardinality before the diff, so
+      // the planner costs two scans + one days-sized join at any corpus
+      // size; the emitted rows drive partition-pruned p_partition_overwrite
+      // re-runs. The gap here is deterministic (days with day-of-month ≡ 0
+      // mod 3 never loaded; the earliest surviving day loaded only even
+      // event_ids), so the oracle replays the same partial load.
+      import org.apache.spark.sql.functions.{coalesce => coal, count => cnt,
+        dayofmonth, lit => l, min => mn, pmod, to_date, when => whn}
+      val table = "rpt_backfill_sink"
+      Catalog.dropManaged(s, table)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      val loaded = ev.filter(pmod(dayofmonth(col("day")), l(3)) =!= 0)
+      // 1-row driver scalar (the watermark idiom): the stale partition key
+      val staleDay = loaded.agg(mn(col("day"))).first().getDate(0)
+      loaded
+        .filter(!(col("day") === l(staleDay) &&
+          pmod(col("event_id"), l(2)) === 1))
+        .write.partitionBy("day").format("parquet").saveAsTable(table)
+      val src = ev.groupBy("day").agg(cnt(l(1)).as("src_rows"))
+      val snk = s.table(table).groupBy("day").agg(cnt(l(1)).as("sink_rows"))
+      src.join(snk, Seq("day"), "left")
+        .withColumn("sink_rows", coal(col("sink_rows"), l(0L)))
+        .filter(col("sink_rows") =!= col("src_rows"))
+        .withColumn("status",
+          whn(col("sink_rows") === 0, "missing").otherwise("stale"))
+        .select("day", "src_rows", "sink_rows", "status")
+    }),
     "p_incr_rollup" -> ((s, dir) => {
       // incremental materialized-view maintenance: a daily rollup table is
       // maintained by merging each batch's PARTIAL aggregates additively
@@ -411,6 +446,23 @@ object PipelineOps {
         """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            FROM events GROUP BY 1""",
+      "p_backfill" ->
+        // the deterministic partial load replayed: missing = day-of-month
+        // ≡ 0 mod 3, stale = earliest surviving day with odd event_ids
+        // dropped; the plan is the per-day count diff
+        """WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS day FROM events),
+           kept AS (SELECT * FROM ev WHERE date_part('day', day) % 3 <> 0),
+           stale AS (SELECT min(day) AS sd FROM kept),
+           sink AS (SELECT * FROM kept
+                    WHERE NOT (day = (SELECT sd FROM stale)
+                               AND event_id % 2 = 1)),
+           s AS (SELECT day, count(*) AS src_rows FROM ev GROUP BY 1),
+           k AS (SELECT day, count(*) AS sink_rows FROM sink GROUP BY 1)
+           SELECT s.day, s.src_rows, COALESCE(k.sink_rows, 0) AS sink_rows,
+                  CASE WHEN COALESCE(k.sink_rows, 0) = 0 THEN 'missing'
+                       ELSE 'stale' END AS status
+           FROM s LEFT JOIN k ON s.day = k.day
+           WHERE COALESCE(k.sink_rows, 0) <> s.src_rows""",
       "p_targeted_delete" ->
         // the erased table recomputed from raw events: every row of the
         // target set gone, everything else byte-identical — equality over

@@ -398,6 +398,88 @@ object TextOps {
           round(col("share"), 6).as("share"),
           floor(col("share") * 100000.0).cast("long").as("target_docs"))
     }),
+    "t_curriculum" -> ((s, dir) => {
+      // curriculum schedule (easy→hard data ordering, Bengio et al.
+      // ICML'09 — the public recipe every staged pre-training run uses):
+      // assign each document a training PHASE by difficulty quantile
+      // WITHIN its source. Difficulty = the hashed-linear classifier's
+      // per-token score (t_classifier_score's scan-fused integer sum +
+      // one IEEE division — higher = cleaner = earlier phase), so the
+      // schedule consumes the quality stack instead of inventing a new
+      // signal. Phases are ntile(4) per source (ordered score DESC,
+      // doc_id ASC — the total order both engines share): per-source
+      // rather than global so the window PARTITIONS (parallel by source
+      // at any corpus size; a global ntile is one task) and so every
+      // phase mixes all sources — the curriculum orders difficulty, not
+      // domains. At 100 TB the phase column is written as a partition
+      // key and each training stage reads only its phase.
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextFunctions.tokens(col("text"))
+      def bucket(t: Column): Column =
+        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
+      def weight(t: Column): Column =
+        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
+          16, 10).cast(LongType) % 2001 - 1000
+      val scored = docs(s, dir)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("w_sum",
+          aggregate(transform(toks, t => weight(t)), lit(0L), (a, x) => a + x))
+        .withColumn("score",
+          col("w_sum").cast("double") / col("n_tokens"))
+      val bySrc = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.select(col("doc_id"), col("source"),
+        ntile(4).over(bySrc).as("phase"),
+        round(col("score"), 6).as("score"))
+    }),
+    "t_mix_doremi" -> ((s, dir) => {
+      // excess-quality source reweighting (DoReMi, Xie et al. NeurIPS'23
+      // — public recipe SHAPE: upweight domains where the model's excess
+      // loss is largest; here ONE multiplicative-weights step, linearized
+      // — exp() is libm, so the exponentiated-gradient update is replaced
+      // by its first-order expansion w ∝ tokens·(1 + η·excess), same
+      // update direction, documented substitution). Excess for a source =
+      // max(0, source mean per-token classifier score − corpus mean):
+      // both means are single IEEE divisions over EXACT integer sums, so
+      // the whole reweighting is deterministic. Plan: one map-side
+      // combined corpus pass → a sources-sized frame; the corpus mean and
+      // the share denominator are windows over that dims-sized frame
+      // (√w-style DECIMAL cast before the sum keeps the denominator
+      // order-independent — the t_mix_sqrt idiom). At 100 TB this is one
+      // pass + O(sources) arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextFunctions.tokens(col("text"))
+      def bucket(t: Column): Column =
+        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
+      def weight(t: Column): Column =
+        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
+          16, 10).cast(LongType) % 2001 - 1000
+      val perSrc = docs(s, dir)
+        .withColumn("nt", size(toks))
+        .withColumn("ws",
+          aggregate(transform(toks, t => weight(t)), lit(0L), (a, x) => a + x))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("ws")).as("w_sum"))
+      val wAll = Window.partitionBy()
+      perSrc
+        .withColumn("corpus_rate",
+          sum(col("w_sum")).over(wAll).cast("double") /
+            sum(col("n_tokens")).over(wAll).cast("double"))
+        .withColumn("excess",
+          greatest(col("w_sum").cast("double") / col("n_tokens")
+            - col("corpus_rate"), lit(0.0)))
+        .withColumn("wdec",
+          (col("n_tokens").cast("double") *
+            (lit(1.0) + col("excess") / lit(1000.0)))
+            .cast(DecimalType(28, 16)))
+        .withColumn("share", col("wdec").cast("double") /
+          sum(col("wdec")).over(wAll).cast("double"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("excess"), 6).as("excess"),
+          round(col("share"), 6).as("share"),
+          floor(col("share") * 100000.0).cast("long").as("target_docs"))
+    }),
     "t_dsir" -> ((s, dir) => {
       // DSIR-style data selection via importance resampling (Xie et al.,
       // NeurIPS'23 — public recipe): score every raw-corpus doc by how
@@ -2788,6 +2870,58 @@ object TextOps {
                 round(CAST(w_sum AS DOUBLE) / n_tokens, 6) AS score_per_token,
                 CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          FROM c""",
+    "t_curriculum" ->
+      // identical difficulty chain (the t_classifier_score hash/weight
+      // sum), then ntile(4) per source over the shared total order
+      // (score DESC, doc_id ASC)
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, source,
+                 CAST(len(toks) AS INTEGER) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks,
+                   t -> ('0x' || substr(md5('w' ||
+                          CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % 64
+                               AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000),
+                   'sum') AS BIGINT) AS w_sum
+               FROM t)
+         SELECT doc_id, source,
+                CAST(ntile(4) OVER (PARTITION BY source
+                     ORDER BY CAST(w_sum AS DOUBLE) / n_tokens DESC,
+                              doc_id ASC) AS INTEGER) AS phase,
+                round(CAST(w_sum AS DOUBLE) / n_tokens, 6) AS score
+         FROM c""",
+    "t_mix_doremi" ->
+      // identical per-source integer sums; the same single-division rates,
+      // linearized multiplicative update, DECIMAL-cast share denominator
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+         c AS (SELECT source,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(list_aggregate(list_transform(toks,
+                   t -> ('0x' || substr(md5('w' ||
+                          CAST(('0x' || substr(md5(t), 1, 6))::BIGINT % 64
+                               AS VARCHAR)), 1, 4))::BIGINT % 2001 - 1000),
+                   'sum') AS BIGINT) AS ws
+               FROM t),
+         s AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(nt) AS BIGINT) AS n_tokens,
+                      CAST(sum(ws) AS BIGINT) AS w_sum
+               FROM c GROUP BY 1),
+         g AS (SELECT *, CAST(sum(w_sum) OVER () AS DOUBLE)
+                         / CAST(sum(n_tokens) OVER () AS DOUBLE) AS corpus_rate
+               FROM s),
+         x AS (SELECT *, greatest(CAST(w_sum AS DOUBLE) / n_tokens
+                                  - corpus_rate, 0.0) AS excess FROM g),
+         wv AS (SELECT *, CAST(CAST(n_tokens AS DOUBLE) * (1.0 + excess / 1000.0)
+                               AS DECIMAL(28,16)) AS wdec FROM x)
+         SELECT source, n_docs, n_tokens,
+                round(excess, 6) AS excess,
+                round(CAST(wdec AS DOUBLE)
+                      / CAST(sum(wdec) OVER () AS DOUBLE), 6) AS share,
+                CAST(floor(CAST(wdec AS DOUBLE)
+                      / CAST(sum(wdec) OVER () AS DOUBLE) * 100000.0)
+                     AS BIGINT) AS target_docs
+         FROM wv""",
     "t_classifier_train" ->
       // the identical 3 unrolled fixed-point GD rounds: 64-bucket hashed
       // counts, the langid-vote label, pred/err/grad per round, the

@@ -925,6 +925,48 @@ object VectorOps {
       IvfIndex.probeSampled(compacted, kept, "vec_id", "embedding", query,
         queryId = 0L, k = 10, nCells = 16, nprobe = 4)
     }),
+    "v_knn_shards" -> ((s, dir) => {
+      // SHARDED scatter-gather ANN serving — how a 100 TB vector store is
+      // actually deployed: the corpus is split across independent shards
+      // (here 2, by vec_id parity), each shard trains its OWN IVF
+      // centroids on its OWN data (no global coordination — shards are
+      // built by disjoint indexing jobs, the FAISS/Vespa multi-shard
+      // shape), and a query SCATTERS to every shard (probe that shard's
+      // nprobe nearest cells, exact top-k within the shard) then GATHERS
+      // by fusing the per-shard top-k lists on the exact score. Because
+      // the per-shard rerank is the same decimal-exact cosine, the fused
+      // list equals the global top-k over the union of probed candidates
+      // — so the gate holds bit-for-bit against a full SQL replay of both
+      // shards. Plan: per shard, one scan-fused AssignCellExpr argmax +
+      // one broadcast probe-cell join + a k-row TakeOrdered; the gather is
+      // a 2k-row union. Nothing in the scatter-gather grows with shard
+      // COUNT except the k-row lists — the serving path stays flat as the
+      // corpus (and its shard count) scales out.
+      val e = emb(s, dir)
+      val query = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      def shardTop(p: Int): DataFrame = {
+        val shard = e.filter(pmod(col("vec_id"), lit(2)) === p)
+        // per-shard seeds: the shard's 16 lowest-id members (dense ids ⇒
+        // vec_id < 32 of matching parity), re-keyed DIV 2 to cells 0..15
+        val seeds = e.filter(col("vec_id") < 32 &&
+            pmod(col("vec_id"), lit(2)) === p)
+          .select(expr("vec_id DIV 2").cast("long").as("vec_id"),
+            col("embedding"))
+        val assigned =
+          IvfIndex.assignSampledWith(shard, seeds, "vec_id", "embedding", 16)
+        val probeDf =
+          IvfIndex.probeCells(seeds, "vec_id", "embedding", query, 16, 4)
+        assigned.join(broadcast(probeDf), "cell")
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"),
+            Similarity.cosineToQuery(col("embedding"), query).as("c_raw"))
+          .orderBy(col("c_raw").desc, col("vec_id").asc).limit(10)
+      }
+      shardTop(0).unionByName(shardTop(1))
+        .orderBy(col("c_raw").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), round(col("c_raw"), 6).as("cosine"))
+    }),
     "v_semdedup_scaled" -> ((s, dir) => {
       // v_semdedup with the cell count DERIVED from corpus size —
       // nCells = ⌈√N⌉ — so the in-cell quadratic stays bounded as the
@@ -1224,6 +1266,41 @@ object VectorOps {
        SELECT vec_id, round(dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12), 6) AS cosine
        FROM d, qn
        ORDER BY dot/greatest(sqrt(norm2)*sqrt(qn.qnorm2), 1e-12) DESC, vec_id ASC LIMIT 10"""
+
+  /** One shard's scatter leg for the v_knn_shards replay: shard = parity
+    * `p` of vec_id, seeds = the shard's 16 lowest ids re-keyed DIV 2,
+    * assignment/probe/rerank = the ivfOracle machinery suffixed `p`.
+    * `qnq` (the query norm) is declared once by the caller. */
+  private def shardOracle(p: Int): String =
+    s"""seeds$p AS (SELECT CAST(vec_id // 2 AS INTEGER) AS cell, embedding AS ce
+                 FROM embeddings WHERE vec_id < 32 AND vec_id % 2 = $p),
+       pu$p AS (SELECT e.vec_id, s.cell, unnest(e.embedding) AS x, unnest(s.ce) AS y
+              FROM embeddings e CROSS JOIN seeds$p s WHERE e.vec_id % 2 = $p),
+       pd$p AS (SELECT vec_id, cell,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS dot,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS n2
+              FROM pu$p GROUP BY 1, 2),
+       cn$p AS (SELECT cell,
+                CAST(sum(CAST(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS c2
+              FROM (SELECT cell, unnest(ce) AS y FROM seeds$p) GROUP BY 1),
+       cc$p AS (SELECT vec_id, pd$p.cell, dot/greatest(sqrt(n2)*sqrt(c2), 1e-12) AS c
+              FROM pd$p JOIN cn$p ON pd$p.cell = cn$p.cell),
+       assigned$p AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
+                    FROM cc$p GROUP BY 1),
+       qu$p AS (SELECT s.cell, unnest(q.qe) AS x, unnest(s.ce) AS y FROM q, seeds$p s),
+       qd$p AS (SELECT cell,
+                CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qdot
+              FROM qu$p GROUP BY 1),
+       probes$p AS (SELECT qd$p.cell FROM qd$p JOIN cn$p ON qd$p.cell = cn$p.cell, qnq
+                  ORDER BY qdot/greatest(sqrt(qnq.qnorm2)*sqrt(cn$p.c2), 1e-12) DESC,
+                           qd$p.cell ASC LIMIT 4),
+       cand$p AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                    JOIN assigned$p a ON e.vec_id = a.vec_id
+                    JOIN probes$p pr ON a.cell = pr.cell
+                    WHERE e.vec_id <> 0),
+       ${accumSql(s"cand$p", p.toString)},
+       top$p AS (SELECT vec_id, dot/greatest(sqrt(norm2)*sqrt(qn$p.qnorm2), 1e-12) AS c
+               FROM d$p, qn$p ORDER BY c DESC, vec_id ASC LIMIT 10)"""
 
   /** IVF-PQ replay: the v_knn_ivf assignment/probe CTEs (renamed ipu/ipd)
     * composed with the v_knn_pq encode/LUT CTEs; the ADC estimate is
@@ -1987,6 +2064,20 @@ object VectorOps {
     // assignment batch by batch accumulates the identical index, so the
     // streaming write path shares the rebuild's oracle
     "s_knn_ingest" -> ivfOracle,
+    // scatter-gather over 2 independently-trained shard indexes: each leg
+    // replays the full ivfOracle machinery on its parity-split corpus with
+    // re-keyed seeds; the gather fuses the per-shard exact top-10 lists on
+    // the unrounded score — equal to the engine's fused serving path
+    // because the per-shard rerank is the same decimal-exact cosine
+    "v_knn_shards" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       qnq AS (SELECT CAST(sum(CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE) AS qnorm2
+               FROM (SELECT unnest(qe) AS x FROM q)),
+       ${shardOracle(0)},
+       ${shardOracle(1)}
+       SELECT vec_id, round(c, 6) AS cosine
+       FROM (SELECT * FROM top0 UNION ALL SELECT * FROM top1)
+       ORDER BY c DESC, vec_id ASC LIMIT 10""",
     // delete-then-probe ≡ rebuild-then-probe on the surviving corpus: the
     // rebuild oracle with the erased batch filtered out of every corpus
     // reference (seeds 0..15 and the query are untouched by vec_id ≡ 17

@@ -1159,4 +1159,107 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(got(n) == ((c1, cl1(c1))), s"node $n: ${got(n)} != ($c1, ${cl1(c1)})")
     }
   }
+
+  test("v_knn_shards matches a plain-double scatter-gather reimplementation") {
+    // per shard: own centroids (ids < 32 of matching parity, re-keyed),
+    // double-math argmax assignment, 4 probe cells, shard top-10, then
+    // the exact-score gather — all in straight Scala, no Spark
+    val rows = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val byId = rows.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / math.max(math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    val qv = byId(0L)
+    def shardTop(p: Int): Seq[(Long, Double)] = {
+      val shard = rows.filter(_._1 % 2 == p)
+      val cents = (0 until 16).map(c => byId(2L * c + p))
+      def cell(v: Array[Double]): Int =
+        cents.zipWithIndex.map { case (ce, i) => (-cos(v, ce), i) }.min._2
+      val probes = cents.zipWithIndex
+        .map { case (ce, i) => (-cos(qv, ce), i) }.sorted.take(4)
+        .map(_._2).toSet
+      shard.filter { case (id, v) => id != 0L && probes(cell(v)) }
+        .map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
+    }
+    val want = (shardTop(0) ++ shardTop(1))
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = q("v_knn_shards").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == want.map(_._1),
+      s"fused ids ${got.map(_._1).toSeq} != ${want.map(_._1)}")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-6) }
+  }
+
+  test("p_backfill plans exactly the injected gaps (missing + stale days)") {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1)))
+    val srcCnt = ev.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val missing = srcCnt.keySet.filter(d =>
+      d.toLocalDate.getDayOfMonth % 3 == 0)
+    val staleDay = (srcCnt.keySet -- missing).minBy(_.toLocalDate.toEpochDay)
+    val staleSink = ev.count { case (id, d) => d == staleDay && id % 2 == 0 }
+    val plan = q("p_backfill").collect()
+      .map(r => r.getDate(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+    assert(plan.length == plan.map(_._1).distinct.length)
+    val byDay = plan.toMap
+    assert(byDay.keySet == missing + staleDay)
+    missing.foreach { d =>
+      assert(byDay(d) == ((srcCnt(d), 0L, "missing")), s"day $d: ${byDay(d)}")
+    }
+    assert(byDay(staleDay) ==
+      ((srcCnt(staleDay), staleSink.toLong, "stale")))
+    assert(staleSink > 0 && staleSink < srcCnt(staleDay))
+  }
+
+  test("t_curriculum phases are balanced and score-monotone per source") {
+    val rows = q("t_curriculum").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getDouble(3), r.getLong(0)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set(1, 2, 3, 4), s"$src phases: ${sizes.keySet}")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src sizes: $sizes")
+      // sorting by the declared order must reproduce the phase sequence
+      val sorted = rs.sortBy { case (_, _, sc, id) => (-sc, id) }
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).toSeq.sorted,
+        s"$src: phase not monotone in (score DESC, doc_id)")
+    }
+  }
+
+  test("t_mix_doremi reweights sources by clipped excess quality") {
+    val perDoc = q("t_classifier_score")
+      .join(graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .select("source", "n_tokens", "w_sum").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val agg = perDoc.groupBy(_._1).view.mapValues(rs =>
+      (rs.size.toLong, rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val corpusRate = agg.values.map(_._3).sum.toDouble /
+      agg.values.map(_._2).sum.toDouble
+    val w = agg.view.mapValues { case (_, nt, ws) =>
+      val excess = math.max(ws.toDouble / nt - corpusRate, 0.0)
+      nt.toDouble * (1.0 + excess / 1000.0)
+    }.toMap
+    val wTot = w.values.sum
+    val got = q("t_mix_doremi").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.keySet == agg.keySet)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-4)
+    got.foreach { case (src, (nDocs, nTok, excess, share, target)) =>
+      assert((nDocs, nTok) == ((agg(src)._1, agg(src)._2)))
+      val wantExcess = math.max(
+        agg(src)._3.toDouble / agg(src)._2 - corpusRate, 0.0)
+      assert(math.abs(excess - wantExcess) < 1e-5, s"$src excess")
+      assert(math.abs(share - w(src) / wTot) < 1e-5, s"$src share")
+      assert(target == math.floor(share * 100000.0).toLong ||
+        target == math.floor(w(src) / wTot * 100000.0).toLong)
+    }
+  }
 }

@@ -934,9 +934,13 @@ object GraphOps {
     "g_lpa" ->
       // 3 unrolled synchronous rounds; every c_r/l_r is referenced by the
       // next round, MATERIALIZED per the g_kcore inlining lesson. The
-      // argmax tie-break (max cnt, then MIN label via max(-label)) is
-      // total over integers, so each round's assignment — and therefore
-      // the whole trajectory — is deterministic in both engines.
+      // argmax tie-break (max cnt, then MIN label) is the JOIN-BASED
+      // argmax — per-node max(cnt), then min(label) among the maxima —
+      // total over integers, so each round's assignment and therefore
+      // the whole trajectory is deterministic in both engines. Join-based,
+      // NOT max(struct_pack): DuckDB's struct aggregate balloons past any
+      // memory cap on the sf1 edge join (the g_walks lesson) where the
+      // plain max/min aggregates and the hash join spill and stream.
       s"""WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
                              l_partkey * 2 + 1 AS dst
                       FROM lineitem),
@@ -950,10 +954,11 @@ object GraphOps {
            s"""c$r AS MATERIALIZED (
            SELECT e.dst AS node, l.label, count(*) AS cnt
            FROM edges e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         lm$r AS (SELECT node, max(cnt) AS mc FROM c$r GROUP BY 1),
          l$r AS MATERIALIZED (
-           SELECT node, -((max(struct_pack(cnt := cnt, nl := -label))).nl)
-                    AS label
-           FROM c$r GROUP BY node)"""
+           SELECT c.node, min(c.label) AS label
+           FROM c$r c JOIN lm$r m ON c.node = m.node AND c.cnt = m.mc
+           GROUP BY 1)"""
          }.mkString(",\n         ")}
          SELECT node, label FROM l3""",
     "g_modularity" ->
@@ -973,10 +978,11 @@ object GraphOps {
            s"""c$r AS MATERIALIZED (
            SELECT e.dst AS node, l.label, count(*) AS cnt
            FROM edges e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         lm$r AS (SELECT node, max(cnt) AS mc FROM c$r GROUP BY 1),
          l$r AS MATERIALIZED (
-           SELECT node, -((max(struct_pack(cnt := cnt, nl := -label))).nl)
-                    AS label
-           FROM c$r GROUP BY node)"""
+           SELECT c.node, min(c.label) AS label
+           FROM c$r c JOIN lm$r m ON c.node = m.node AND c.cnt = m.mc
+           GROUP BY 1)"""
          }.mkString(",\n         ")},
          ws AS MATERIALIZED (
            SELECT e.src, e.dst, l.label AS lsrc
@@ -1368,7 +1374,7 @@ object GraphOps {
              UNION ALL
              SELECT node, c AS cand, CAST(0 AS HUGEINT) AS k_in FROM l${r - 1})
            GROUP BY 1, 2),
-         sc$r AS (
+         sc$r AS MATERIALIZED (
            SELECT cd.node, cd.cand,
                   m2t.m2 * cd.k_in - CAST(d.k AS HUGEINT) *
                     (s.sigma - CASE WHEN cd.cand = l.c
@@ -1379,9 +1385,11 @@ object GraphOps {
            JOIN deg d USING (node)
            JOIN sig$r s ON s.cand = cd.cand
            CROSS JOIN m2t),
+         sm$r AS (SELECT node, max(score) AS ms FROM sc$r GROUP BY 1),
          l$r AS MATERIALIZED (
-           SELECT node, -((max(struct_pack(score := score, nc := -cand))).nc) AS c
-           FROM sc$r GROUP BY 1)"""
+           SELECT s.node, min(s.cand) AS c
+           FROM sc$r s JOIN sm$r m ON s.node = m.node AND s.score = m.ms
+           GROUP BY 1)"""
          }.mkString(",\n         ")}
          SELECT node, c AS community FROM l2""",
     "g_louvain2" ->
@@ -1408,7 +1416,7 @@ object GraphOps {
              UNION ALL
              SELECT node, c AS cand, CAST(0 AS HUGEINT) AS k_in FROM l${r - 1})
            GROUP BY 1, 2),
-         sc$r AS (
+         sc$r AS MATERIALIZED (
            SELECT cd.node, cd.cand,
                   m2t.m2 * cd.k_in - CAST(d.k AS HUGEINT) *
                     (s.sigma - CASE WHEN cd.cand = l.c
@@ -1419,9 +1427,11 @@ object GraphOps {
            JOIN deg d USING (node)
            JOIN sig$r s ON s.cand = cd.cand
            CROSS JOIN m2t),
+         sm$r AS (SELECT node, max(score) AS ms FROM sc$r GROUP BY 1),
          l$r AS MATERIALIZED (
-           SELECT node, -((max(struct_pack(score := score, nc := -cand))).nc) AS c
-           FROM sc$r GROUP BY 1)"""
+           SELECT s.node, min(s.cand) AS c
+           FROM sc$r s JOIN sm$r m ON s.node = m.node AND s.score = m.ms
+           GROUP BY 1)"""
          }.mkString(",\n         ")},
          ce AS MATERIALIZED (
            SELECT a.c AS cs, b.c AS cd, CAST(count(*) AS BIGINT) AS w
@@ -1442,7 +1452,7 @@ object GraphOps {
              UNION ALL
              SELECT node, c AS cand, CAST(0 AS HUGEINT) AS k_in FROM cl0)
            GROUP BY 1, 2),
-         csc AS (SELECT cd2.node, cd2.cand,
+         csc AS MATERIALIZED (SELECT cd2.node, cd2.cand,
                    m2t.m2 * cd2.k_in - CAST(d.k AS HUGEINT) *
                      (s.sigma - CASE WHEN cd2.cand = l.c
                                      THEN CAST(d.k AS HUGEINT)
@@ -1452,10 +1462,11 @@ object GraphOps {
                  JOIN cdeg d USING (node)
                  JOIN csig s ON s.cand = cd2.cand
                  CROSS JOIN m2t),
+         csm AS (SELECT node, max(score) AS ms FROM csc GROUP BY 1),
          cl1 AS MATERIALIZED (
-           SELECT node,
-                  -((max(struct_pack(score := score, nc := -cand))).nc) AS c
-           FROM csc GROUP BY 1)
+           SELECT s.node, min(s.cand) AS c
+           FROM csc s JOIN csm m ON s.node = m.node AND s.score = m.ms
+           GROUP BY 1)
          SELECT l.node, l.c AS c1, cl1.c AS community
          FROM l2 l JOIN cl1 ON cl1.node = l.c"""
   )

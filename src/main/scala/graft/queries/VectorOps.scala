@@ -2034,13 +2034,13 @@ object VectorOps {
                 FROM pd$r pd JOIN cn$r cn ON pd.cell = cn.cell),
          a$r AS (SELECT vec_id, -((max(struct_pack(c := c, nc := -cell))).nc) AS cell
                 FROM cc$r GROUP BY 1),
-         m$r AS (SELECT a.cell, CAST(gs.i - 1 AS INTEGER) AS pos,
+         m$r AS MATERIALIZED (SELECT a.cell, CAST(gs.i - 1 AS INTEGER) AS pos,
                   CAST(sum(CAST(CAST(e.embedding[gs.i] AS DOUBLE) AS DECIMAL(28,16))) AS DOUBLE)
                     / count(*) AS um,
                   count(*) AS n
                 FROM embeddings e JOIN a$r a ON e.vec_id = a.vec_id CROSS JOIN gs
                 GROUP BY 1, 2),
-         c$r AS (SELECT p.cell, p.pos, coalesce(u.um, p.m) AS m
+         c$r AS MATERIALIZED (SELECT p.cell, p.pos, coalesce(u.um, p.m) AS m
                 FROM $p p LEFT JOIN m$r u ON p.cell = u.cell AND p.pos = u.pos),
          d$r AS (SELECT max(abs(n.m - p.m)) AS mv
                 FROM c$r n JOIN $p p ON n.cell = p.cell AND n.pos = p.pos)"""

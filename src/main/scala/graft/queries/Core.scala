@@ -198,12 +198,16 @@ object Core {
       // is k-min-overall, so this is an identity, and the oracle hash
       // gates it per day (merged_equals_direct must be true everywhere).
       // Everything after the per-hour rank runs on k·hours rows.
+      // Round 11: both synopsis builds go through DISTINCT-mode TopKPerKey
+      // (the g_anf/KMV-chain bound) — the dedup folds INTO the bounded
+      // heaps, so no corpus-sized `.distinct()` exchange precedes the
+      // top-k; pre-exchange state is O(keys·k). Payload = (key, order)
+      // columns exactly, so heap-distinct ≡ distinct-then-heap.
       val K = 64
-      val h = t(s, dir, "events")
+      val raw = t(s, dir, "events")
         .filter(col("user_id").isNotNull)
         .select(date_trunc("day", col("ts")).as("day"),
           hour(col("ts")).as("hr"), md5(col("user_id").cast("string")).as("h"))
-        .distinct()
       def estimate(syn: DataFrame): DataFrame = syn
         .withColumn("rn", row_number().over(
           Window.partitionBy("day").orderBy("h")))
@@ -216,14 +220,14 @@ object Core {
           when(col("cnt") < K, col("cnt").cast("double"))
             .otherwise(round(lit((K - 1).toDouble) / col("v")
               * 281474976710656.0, 4)).as("est"))
-      val hourlySyn = h
-        .withColumn("hrn", row_number().over(
-          Window.partitionBy("day", "hr").orderBy("h")))
-        .filter(col("hrn") <= K)
-        .select("day", "h").distinct()
+      val hourlySyn = org.apache.spark.sql.GraftPlanBridge
+        .topKPerKeyDistinct(raw, Seq("day", "hr"), Seq(("h", true)), K)
+        .select("day", "h").distinct() // cross-hour dedup: ≤ 24·K rows/day
       val merged = estimate(hourlySyn)
         .withColumnRenamed("est", "est_merged")
-      val direct = estimate(h.select("day", "h").distinct())
+      val direct = estimate(org.apache.spark.sql.GraftPlanBridge
+        .topKPerKeyDistinct(raw.select("day", "h"), Seq("day"),
+          Seq(("h", true)), K))
         .withColumnRenamed("est", "est_direct")
       merged.join(direct, "day")
         .select(col("day"), col("est_merged"), col("est_direct"),
@@ -239,15 +243,18 @@ object Core {
       // SIGMOD'07). Everything after the per-type top-k runs on
       // k·types rows — the 100 TB profile is ONE pass over events + a
       // sketch-sized tail; the tiny type-dim crossJoin is a sanctioned
-      // broadcast (like q_cross's 25-row dim).
+      // broadcast (like q_cross's 25-row dim). Round 11: the synopsis
+      // build is DISTINCT-mode TopKPerKey (the g_anf/KMV-chain bound) —
+      // no corpus-sized `.distinct()` exchange, pre-exchange state
+      // O(types·k); payload = (key, order) exactly, so heap-distinct ≡
+      // distinct-then-heap.
       val K = 128
-      val topk = t(s, dir, "events")
-        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
-        .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
-        .distinct()
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("h")))
-        .filter(col("rn") <= K).select("event_type", "h")
+      val topk = org.apache.spark.sql.GraftPlanBridge.topKPerKeyDistinct(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+          .select(col("event_type"),
+            md5(col("user_id").cast("string")).as("h")),
+        Seq("event_type"), Seq(("h", true)), K)
       val types = topk.select(col("event_type").as("ty")).distinct()
       val ea = topk.select(col("event_type").as("ta"), col("h"))
         .crossJoin(broadcast(types)).filter(col("ta") < col("ty"))

@@ -70,6 +70,80 @@ object GraphOps {
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Distinct part–part co-order pairs (u < v) with a per-order FAN-OUT
+    * CAP: orders whose distinct-part count exceeds `cap` are excluded
+    * BEFORE the self-join — the `maxShingleDf` idiom from
+    * [[graft.operators.TextDedup.ngramJaccardPairs]] ported to the graph
+    * family (round-10 verdict ask #1). An order with m lineitems emits
+    * m(m-1)/2 pairs; uncapped, one mega-order at 100 TB is a quadratic
+    * join-bucket bomb. The cap bounds every join bucket to cap² rows
+    * regardless of corpus size. On the driver testdata the production cap
+    * (32) excludes nothing (max per-order fan-out is 17 at sf0.1/sf1), so
+    * the guard is free until the data actually contains the bomb; the
+    * binding-cap semantics are oracle-gated by g_kcore_capped (cap=8).
+    * The fan-out count rides a window over the same l_orderkey hash
+    * partitioning the self-join needs — one exchange serves both. */
+  private def coOrderPairs(s: SparkSession, dir: String, cap: Int): DataFrame = {
+    val pp = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .withColumn("fan",
+        count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("fan") <= cap)
+      .drop("fan")
+    pp.as("a").join(pp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
+  /** k-core peeling via DELTA (frontier) rounds — round cost proportional
+    * to the REMOVED frontier's incident edges, not the whole graph. The
+    * round-9/10 formulation re-materialized the full symmetric edge list
+    * every round (4 × |E| localCheckpoints + 2 edge-sized semi joins per
+    * round: 59.5 s at sf1); this one checkpoints the topology ONCE and
+    * per round only (a) filters the node-sized degree frame for the
+    * sub-threshold frontier, (b) decrements neighbor degrees through one
+    * edges⋈frontier join (broadcast when the frontier is small — AQE
+    * picks it), (c) drops zero-degree nodes (they vanish from s_i in the
+    * materialized-edge formulation, so dropping is the same semantics).
+    * k is the exact-rank p10 degree, computed from a DEGREE HISTOGRAM
+    * (distinct degree values — dozens of rows) instead of a global
+    * row_number over all nodes: the d at rank ceil(n/10) is determined by
+    * the degree multiset alone, so the node tie-break the oracle's
+    * row_number uses cannot change it, and the O(n) single-task sort is
+    * gone — at 100 TB the histogram is the only scalable formulation.
+    * Equivalence with the oracle's materialized-edge peel: round i
+    * removes exactly the nodes whose degree in s_{i-1} is < k; an edge of
+    * s_{i-1} from a live node u to a frontier node v is by construction
+    * still alive, so the s0-based decrement count equals the s_{i-1}
+    * degree drop. Output = final degrees of the surviving nodes (≥ 1). */
+  private def kcorePeel(e: DataFrame, rounds: Int): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var deg = sym.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
+    val hist = deg.groupBy("d").agg(count(lit(1)).as("cnt"))
+    val kRow = hist
+      .withColumn("cum", sum("cnt").over(Window.orderBy("d")))
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("n")))) // 1-row stat frame
+      .filter(col("cum") >= expr("(n + 9) DIV 10"))
+      .agg(min("d").as("k"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val frontier = deg.crossJoin(broadcast(kRow)) // 1-row k frame
+        .filter(col("d") < col("k")).select("u")
+      val dec = sym.join(frontier.withColumnRenamed("u", "v"), Seq("v"))
+        .groupBy("u").agg(count(lit(1)).as("dec"))
+      deg = deg.join(frontier, Seq("u"), "left_anti")
+        .join(dec, Seq("u"), "left")
+        .select(col("u"),
+          (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
+        .filter(col("d") >= 1)
+        .localCheckpoint()
+    }
+    deg.select(col("u").as("node"), col("d").as("core_deg"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_pagerank" -> ((s, dir) =>
       // LONG node ids (the longEdges encoding — s<k> → 2k, p<k> → 2k+1,
@@ -254,39 +328,22 @@ object GraphOps {
       // the same trick that makes g_pagerank oracle-expressible; on this
       // data the cascade is still shrinking, and both engines peel the
       // identical rounds). k is data-derived with no float percentile:
-      // the exact-rank p10 of the initial degree distribution
-      // (row_number ordered by (d, node), row ceil(n/10)) — integer
-      // arithmetic only. Each round is ONE map-side-combined degree agg +
-      // TWO key-equality semi joins; localCheckpoint truncates lineage per
-      // round (the Components idiom) so the plan is O(1) deep — without it
-      // each round re-derives the co-order join 3× (the oracle needs the
-      // matching AS MATERIALIZED hint for the same reason). The global
-      // row_number window is bounded by NODE cardinality, not edges.
-      val pp = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val e = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      var sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
-      val deg0 = sym.groupBy("u").agg(count(lit(1)).as("d"))
-      val kRow = deg0
-        .withColumn("rn", row_number().over(Window.orderBy(col("d"), col("u"))))
-        .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
-        .filter(col("rn") === expr("(n + 9) DIV 10"))
-        .select(col("d").as("k"))
-        .localCheckpoint()
-      for (_ <- 1 to 4) {
-        val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
-          .crossJoin(broadcast(kRow)).filter(col("d") >= col("k")).select("u")
-        sym = sym.join(keep, Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .localCheckpoint()
-      }
-      sym.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
-        .select(col("u").as("node"), col("core_deg"))
+      // the exact-rank p10 of the initial degree distribution — integer
+      // arithmetic only, computed from the degree HISTOGRAM (see
+      // kcorePeel). Round-11 rewrite: the delta-peel plan replaces the
+      // per-round full-edge-list re-materialization (59.5 s → measured in
+      // DESIGN.md at sf1); the co-order projection is fan-out-capped at
+      // 32 (non-binding on this data — max order fan-out 17 — the cap is
+      // the 100 TB skew guard, mirrored in the oracle's pp CTE).
+      kcorePeel(coOrderPairs(s, dir, cap = 32), rounds = 4)
+    }),
+    "g_kcore_capped" -> ((s, dir) => {
+      // the BINDING-cap variant (the d_ppjoin/d_ppjoin_capped precedent):
+      // cap=8 excludes real orders at every SF (per-order fan-out p99 is
+      // 9), so this entry oracle-gates the cap SEMANTICS — which orders
+      // drop, and how the core structure shifts — not just the guard's
+      // existence. Same peel, same k rule, over the thinned graph.
+      kcorePeel(coOrderPairs(s, dir, cap = 8), rounds = 4)
     }),
     "g_bfs" -> ((s, dir) => {
       // multi-source BFS distance labeling on the part–part co-order
@@ -298,14 +355,9 @@ object GraphOps {
       // ONE map-side-combined min agg; localCheckpoint truncates lineage
       // (mirrored by the oracle's MATERIALIZED CTEs). At 100 TB this is
       // the textbook Pregel round as relational ops — frontier-sized
-      // shuffles, never node×node.
-      val pp = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val e = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      // shuffles, never node×node. Projection fan-out-capped at 32
+      // (non-binding here; the 100 TB skew guard — see coOrderPairs).
+      val e = coOrderPairs(s, dir, cap = 32)
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
       var dist = sym.select(col("u")).distinct()
@@ -334,14 +386,9 @@ object GraphOps {
       // counts go N, M, 0 at every SF), so the fixpoint lands at round 3
       // with rounds 4-5 of the cap never run — the hash gate proves BOTH
       // the final distances AND that the engine detected the fixpoint at
-      // the same round the oracle's static unroll does.
-      val pp = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val e = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      // the same round the oracle's static unroll does. Projection
+      // fan-out-capped at 32 (non-binding; see coOrderPairs).
+      val e = coOrderPairs(s, dir, cap = 32)
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
       var dist = sym.select(col("u")).distinct()
@@ -405,15 +452,9 @@ object GraphOps {
       // fan-out, operators.Triangles); the oracle counts via the plain
       // id-ordered 3-way join — orientation is a performance trick, the
       // count is orientation-invariant, so agreement checks both the
-      // algorithm and its implementation.
-      val pp = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val e = pp.as("a").join(pp.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      graft.operators.Triangles.census(e, "u", "v")
+      // algorithm and its implementation. Projection fan-out-capped at 32
+      // (non-binding; see coOrderPairs).
+      graft.operators.Triangles.census(coOrderPairs(s, dir, cap = 32), "u", "v")
     }),
     "g_anf" -> ((s, dir) => {
       // approximate neighborhood function (ANF, Palmer et al. KDD'02; the
@@ -857,6 +898,38 @@ object GraphOps {
        s$i AS MATERIALIZED (SELECT s.u, s.v FROM $prev s
          JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)"""
 
+  /** The capped co-order projection (pp + e CTEs) — the exact SQL mirror
+    * of [[coOrderPairs]]: orders whose distinct-part fan-out exceeds `cap`
+    * are excluded before the pair self-join. */
+  private def coOrderSql(cap: Int): String =
+    s"""pp AS MATERIALIZED (
+           SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS fan
+             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+           WHERE fan <= $cap),
+         e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+  /** Full k-core oracle at a given projection cap: capped pp/e, symmetrize,
+    * exact-rank-p10 k (row_number over (d, u) — the node tie-break cannot
+    * change the d at the target rank, so this equals the engine's
+    * histogram k), 4 materialized peel rounds, final surviving degrees. */
+  private def kcoreSql(cap: Int): String =
+    s"""WITH ${coOrderSql(cap)},
+         s0 AS MATERIALIZED (
+           SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         d0 AS MATERIALIZED (SELECT u, count(*) AS d FROM s0 GROUP BY 1),
+         kv AS MATERIALIZED (
+           SELECT d AS k
+           FROM (SELECT d, row_number() OVER (ORDER BY d, u) AS rn FROM d0) r,
+                (SELECT (count(*) + 9) // 10 AS tgt FROM d0) t
+           WHERE r.rn = t.tgt)
+         ${(1 to 4).map(i => peelSql(i, if (i == 1) "s0" else s"s${i - 1}")).mkString}
+         SELECT u AS node, count(*) AS core_deg FROM s4 GROUP BY 1"""
+
   /** One BFS relaxation round as a MATERIALIZED CTE (same inlining-blowup
     * rationale as [[peelSql]]). */
   private def bfsSql(i: Int, prev: String): String =
@@ -870,12 +943,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "g_bfs" ->
-      s"""WITH pp AS MATERIALIZED (
-           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         e AS MATERIALIZED (
-           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-           FROM pp a JOIN pp b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH ${coOrderSql(32)},
          s0 AS MATERIALIZED (
            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
          f0 AS MATERIALIZED (
@@ -889,12 +957,7 @@ object GraphOps {
       // stop pick; rounds past the fixpoint are stable so the unused
       // unrolled tail is cheap. MATERIALIZED per the g_bfs/g_kcore
       // inlining lesson.
-      s"""WITH pp AS MATERIALIZED (
-           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         e AS MATERIALIZED (
-           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-           FROM pp a JOIN pp b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH ${coOrderSql(32)},
          s0 AS MATERIALIZED (
            SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
          f0 AS MATERIALIZED (
@@ -914,23 +977,8 @@ object GraphOps {
            s"SELECT $i AS r, node, dist FROM f$i").mkString(" UNION ALL ")})
          SELECT node, dist, (SELECT rs FROM stop) AS stop_round
          FROM allf WHERE r = (SELECT rs FROM stop)""",
-    "g_kcore" ->
-      s"""WITH pp AS MATERIALIZED (
-           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         e AS MATERIALIZED (
-           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-           FROM pp a JOIN pp b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         s0 AS MATERIALIZED (
-           SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-         d0 AS MATERIALIZED (SELECT u, count(*) AS d FROM s0 GROUP BY 1),
-         kv AS MATERIALIZED (
-           SELECT d AS k
-           FROM (SELECT d, row_number() OVER (ORDER BY d, u) AS rn FROM d0) r,
-                (SELECT (count(*) + 9) // 10 AS tgt FROM d0) t
-           WHERE r.rn = t.tgt)
-         ${(1 to 4).map(i => peelSql(i, if (i == 1) "s0" else s"s${i - 1}")).mkString}
-         SELECT u AS node, count(*) AS core_deg FROM s4 GROUP BY 1""",
+    "g_kcore" -> kcoreSql(32),
+    "g_kcore_capped" -> kcoreSql(8),
     "g_lpa" ->
       // 3 unrolled synchronous rounds; every c_r/l_r is referenced by the
       // next round, MATERIALIZED per the g_kcore inlining lesson. The
@@ -1139,10 +1187,7 @@ object GraphOps {
       // id-ordered 3-way join (a<b<c): e1=(a,b), e2=(b,c), e3=(a,c) —
       // the orientation-free formulation; counts match the engine's
       // degree-oriented wedge+close exactly
-      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-               FROM pp a JOIN pp b
-                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      s"""WITH ${coOrderSql(32)},
          deg AS (SELECT n, count(*) AS d
                  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
                  GROUP BY 1),

@@ -47,6 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "v_rrf", // the t_bm25 1-row corpus-stats (N, sum_len) broadcast, reused
     "v_knn_ivfpq_res", // LUT build: nprobe-row query-residual frame ×
     // broadcast(m·nCodes codebook) — serving constants on both sides
+    "v_knn_descent_recall", // six 1-row stat aggregates composed (counts,
+    // hit counts, decimal similarity masses) — the d_dedup_eval pattern
     "v_knn_refine") // 1-row rank-50-score aggregate broadcast (the margined
     // stage boundary: every candidate within 1e-9 of the 50th coarse score)
     // -- the assignSampled family (v_knn_ivf, v_knn_ivfpq, v_kmeans,

@@ -16,6 +16,28 @@ object TextFunctions {
   /** Whitespace tokens of a pre-normalized (single-spaced) text column. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** The hashed-linear quality classifier's 64-bucket token feature map
+    * (first 6 hex digits of md5, mod 64) — ONE definition shared by
+    * t_classifier_score / t_classifier_train / t_curriculum /
+    * t_mix_doremi / t_render_dpo (and mirrored verbatim in their oracle
+    * SQL): a tweak to the feature map must change every consumer at once
+    * or the "schedule consumes the quality stack" equivalence silently
+    * breaks. */
+  def clsBucket(t: Column): Column =
+    conv(substring(md5(t), 1, 6), 16, 10).cast("long") % 64
+
+  /** The classifier's md5-derived signed integer bucket weight in
+    * [-1000, 1000] (the deterministic stand-in for learned weights —
+    * t_classifier_train carries the LEARNED ones). */
+  def clsWeight(t: Column): Column =
+    conv(substring(md5(concat(lit("w"), clsBucket(t).cast("string"))), 1, 4),
+      16, 10).cast("long") % 2001 - 1000
+
+  /** Per-doc classifier score: Σ_token clsWeight(token) — pure integers,
+    * order-independent, fused into scan codegen. */
+  def clsWeightSum(toks: Column): Column =
+    aggregate(transform(toks, t => clsWeight(t)), lit(0L), (a, x) => a + x)
+
   /** BPE-ish subword segmentation count: runs of letters, runs of digits,
     * or single non-alphanumeric glyphs. */
   val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"

@@ -415,17 +415,15 @@ object TextOps {
       // key and each training stage reads only its phase.
       import org.apache.spark.sql.expressions.Window
       val toks = TextFunctions.tokens(col("text"))
-      def bucket(t: Column): Column =
-        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
-      def weight(t: Column): Column =
-        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
-          16, 10).cast(LongType) % 2001 - 1000
       val scored = docs(s, dir)
         .withColumn("n_tokens", size(toks))
         .withColumn("w_sum",
-          aggregate(transform(toks, t => weight(t)), lit(0L), (a, x) => a + x))
-        .withColumn("score",
-          col("w_sum").cast("double") / col("n_tokens"))
+          TextFunctions.clsWeightSum(toks))
+        .withColumn("score", // greatest-1 guard: an empty-token doc
+          // would otherwise score NULL and land in an ordering-dependent
+          // ntile position (cross-engine null-ordering hazard); split()
+          // never yields size 0 on this corpus, so the guard is inert
+          col("w_sum").cast("double") / greatest(col("n_tokens"), lit(1)))
       val bySrc = Window.partitionBy("source")
         .orderBy(col("score").desc, col("doc_id").asc)
       scored.select(col("doc_id"), col("source"),
@@ -449,15 +447,10 @@ object TextOps {
       // pass + O(sources) arithmetic.
       import org.apache.spark.sql.expressions.Window
       val toks = TextFunctions.tokens(col("text"))
-      def bucket(t: Column): Column =
-        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
-      def weight(t: Column): Column =
-        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
-          16, 10).cast(LongType) % 2001 - 1000
       val perSrc = docs(s, dir)
         .withColumn("nt", size(toks))
         .withColumn("ws",
-          aggregate(transform(toks, t => weight(t)), lit(0L), (a, x) => a + x))
+          TextFunctions.clsWeightSum(toks))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
           sum(col("ws")).as("w_sum"))
@@ -741,16 +734,10 @@ object TextOps {
       // template or pairing drift fails the hash gate. Plan: one scan
       // scores every doc (the lambda fuses into codegen), one source-key
       // aggregate picks both ends, two id-equality joins fetch the texts.
-      def bucket(t: Column): Column =
-        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
-      def weight(t: Column): Column =
-        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
-          16, 10).cast(LongType) % 2001 - 1000
       val scored = docs(s, dir)
         .withColumn("toks", TextFunctions.tokens(col("text")))
         .withColumn("w_sum",
-          aggregate(transform(col("toks"), t => weight(t)),
-            lit(0L), (a, x) => a + x))
+          TextFunctions.clsWeightSum(col("toks")))
         .localCheckpoint() // consumed 3× (pair agg + both text joins)
       val pairs = scored.groupBy("source").agg(
           max(struct(col("w_sum"), (-col("doc_id")).as("nd"))).as("mx"),
@@ -1425,15 +1412,10 @@ object TextOps {
       // zero shuffles at any corpus size — exactly why linear classifiers
       // are THE production quality filter at 100 TB.
       val toks = TextFunctions.tokens(col("text"))
-      def bucket(t: Column): Column =
-        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
-      def weight(t: Column): Column =
-        conv(substring(md5(concat(lit("w"), bucket(t).cast("string"))), 1, 4),
-          16, 10).cast(LongType) % 2001 - 1000
       docs(s, dir)
         .withColumn("n_tokens", size(toks))
         .withColumn("w_sum",
-          aggregate(transform(toks, t => weight(t)), lit(0L), (a, x) => a + x))
+          TextFunctions.clsWeightSum(toks))
         .select(col("doc_id"), col("n_tokens"), col("w_sum"),
           round(col("w_sum").cast("double") / col("n_tokens"), 6)
             .as("score_per_token"),
@@ -1474,11 +1456,9 @@ object TextOps {
       // DECIMAL(38,0) accumulator (e^2 sums overflow long at ~1e9 docs).
       import s.implicits._
       val d = docs(s, dir)
-      def bucket(t: Column): Column =
-        conv(substring(md5(t), 1, 6), 16, 10).cast(LongType) % 64
       val feats = d.select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), bucket(col("tok")).as("bucket"))
+        .select(col("doc_id"), TextFunctions.clsBucket(col("tok")).as("bucket"))
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
         .localCheckpoint() // consumed 2x per round + acc pass
       val labels = d.select(col("doc_id"),
@@ -2886,9 +2866,9 @@ object TextOps {
                FROM t)
          SELECT doc_id, source,
                 CAST(ntile(4) OVER (PARTITION BY source
-                     ORDER BY CAST(w_sum AS DOUBLE) / n_tokens DESC,
+                     ORDER BY CAST(w_sum AS DOUBLE) / greatest(n_tokens, 1) DESC,
                               doc_id ASC) AS INTEGER) AS phase,
-                round(CAST(w_sum AS DOUBLE) / n_tokens, 6) AS score
+                round(CAST(w_sum AS DOUBLE) / greatest(n_tokens, 1), 6) AS score
          FROM c""",
     "t_mix_doremi" ->
       // identical per-source integer sums; the same single-division rates,

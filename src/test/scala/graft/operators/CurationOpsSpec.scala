@@ -1258,8 +1258,10 @@ class CurationOpsSpec extends AnyFunSuite {
         agg(src)._3.toDouble / agg(src)._2 - corpusRate, 0.0)
       assert(math.abs(excess - wantExcess) < 1e-5, s"$src excess")
       assert(math.abs(share - w(src) / wTot) < 1e-5, s"$src share")
-      assert(target == math.floor(share * 100000.0).toLong ||
-        target == math.floor(w(src) / wTot * 100000.0).toLong)
+      // the engine floors the UNROUNDED share (the rounded `share` column
+      // is output-only) — assert exactly that definition, nothing looser
+      assert(target == math.floor(w(src) / wTot * 100000.0).toLong,
+        s"$src target_docs")
     }
   }
 }

@@ -306,4 +306,72 @@ class ScaleSpec extends AnyFunSuite {
         "synopsis not materially smaller than the event stream")
     } finally topk.unpersist()
   }
+
+  test("reporting e2e load path scales linearly in staged pages") {
+    // the round-10 verdict's ask #5: p_reporting_e2e only ever ran at the
+    // ~10-row bundled fixture; this gate synthesizes reference-shaped
+    // staged dagRun pages at two scales (10x apart) and measures the
+    // FULL extract→stage→watermark→dedup-append path — the anti-join
+    // load being the reference's core semantic — plus a 100%-overlap
+    // dedupAppend batch aimed straight at the anti-join. Measured
+    // numbers land in DESIGN.md (round-11 table).
+    import java.nio.file.{Files, Paths}
+    import graft.pipeline.{Catalog, Loader, ReportingPipeline, Schemas, Staging}
+    def genFixture(nPages: Int, rowsPerPage: Int): String = {
+      val tmp = Files.createTempDirectory("graft-repscale").toString
+      for (p <- 0 until nPages) {
+        val sb = new StringBuilder("[\n")
+        for (i <- 0 until rowsPerPage) {
+          if (i > 0) sb.append(",\n")
+          // monotone start_date so the watermark has real ordering work
+          val r = p.toLong * rowsPerPage + i
+          val ts = f"2022-03-${r % 28 + 1}%02dT${r % 24}%02d:${r % 60}%02d:${(r * 7) % 60}%02d+00:00"
+          sb.append(s"""  {"dag_id": "dag_${i % 50}", "dag_run_id": "run_${p}_$i", """ +
+            s""""end_date": "$ts", "execution_date": "$ts", "external_trigger": false, """ +
+            s""""logical_date": "$ts", "start_date": "$ts", "state": "success"}""")
+        }
+        sb.append("\n]\n")
+        Files.writeString(Paths.get(tmp, f"dagRuns$p%04d.json"), sb.toString)
+      }
+      tmp
+    }
+    def measure(nPages: Int, rowsPerPage: Int): (Double, Double, Double, Long) = {
+      val fixture = genFixture(nPages, rowsPerPage)
+      Catalog.drop(spark)
+      val t0 = System.nanoTime()
+      ReportingPipeline.run(spark, fixture) // initial load
+      val t1 = System.nanoTime()
+      ReportingPipeline.run(spark, fixture) // replay: watermark no-op
+      val t2 = System.nanoTime()
+      // 100%-overlap batch straight at the anti-join (bypasses the
+      // watermark): every staged PK already exists, 0 rows may append
+      val files = (0 until nPages).map(p => f"$fixture/dagRuns$p%04d.json")
+      val staged = Staging.readStaged(spark, "dag_run", files,
+        keepSourceFile = true)
+      val table = Catalog.tableName("dag_run")
+      Loader.dedupAppend(spark, staged, table, Schemas.pkOf("dag_run"),
+        preference = Seq(col(Staging.srcFileCol)))
+      val t3 = System.nanoTime()
+      val n = spark.table(table).count()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, n)
+    }
+    measure(nPages = 1, rowsPerPage = 100) // warmup: codegen + catalog DDL
+    val (loadS, replayS, dedupS, nS) = measure(nPages = 4, rowsPerPage = 2500)
+    val (loadL, replayL, dedupL, nL) = measure(nPages = 40, rowsPerPage = 2500)
+    println(f"[scale] reporting e2e: small(n=$nS) load=$loadS%.2f s " +
+      f"replay=$replayS%.2f s dedup100pct=$dedupS%.2f s | " +
+      f"large(n=$nL) load=$loadL%.2f s replay=$replayL%.2f s " +
+      f"dedup100pct=$dedupL%.2f s")
+    assert(nS == 10000L && nL == 100000L,
+      s"load lost rows: small=$nS large=$nL")
+    // linear-ish gates with generous slack (fixed per-run overhead
+    // dominates at these sizes; the failure mode guarded against is the
+    // anti-join or watermark going quadratic in staged volume)
+    assert(loadL <= math.max(loadS, 1.0) * 30.0,
+      f"initial load superlinear: $loadS%.2f -> $loadL%.2f s on 10x pages")
+    assert(dedupL <= math.max(dedupS, 1.0) * 30.0,
+      f"overlap dedup superlinear: $dedupS%.2f -> $dedupL%.2f s on 10x pages")
+    assert(replayL <= math.max(replayS, 1.0) * 30.0,
+      f"replay superlinear: $replayS%.2f -> $replayL%.2f s on 10x pages")
+  }
 }

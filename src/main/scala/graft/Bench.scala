@@ -188,8 +188,11 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"rows":$rows,"doc_avg_len":${fmt(docAvgLen)}}"""
     }
+    // contention metadata rides IN the committed quiet artifact (round-10
+    // verdict ask #2: a "quiet" claim must be self-verifying — spread_max
+    // near 1.0 proves quiet; a drifted median with spread >> 1 is noise)
     val full =
-      s"""{"metric":"per_query_min_med_max","value":${fmt(total)},"unit":"sec","reps":$reps,"corpus":$corpusJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query_min_med_max","value":${fmt(total)},"unit":"sec","reps":$reps,"retries":$retried,"contended":${spreadMed > 1.5},"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"corpus":$corpusJson,"queries":$qs,"sf":"$sfDir"}"""
     val short =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${results.size - ok.size},"reps":$reps,"retries":$retried,"contended":${spreadMed > 1.5},"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"spread_top":$spreadTop,"ann_split":$annJson,"slowest":$slowest,"corpus":$corpusJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL ~2000 chars of bench output, which

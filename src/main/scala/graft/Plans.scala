@@ -87,10 +87,46 @@ object Plans {
       // scatter-gather serving, curriculum/mixture schedules, the
       // backfill planner
       "m_video_neardup", "v_knn_ivf_delete", "v_knn_shards",
-      "t_curriculum", "t_mix_doremi", "p_backfill")
+      "t_curriculum", "t_mix_doremi", "p_backfill",
+      // round 11: the delta-peel k-core (new plan for an existing audit
+      // member), its convergence variant, NN-Descent refinement, the
+      // incremental graph append, and the heap-bounded KMV reagg
+      "g_kcore_conv", "v_knn_descent", "v_knn_graph_append", "q_kmv_reagg")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
+      "g_kcore" -> ("100× plan (round-11 delta-peel): topology checkpoints " +
+        "ONCE; per round the plan touches only the node-sized degree " +
+        "frame (frontier filter) and the frontier's incident edges (one " +
+        "edges⋈frontier join, AQE-broadcast when the frontier is small) — " +
+        "the round-10 plan re-materialized 4×|E| and ran 2 edge-sized " +
+        "semi joins per round (59.5 → 12.3 s at sf1). k comes from a " +
+        "degree HISTOGRAM (dozens of rows), not a global row_number sort " +
+        "over all nodes; the co-order projection carries the fan-out cap " +
+        "(32) so one mega-order can never mint a quadratic join bucket."),
+      "g_kcore_conv" -> ("100× plan: identical delta-peel rounds; the " +
+        "convergence probe is a frontier COUNT per round (an integer on " +
+        "the node-sized frame), so termination costs one map-side-" +
+        "combined aggregate — no extra edge pass; state O(nodes)."),
+      "v_knn_descent" -> ("100× plan: per round the candidate frame is " +
+        "two-hop pairs of the rev-capped (≤2k per node) edge list ∪ " +
+        "current edges ∪ ~16-vector random-bucket pairs — O(N·k² + N·b) " +
+        "rows, never corpus²; scoring joins embeddings in by key " +
+        "(hoisted norms ride the frame), the re-heap is the two-phase " +
+        "TopKPerKey exchange (≤ partitions·N·k rows), and each round " +
+        "localCheckpoints (O(1) lineage)."),
+      "v_knn_graph_append" -> ("100× plan: the ingest batch pays ONE " +
+        "per-row codegen'd assignment (no shuffle), and only cells that " +
+        "received new vectors re-run the within-cell pair join — " +
+        "|affected cells|·E[cell]² work; untouched cells' edges pass " +
+        "through a broadcast anti join verbatim. Cell-local edges + " +
+        "per-row-independent assignment make merged ≡ rebuild exactly " +
+        "(shared oracle)."),
+      "q_kmv_reagg" -> ("100× plan (round-11): both synopsis builds run " +
+        "through DISTINCT-mode TopKPerKey — dedup folds into the bounded " +
+        "heaps, so the pre-exchange state is O(keys·k) and the corpus-" +
+        "sized distinct exchange of rounds ≤10 is gone; everything after " +
+        "the per-hour rank runs on k·hours rows."),
       "d_ppjoin" -> ("100× plan: the candidate join's keys are each doc's " +
         "RAREST prefix shingles (per-doc window over (df, sh) — no global " +
         "rank, no driver state), so per-key fan-out is bounded by " +
@@ -581,18 +617,6 @@ object Plans {
         "key-equality joins (orderkey, custkey); the cross-border " +
         "predicate runs post-join in codegen — no plan shape changes at " +
         "1000 executors."),
-      "g_kcore" -> ("100× plan: 4 fixed peel rounds, each ONE " +
-        "map-side-combined degree agg + TWO key-equality semi joins " +
-        "against the kept-node set; the data-derived threshold k is an " +
-        "exact-rank pick from a window bounded by NODE cardinality, not " +
-        "edges, broadcast as a 1-row frame. Each round localCheckpoints " +
-        "(the Components idiom), so lineage — and this audited final " +
-        "plan, a checkpoint scan + one degree agg — stays O(1) deep " +
-        "regardless of rounds; without it every round would re-derive " +
-        "the co-order self-join. The expensive part (the part-part edge " +
-        "derivation) is one distinct self-join on l_orderkey, paid once " +
-        "into the first checkpoint. Cost is edge-sized shuffles x rounds; " +
-        "no step is quadratic in nodes."),
       "g_bfs" -> ("100× plan: 3 unrolled Pregel rounds — per round ONE " +
         "key-equality join (edges x current distance table) + ONE " +
         "map-side-combined integer min-agg; frontier-sized shuffles, " +

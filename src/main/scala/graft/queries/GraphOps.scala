@@ -118,7 +118,27 @@ object GraphOps {
     * s_{i-1} from a live node u to a frontier node v is by construction
     * still alive, so the s0-based decrement count equals the s_{i-1}
     * degree drop. Output = final degrees of the surviving nodes (≥ 1). */
-  private def kcorePeel(e: DataFrame, rounds: Int): DataFrame = {
+  private def kcorePeel(e: DataFrame, rounds: Int): DataFrame =
+    kcorePeelImpl(e, rounds, convergence = false, rankDiv = 10)
+      .select(col("node"), col("core_deg"))
+
+  /** Convergence-terminated peel: rounds run until one removes NOTHING (a
+    * pure-integer frontier-emptiness test), capped at `maxRounds`; the
+    * detected stopping round rides out as `stop_round` under the hash
+    * gate — the fourth family on the convergence idiom (v_kmeans_conv,
+    * g_pagerank_conv, g_bfs_conv). */
+  private def kcorePeelConv(e: DataFrame, maxRounds: Int): DataFrame =
+    kcorePeelImpl(e, maxRounds, convergence = true, rankDiv = 50)
+
+  /** @param rankDiv k = the exact-rank ceil(n/rankDiv)-th smallest degree.
+    *   The fixed-round peel uses p10 (rankDiv 10 — the cascade is still
+    *   shrinking at round 4, which is that contract's point); the
+    *   convergence variant uses p02 (rankDiv 50): p10 is ABOVE this dense
+    *   graph's degeneracy, so its fixpoint is the empty core — p02 lands
+    *   between min degree and degeneracy and converges to a NONEMPTY core
+    *   in 2-4 rounds at every SF (measured in the round-11 DuckDB probe). */
+  private def kcorePeelImpl(e: DataFrame, rounds: Int,
+                            convergence: Boolean, rankDiv: Int): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     var deg = sym.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint()
@@ -126,22 +146,29 @@ object GraphOps {
     val kRow = hist
       .withColumn("cum", sum("cnt").over(Window.orderBy("d")))
       .crossJoin(broadcast(hist.agg(sum("cnt").as("n")))) // 1-row stat frame
-      .filter(col("cum") >= expr("(n + 9) DIV 10"))
+      .filter(col("cum") >= expr(s"(n + ${rankDiv - 1}) DIV $rankDiv"))
       .agg(min("d").as("k"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var r = 0
+    var stopped = false
+    while (r < rounds && !stopped) {
+      r += 1
       val frontier = deg.crossJoin(broadcast(kRow)) // 1-row k frame
-        .filter(col("d") < col("k")).select("u")
-      val dec = sym.join(frontier.withColumnRenamed("u", "v"), Seq("v"))
-        .groupBy("u").agg(count(lit(1)).as("dec"))
-      deg = deg.join(frontier, Seq("u"), "left_anti")
-        .join(dec, Seq("u"), "left")
-        .select(col("u"),
-          (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
-        .filter(col("d") >= 1)
-        .localCheckpoint()
+        .filter(col("d") < col("k")).select("u").localCheckpoint()
+      if (convergence && frontier.count() == 0L) stopped = true
+      else {
+        val dec = sym.join(frontier.withColumnRenamed("u", "v"), Seq("v"))
+          .groupBy("u").agg(count(lit(1)).as("dec"))
+        deg = deg.join(frontier, Seq("u"), "left_anti")
+          .join(dec, Seq("u"), "left")
+          .select(col("u"),
+            (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
+          .filter(col("d") >= 1)
+          .localCheckpoint()
+      }
     }
     deg.select(col("u").as("node"), col("d").as("core_deg"))
+      .withColumn("stop_round", lit(r))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -344,6 +371,20 @@ object GraphOps {
       // drop, and how the core structure shifts — not just the guard's
       // existence. Same peel, same k rule, over the thinned graph.
       kcorePeel(coOrderPairs(s, dir, cap = 8), rounds = 4)
+    }),
+    "g_kcore_conv" -> ((s, dir) => {
+      // CONVERGENCE-terminated k-core — the semantics a user actually
+      // wants from peeling (g_kcore's fixed 4 rounds cannot CLAIM the
+      // cascade settled): delta-peel until a round removes zero nodes
+      // (pure-integer emptiness test — no FP determinism argument),
+      // capped at 8, with the detected stopping round hash-gated via
+      // stop_round. The surviving (node, core_deg) set at the fixpoint
+      // IS the true k-core of the capped co-order graph. Threshold is
+      // the exact-rank p02 degree (NOT g_kcore's p10 — that sits above
+      // this dense graph's degeneracy, so its fixpoint is the empty
+      // core): measured convergence round 2/3/4 and a 98%+ surviving
+      // core at sf0.001/0.01/0.1.
+      kcorePeelConv(coOrderPairs(s, dir, cap = 32), maxRounds = 8)
     }),
     "g_bfs" -> ((s, dir) => {
       // multi-source BFS distance labeling on the part–part co-order
@@ -979,6 +1020,32 @@ object GraphOps {
          FROM allf WHERE r = (SELECT rs FROM stop)""",
     "g_kcore" -> kcoreSql(32),
     "g_kcore_capped" -> kcoreSql(8),
+    "g_kcore_conv" ->
+      // 8 unrolled peel rounds + a removed-node COUNT per round (pure
+      // integer) + the first-zero stop pick (the g_bfs_conv idiom);
+      // rounds past the fixpoint are stable so the unused tail is cheap
+      s"""WITH ${coOrderSql(32)},
+         s0 AS MATERIALIZED (
+           SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         d0 AS MATERIALIZED (SELECT u, count(*) AS d FROM s0 GROUP BY 1),
+         kv AS MATERIALIZED (
+           SELECT d AS k
+           FROM (SELECT d, row_number() OVER (ORDER BY d, u) AS rn FROM d0) r,
+                (SELECT (count(*) + 49) // 50 AS tgt FROM d0) t
+           WHERE r.rn = t.tgt)
+         ${(1 to 8).map(i => peelSql(i, if (i == 1) "s0" else s"s${i - 1}")).mkString},
+         ${(1 to 8).map { i =>
+           s"rm$i AS (SELECT count(*) AS c FROM d$i, kv WHERE d < kv.k)"
+         }.mkString(",\n         ")},
+         deltas AS (${(1 to 8).map(i =>
+           s"SELECT $i AS r, c FROM rm$i").mkString(" UNION ALL ")}),
+         stop AS (SELECT CAST(coalesce(min(r), 8) AS INTEGER) AS rs
+                  FROM deltas WHERE c = 0),
+         alls AS (${(1 to 8).map(i =>
+           s"SELECT $i AS r, u FROM s$i").mkString(" UNION ALL ")})
+         SELECT u AS node, count(*) AS core_deg,
+                (SELECT rs FROM stop) AS stop_round
+         FROM alls WHERE r = (SELECT rs FROM stop) GROUP BY 1""",
     "g_lpa" ->
       // 3 unrolled synchronous rounds; every c_r/l_r is referenced by the
       // next round, MATERIALIZED per the g_kcore inlining lesson. The

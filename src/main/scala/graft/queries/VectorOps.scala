@@ -1209,6 +1209,35 @@ object VectorOps {
       // after the first is scan-only.
       knnGraphLoadOrBuild(s, dir)
     }),
+    "v_knn_graph_append" -> ((s, dir) => {
+      // INCREMENTAL kNN-graph maintenance — the v_knn_ivf_append pattern
+      // on the graph surface, completing its lifecycle (build:
+      // v_knn_graph, serve: v_knn_graph_probe, append: here). A
+      // newly-arrived batch (vec_id ≥ 256 ≡ 7 mod 16 — never a sampled
+      // seed: nCells ≤ 245 at every gated SF) assigns against the FROZEN
+      // seeds; only the CELLS THAT RECEIVED new vectors rebuild their
+      // within-cell top-3 — untouched cells keep their offline edges
+      // verbatim (cell-local edges + per-row-independent assignment make
+      // the merge exact). The merged graph must equal a full rebuild,
+      // proven under the rebuild's own oracle. At 100 TB this is the
+      // graph's steady-state write path: an ingest batch pays
+      // |affected cells|·E[cell]², never N^1.5.
+      val e = emb(s, dir)
+      val nCells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val isNew = col("vec_id") >= 256 && pmod(col("vec_id"), lit(16)) === 7
+      val aAll = IvfIndex.assignSampled(e, "vec_id", "embedding", nCells)
+        .withColumn("n2", Similarity.decNorm2(col("embedding")))
+        .withColumn("is_new", isNew)
+        .localCheckpoint() // consumed by base edges, affected set, merge
+      val base = cellTopkEdges(aAll.filter(!col("is_new"))) // offline graph
+      val affected = aAll.filter(col("is_new")).select("cell").distinct()
+      val merged = base.join(broadcast(affected), Seq("cell"), "left_anti")
+        .unionByName(cellTopkEdges(
+          aAll.join(broadcast(affected), Seq("cell"), "left_semi")))
+        .select("src", "dst", "c_raw")
+        .localCheckpoint() // consumed twice by the mutual self-join
+      withMutual(merged)
+    }),
     "v_knn_descent" -> ((s, dir) => {
       // NN-DESCENT refinement of the cell-blocked kNN graph (Dong et al.,
       // WWW'11) — the standard recall-recovery step every production
@@ -1316,12 +1345,20 @@ object VectorOps {
     val a = IvfIndex.assignSampled(e, "vec_id", "embedding", nCells)
       .withColumn("n2", Similarity.decNorm2(col("embedding")))
       .localCheckpoint() // consumed by both sides of the pair join
+    cellTopkEdges(a).select("src", "dst", "c_raw")
+  }
+
+  /** Within-cell top-3 edges over a (cell, vec_id, embedding, n2)
+    * assignment frame — the cell rides through as an output column so
+    * incremental maintenance (v_knn_graph_append) can split the graph by
+    * affected cell. Caller checkpoints the assignment. */
+  private def cellTopkEdges(a: DataFrame): DataFrame = {
     val l = a.select(col("cell"), col("vec_id").as("src"),
       col("embedding").as("ea"), col("n2").as("na"))
     val r = a.select(col("cell"), col("vec_id").as("dst"),
       col("embedding").as("eb"), col("n2").as("nb"))
     val scored = l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
+      .select(col("cell"), col("src"), col("dst"),
         Similarity.cosineFromParts(
           Similarity.decDot(col("ea"), col("eb")),
           col("na"), col("nb")).as("c_raw"))
@@ -2617,6 +2654,11 @@ object VectorOps {
     "v_knn_graph_probe" ->
       // the persisted index IS the graph — identical replay, so probe
       // hash-equals rebuild (the v_knn_ivf/v_knn_ivf_probe precedent)
+      knnGraphOracle,
+    "v_knn_graph_append" ->
+      // incrementally-maintained graph ≡ full rebuild: cell-local edges +
+      // per-row-independent assignment, so the append path shares the
+      // rebuild's oracle (the v_knn_ivf_append precedent)
       knnGraphOracle,
     "v_knn_descent" ->
       // base-graph replay + 2 unrolled NN-Descent rounds (rev-capped

@@ -797,8 +797,8 @@ object Plans {
         "stage — the downstream sees 24-byte rows, so the plan's output " +
         "volume is frames × 24 B regardless of resolution."),
       "m_wav_stats" -> ("100× plan: one narrow scan of documents → " +
-        "per-partition WAV synthesis + REAL RIFF parse (the JDK's " +
-        "WaveFileReader) + amplitude/silence stats, all inside ONE " +
+        "per-partition WAV synthesis + REAL RIFF parse (WavCodec's " +
+        "lock-free chunk walk) + amplitude/silence stats, all inside ONE " +
         "mapPartitions stage — raw PCM samples never leave the scan " +
         "stage, only the fixed-width 7-column stats row is emitted, and " +
         "there is no shuffle at all (the plan is scan → project; the " +

@@ -44,42 +44,72 @@ trait AudioCodec extends Serializable {
   def decode(payload: Array[Byte]): Codec.Audio
 }
 
-/** RIFF/WAVE PCM decode via `javax.sound.sampled` — the one mainstream
-  * media codec that is pure-JVM (the JDK ships a WaveFileReader service
-  * provider; no native libs, headless-safe), which makes WAV the first
-  * REAL audio modality in the pipeline rather than a stubbed seam. The
-  * header parse (RIFF chunk walk, fmt validation) is the JDK's, not a
-  * hand-rolled byte scan — exactly what plugging a real library into the
-  * seam is supposed to look like. 16-bit signed PCM only (the format the
-  * asset builder emits; JPEG/MP4 remain out of scope — no native codecs
-  * in this sandbox). */
+/** RIFF/WAVE PCM decode via a direct chunk walk (RIFF spec: 'RIFF' +
+  * u32le size + 'WAVE', then fourcc + u32le size + payload chunks,
+  * word-aligned — the identical grammar [[AviCodec]] walks for video).
+  * The fmt chunk carries audioFormat/channels/sampleRate/bitsPerSample;
+  * the data chunk carries the interleaved little-endian PCM frames.
+  *
+  * History: rounds 8-11 decoded through `javax.sound.sampled.AudioSystem
+  * .getAudioInputStream`, whose per-payload SERVICE-PROVIDER LOOKUP takes
+  * a JVM-global lock — contention that compounds with rows × 32 executor
+  * threads and made the four m_wav_* queries the round-11 inventory's
+  * only measured superlinearity (m_wav_stats 16.4× on 10× data). The
+  * direct walk is lock-free and allocation-minimal; output is
+  * byte-identical (hash-gated by all four m_wav_* oracles and the
+  * CodecSpec round-trips). 16-bit signed PCM only (the format the asset
+  * builder emits), same contract as before. */
 object WavCodec extends AudioCodec {
 
   override val formats: Set[String] = Set("wav")
 
+  private def u32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+  private def u16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def fcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
   override def decode(payload: Array[Byte]): Codec.Audio = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    try {
-      val fmt = in.getFormat
-      require(fmt.getEncoding ==
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        s"unsupported encoding ${fmt.getEncoding} (want 16-bit signed PCM)")
-      require(fmt.getSampleSizeInBits == 16,
-        s"unsupported sample size ${fmt.getSampleSizeInBits} (want 16)")
-      val bytes = in.readAllBytes()
-      val n = bytes.length / 2
-      val samples = new Array[Int](n)
-      val be = fmt.isBigEndian
-      var i = 0
-      while (i < n) {
-        val b0 = bytes(2 * i) & 0xff
-        val b1 = bytes(2 * i + 1) & 0xff
-        samples(i) = (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
-        i += 1
+    require(payload.length >= 12 && fcc(payload, 0) == "RIFF" &&
+      fcc(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
+    var audioFormat = -1; var channels = 0; var sampleRate = 0
+    var bits = 0
+    var dataOff = -1; var dataLen = 0
+    var p = 12
+    while (p + 8 <= payload.length && dataOff < 0) {
+      val id = fcc(payload, p)
+      val size = u32(payload, p + 4)
+      val body = p + 8
+      require(size >= 0 && body + size <= payload.length,
+        s"truncated RIFF chunk '$id' at $p")
+      if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk too short ($size bytes)")
+        audioFormat = u16(payload, body)
+        channels = u16(payload, body + 2)
+        sampleRate = u32(payload, body + 4)
+        bits = u16(payload, body + 14)
+      } else if (id == "data") {
+        require(audioFormat >= 0, "data chunk before fmt chunk")
+        dataOff = body; dataLen = size
       }
-      Codec.Audio(fmt.getSampleRate.toInt, fmt.getChannels, samples)
-    } finally in.close()
+      p = body + size + (size & 1) // chunks are word-aligned
+    }
+    require(dataOff >= 0, "no data chunk in WAVE payload")
+    require(audioFormat == 1,
+      s"unsupported encoding code $audioFormat (want 1 = 16-bit signed PCM)")
+    require(bits == 16, s"unsupported sample size $bits (want 16)")
+    val n = dataLen / 2
+    val samples = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val b0 = payload(dataOff + 2 * i) & 0xff
+      val b1 = payload(dataOff + 2 * i + 1) & 0xff
+      samples(i) = ((b1 << 8) | b0).toShort.toInt // WAV PCM is always LE
+      i += 1
+    }
+    Codec.Audio(sampleRate, channels, samples)
   }
 }
 

@@ -526,7 +526,7 @@ object Multimodal {
     * - 32) · 512 (0 for empty docs). ASCII space maps to amplitude 0, so
     * real text yields genuine silence gaps between words — which is what
     * makes the silence-span statistic downstream non-trivial. The header
-    * is a full RIFF chunk structure the JDK's WaveFileReader parses; every
+    * is a full RIFF chunk structure [[WavCodec]]'s chunk walk parses; every
     * sample is arithmetic on (length, text), so the DuckDB oracle replays
     * the decoded output without parsing WAV. */
   def wavAssetsFromDocuments(docs: DataFrame, idCol: String,

@@ -110,12 +110,51 @@ object IvfIndex {
         .cast("int").as("cell"))
   }
 
+  /** Content fingerprint for persisted-index cache keys, in ONE narrow
+    * aggregation: (row count, bit_xor of xxhash64(id, first vector
+    * component)). Order-independent, per-row independent, and any
+    * single-vector mutation at FIXED cardinality changes it — the
+    * round-11 stale-cache hazard (a regenerated same-row-count corpus
+    * silently served the old index when the key was dir+count alone).
+    * bit_xor, not sum: a Long sum of 64-bit hashes overflows under ANSI.
+    * Cost: one scan of two columns, amortized over the index lifetime. */
+  def corpusFingerprint(emb: DataFrame, idCol: String,
+                        vecCol: String): (Long, String) = {
+    val r = emb.agg(
+      count(lit(1)),
+      expr(s"bit_xor(xxhash64($idCol, element_at($vecCol, 1)))")).first()
+    val fp = if (r.isNullAt(1)) 0L else r.getLong(1)
+    (r.getLong(0), java.lang.Long.toHexString(fp).take(12))
+  }
+
+  /** Build-once publication with an ATOMIC rename: builders write into a
+    * private tmp sibling and rename it to the final path, so a concurrent
+    * reader never observes a half-written index and a concurrent builder
+    * race resolves to whichever rename wins (both artifacts are equivalent
+    * — the path embeds the content fingerprint). The loser's tmp dir is
+    * deleted. */
+  def publishOnce(path: java.io.File, marker: String = "_SUCCESS")
+                 (build: String => Unit): Unit = {
+    if (new java.io.File(path, marker).exists()) return
+    val tmp = new java.io.File(path.getParentFile,
+      path.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    build(tmp.toString)
+    if (!tmp.renameTo(path)) deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Persisted-index lifecycle: load the sampled-centroid assignment from a
     * parquet index table, building it ONCE if absent — the production
     * serving path, where the IVF build is an offline indexing job and a
     * query pays only the probe. The index path is keyed by a content
-    * fingerprint (source dir + nCells + corpus row count), so a changed
-    * corpus rebuilds rather than serving a stale assignment; within a
+    * fingerprint (source dir + nCells + corpus row count + content xor —
+    * see [[corpusFingerprint]]), so a changed corpus rebuilds rather than
+    * serving a stale assignment even at identical cardinality; within a
     * session/benchmark, every call after the first is a plain parquet scan.
     * At scale the same artifact is the corpus's bucketing column (write
     * the corpus bucketed by `cell`; a probe reads nprobe/nCells of it). */
@@ -123,12 +162,13 @@ object IvfIndex {
                          idCol: String, vecCol: String, nCells: Int): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(srcTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val n = emb.count()
+    val (n, fp) = corpusFingerprint(emb, idCol, vecCol)
     val path = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-ivf-index-$digest-$nCells-$n")
-    if (!new java.io.File(path, "_SUCCESS").exists())
+      s"graft-ivf-index-$digest-$nCells-$n-$fp")
+    publishOnce(path) { tmp =>
       assignSampled(emb, idCol, vecCol, nCells)
-        .write.mode("overwrite").parquet(path.toString)
+        .write.mode("overwrite").parquet(tmp)
+    }
     spark.read.parquet(path.toString)
   }
 

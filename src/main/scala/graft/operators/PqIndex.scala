@@ -149,18 +149,18 @@ object PqIndex {
                     m: Int, subDim: Int, nCodes: Int): (DataFrame, DataFrame) = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(srcTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val n = emb.count()
+    // content-fingerprinted key + atomic publish (the IvfIndex contract):
+    // a same-cardinality corpus change rebuilds instead of serving stale
+    val (n, fp) = IvfIndex.corpusFingerprint(emb, idCol, vecCol)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-pq-index-$digest-$m-$nCodes-$n")
-    val cbPath = new java.io.File(base, "codebook")
-    val encPath = new java.io.File(base, "codes")
-    if (!new java.io.File(encPath, "_SUCCESS").exists()) {
+      s"graft-pq-index-$digest-$m-$nCodes-$n-$fp")
+    IvfIndex.publishOnce(base, marker = "codes/_SUCCESS") { tmp =>
       val cb = codebook(emb, idCol, vecCol, m, subDim, nCodes)
-      cb.write.mode("overwrite").parquet(cbPath.toString)
+      cb.write.mode("overwrite").parquet(s"$tmp/codebook")
       encode(emb, idCol, vecCol, cb, m, subDim)
-        .write.mode("overwrite").parquet(encPath.toString)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
     }
-    (spark.read.parquet(cbPath.toString), spark.read.parquet(encPath.toString))
+    (spark.read.parquet(s"$base/codebook"), spark.read.parquet(s"$base/codes"))
   }
 
   /** IVF-PQ composition — the production billion-scale layout: IVF cells

@@ -61,11 +61,11 @@ object MultimodalOps {
     }),
     "m_wav_stats" -> ((s, dir) => {
       // the first REAL audio modality: deterministic RIFF/WAVE PCM
-      // payloads → the JDK's WaveFileReader (via WavCodec) → amplitude
+      // payloads → WavCodec's direct RIFF chunk walk → amplitude
       // stats + longest silence run. The engine genuinely parses the RIFF
       // chunk structure and PCM frames; the oracle replays the sample
       // construction arithmetic — agreement proves the payload builder,
-      // the JDK parse, and the stats pass compose losslessly.
+      // the chunk-walk parse, and the stats pass compose losslessly.
       Multimodal.decodeAudioStats(
         Multimodal.wavAssetsFromDocuments(
           Tables.load(s, dir, "documents"), "doc_id", "text"),
@@ -79,7 +79,7 @@ object MultimodalOps {
       // sample pairs average with FLOOR division (floorDiv ≡ DuckDB //
       // on negatives), the odd tail drops, and the resampled clip's
       // amplitude stats gate. The oracle replays the sample construction
-      // + pairing arithmetic, so the JDK RIFF parse, the pairing, and
+      // + pairing arithmetic, so the RIFF chunk-walk parse, the pairing, and
       // the floor-average all hash-gate in one pass. Scan-shaped, no
       // shuffle (the m_wav_stats posture).
       Multimodal.resampleAudioStats(
@@ -94,7 +94,7 @@ object MultimodalOps {
       // segment energy, all exact integers computed in the decode pass.
       // The segmentation a speech-data pipeline runs before clipping
       // training windows; the oracle replays the sample construction and
-      // does the gaps-and-islands grouping in SQL, so the JDK parse, the
+      // does the gaps-and-islands grouping in SQL, so the RIFF parse, the
       // run detection, and the per-segment energy argmax all hash-gate.
       Multimodal.decodeAudioSegments(
         Multimodal.wavAssetsFromDocuments(
@@ -111,10 +111,10 @@ object MultimodalOps {
       // audio fingerprints.
       // the fingerprint frame is localCheckpointed because the banded
       // join references it 8× (4 bands × both sides) and the WAV decode
-      // is the expensive stage (javax.sound's per-payload reader lookup):
-      // uncheckpointed, the plan re-decodes the corpus per reference
-      // (measured 6.4 s → ~1 s at sf0.1); checkpointed, decode runs once
-      // and the join sees 16-byte rows
+      // is the expensive stage: uncheckpointed, the plan re-decodes the
+      // corpus per reference (measured 6.4 s → ~1 s at sf0.1 back when
+      // decode went through javax.sound; still true of any real codec);
+      // checkpointed, decode runs once and the join sees 16-byte rows
       Multimodal.phashPairs(
         Multimodal.audioFingerprints(
           Multimodal.wavAssetsFromDocuments(

@@ -123,11 +123,13 @@ object VectorOps {
                                    srcTag: String): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(srcTag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val n = e.count()
+    // content-fingerprinted key + atomic publish (the IvfIndex contract)
+    val (n, fp) = IvfIndex.corpusFingerprint(e, "vec_id", "embedding")
     val path = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-pca-comp-$digest-$n")
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      componentFrame(e).write.mode("overwrite").parquet(path.toString)
+      s"graft-pca-comp-$digest-$n-$fp")
+    IvfIndex.publishOnce(path) { tmp =>
+      componentFrame(e).write.mode("overwrite").parquet(tmp)
+    }
     spark.read.parquet(path.toString)
   }
 
@@ -1243,9 +1245,10 @@ object VectorOps {
       // WWW'11) — the standard recall-recovery step every production
       // kNN-graph pipeline runs: cell blocking misses cross-cell true
       // neighbors; "a neighbor of my neighbor is likely my neighbor"
-      // recovers them WITHOUT any corpus² pass. Two unrolled rounds (the
-      // v_kmeans_iter fixed-round trajectory idiom — round 2's input is
-      // round 1's output, so the hash gates the whole trajectory): per
+      // recovers them WITHOUT any corpus² pass. Three unrolled rounds
+      // (the v_kmeans_iter fixed-round trajectory idiom — each round's
+      // input is the previous round's output, so one hash gates the
+      // whole trajectory): per
       // round (a) reverse edges capped at 3 per node (the reverse-sample
       // rate ρ of the paper — an in-hub node would otherwise fan its
       // whole in-list into every neighbor-of-neighbor join bucket),
@@ -1268,7 +1271,7 @@ object VectorOps {
     }),
     "v_knn_descent_recall" -> ((s, dir) => {
       // the v_recall_eval acceptance gate applied to the GRAPH surface:
-      // recall@3 of the blocked base graph and of the 2-round NN-Descent
+      // recall@3 of the blocked base graph and of the 3-round NN-Descent
       // refinement against the exact top-3, over a deterministic 1%
       // node sample (vec_id % 100 == 0). Exact truth is sample × corpus
       // through a constant-key BROADCAST HASH join (never corpus²; the
@@ -1427,17 +1430,19 @@ object VectorOps {
   }
 
   /** Persisted kNN-graph index (the IvfIndex.loadOrBuildSampled lifecycle):
-    * path keyed by source dir + corpus row count, built once if absent,
-    * then served as a plain parquet scan. */
+    * path keyed by source dir + corpus row count + content fingerprint
+    * (IvfIndex.corpusFingerprint — a same-cardinality corpus change
+    * rebuilds instead of serving stale), built once behind an atomic
+    * rename, then served as a plain parquet scan. */
   private def knnGraphLoadOrBuild(s: SparkSession, dir: String): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val n = emb(s, dir).count()
+    val (n, fp) = IvfIndex.corpusFingerprint(emb(s, dir), "vec_id", "embedding")
     val path = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-knn-graph-$digest-$n")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      s"graft-knn-graph-$digest-$n-$fp")
+    IvfIndex.publishOnce(path) { tmp =>
       val knn = knnGraphEdges(s, dir).localCheckpoint()
-      withMutual(knn).write.mode("overwrite").parquet(path.toString)
+      withMutual(knn).write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path.toString)
   }

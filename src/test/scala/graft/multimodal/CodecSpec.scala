@@ -85,7 +85,7 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeImages(mixed, PpmCodec).count() == 0)
   }
 
-  test("WavCodec: the JDK parses a handcrafted RIFF payload to known samples") {
+  test("WavCodec: the chunk walk parses a handcrafted RIFF payload to known samples") {
     // 4 samples, little-endian 16-bit mono @ 8 kHz — built by hand here
     // (not by the generator) so the decoder is tested against the SPEC,
     // not against the code that feeds it in production
@@ -106,6 +106,36 @@ class CodecSpec extends AnyFunSuite {
 
   test("WavCodec: garbage payloads fail loudly, not as zero samples") {
     intercept[Exception](WavCodec.decode("not a wav".getBytes("US-ASCII")))
+  }
+
+  test("WavCodec: unknown chunks skip word-aligned, data-before-fmt rejects") {
+    // a LIST chunk with an ODD size between fmt and data — the walk must
+    // honor RIFF word alignment (pad byte) to land on the data fourcc
+    val samples = Seq[Short](100, -200)
+    val odd = 5
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 8 + odd + 1 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(24 + 8 + odd + 1 + 8 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(odd)
+      .put(Array.fill[Byte](odd + 1)(0x7f)) // odd payload + pad byte
+      .put("data".getBytes("US-ASCII")).putInt(4)
+    samples.foreach(bb.putShort)
+    val a = WavCodec.decode(bb.array())
+    assert(a.samples.toSeq == samples.map(_.toInt))
+
+    // data chunk arriving before any fmt chunk must reject: without the
+    // fmt geometry the PCM bytes are uninterpretable
+    val bad = java.nio.ByteBuffer.allocate(12 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("RIFF".getBytes("US-ASCII")).putInt(8 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .putShort(1).putShort(2)
+    intercept[IllegalArgumentException](WavCodec.decode(bad.array()))
   }
 
   test("generator → decodeAudioStats roundtrip: silence runs from real text") {

@@ -91,7 +91,10 @@ object Plans {
       // round 11: the delta-peel k-core (new plan for an existing audit
       // member), its convergence variant, NN-Descent refinement, the
       // incremental graph append, and the heap-bounded KMV reagg
-      "g_kcore_conv", "v_knn_descent", "v_knn_graph_append", "q_kmv_reagg")
+      "g_kcore_conv", "v_knn_descent", "v_knn_graph_append", "q_kmv_reagg",
+      // round 12: convergence-terminated descent and the incremental
+      // descent-after-append (the lifecycle's write path)
+      "v_knn_descent_conv", "v_knn_descent_append")
 
     // per-query "why this is the 100× plan" — rendered above the plan block
     val notes: Map[String, String] = Map(
@@ -115,6 +118,22 @@ object Plans {
         "(hoisted norms ride the frame), the re-heap is the two-phase " +
         "TopKPerKey exchange (≤ partitions·N·k rows), and each round " +
         "localCheckpoints (O(1) lineage)."),
+      "v_knn_descent_conv" -> ("100× plan: identical per-round candidate " +
+        "frame as v_knn_descent, but rounds run only until the changed-" +
+        "edge count (one left_anti + count per round — integer, no " +
+        "embedding scoring) drops below the integer threshold N·36/100; " +
+        "measured stop rounds 5/4/1 at sf0.001/0.01/0.1 vs cap 6, so the " +
+        "steady-state cost is the stop round's prefix, not the cap."),
+      "v_knn_descent_append" -> ("100× plan: the offline base-corpus " +
+        "round artifacts are reused verbatim for every unaffected node; " +
+        "per round the plan runs linear no-scoring passes (sym build + " +
+        "exact sym diff + probe bucketing, O(N·k) rows) and re-scores " +
+        "only the affected set — measured ≈ min(1, ~28×batch-fraction) " +
+        "of nodes, flat across rounds — so an ingest batch pays " +
+        "O(|affected|·k²) decimal dots, never the rebuild's O(N·k²). " +
+        "The probe modulus is frozen at build time (the reason an " +
+        "append perturbs only the buckets it lands in); incremental ≡ " +
+        "rebuild is proved under the rebuild's own oracle."),
       "v_knn_graph_append" -> ("100× plan: the ingest batch pays ONE " +
         "per-row codegen'd assignment (no shuffle), and only cells that " +
         "received new vectors re-run the within-cell pair join — " +

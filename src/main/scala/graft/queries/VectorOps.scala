@@ -1334,6 +1334,86 @@ object VectorOps {
             .as("refined_eff"),
           round((col("refined_mass") - col("base_mass")) /
             col("exact_mass"), 6).as("eff_gain"))
+    }),
+    "v_knn_descent_conv" -> ((s, dir) => {
+      // CONVERGENCE-TERMINATED NN-Descent (round-11 verdict ask #4): the
+      // paper's own stopping rule — stop when a round's update count
+      // drops below δ·N·k (Dong et al. WWW'11 §2.3; δ = 0.12 here) — as
+      // a pure-integer changed-edge test per round, the kcorePeelConv
+      // idiom on the FIFTH iterative family (v_kmeans_conv,
+      // g_pagerank_conv, g_bfs_conv, g_kcore_conv precedents; integer
+      // count, so no FP-tolerance subtlety). Unlike the fixed-3-round
+      // v_knn_descent, rounds run only until the fresh-probe churn floor:
+      // measured stop rounds 5/4/1 at sf0.001/0.01/0.1 (cap 6, never
+      // hit — the larger the corpus, the better the cell-blocked base
+      // graph, so random probes beat a held top-3 less often and the
+      // stop comes EARLIER; δ sits above the measured churn floor
+      // ~0.06-0.10 and below the active-refinement band ~0.13-0.18). The
+      // oracle replays all cap rounds and picks the first sub-threshold
+      // one, so the engine's early exit is hash-proved equivalent. The
+      // threshold is INTEGER arithmetic (N·36/100, = δ·N·k with k=3) so
+      // engine and oracle can never disagree on a float rounding.
+      val e = emb(s, dir)
+        .withColumn("n2", Similarity.decNorm2(col("embedding")))
+        .localCheckpoint()
+      val base = knnGraphEdges(s, dir).localCheckpoint()
+      val n = e.count()
+      val (g, stop) = nnDescentConv(e, base, maxRounds = 6,
+        nB = math.max(n / 16L, 1L), thr = math.max(n * 36L / 100L, 1L))
+      g.select(col("src"), col("dst"), round(col("c_raw"), 6).as("cosine"),
+        lit(stop).cast("int").as("stop_round"))
+    }),
+    "v_knn_descent_append" -> ((s, dir) => {
+      // INCREMENTAL NN-DESCENT after a batch append — the lifecycle
+      // composed with refinement (round-11 verdict ask #8): the
+      // v_knn_graph_append proof one level up. Semantics = the
+      // FULL-corpus 3-round descent with the probe modulus FROZEN at the
+      // offline build's base-corpus value (a deployment freezes index
+      // hyperparameters at build time and refreshes them at full
+      // rebuilds; an N-derived modulus would reshuffle every probe
+      // bucket on any append, making nothing reusable — the reason
+      // descentBuckets takes nB as a parameter). The engine holds the
+      // offline base-corpus round artifacts and, per round, re-scores
+      // ONLY the exactly-derived affected node set
+      // (descentRoundIncremental: sym-diff ∪ two-hop second leg ∪
+      // probe-buckets-with-new-vectors ∪ previous-round diff), copying
+      // every other node's edges verbatim; the oracle replays the full
+      // rebuild+descent with the same frozen modulus, so the hash PROVES
+      // incremental ≡ rebuild. Batch cost: linear sym/probe passes plus
+      // O(|affected|·k²) scoring — never the rebuild's O(N·k²); at
+      // production scale |affected| ≈ the batch's sym-neighborhood.
+      val isNew = col("vec_id") >= 256 && pmod(col("vec_id"), lit(16)) === 7
+      val e = emb(s, dir)
+        .withColumn("n2", Similarity.decNorm2(col("embedding")))
+        .withColumn("is_new", isNew)
+        .localCheckpoint()
+      val nCells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val aAll = IvfIndex.assignSampled(e, "vec_id", "embedding", nCells)
+        .withColumn("n2", Similarity.decNorm2(col("embedding")))
+        .withColumn("is_new", isNew)
+        .localCheckpoint()
+      val base0 = cellTopkEdges(aAll.filter(!col("is_new"))).localCheckpoint()
+      val affected = aAll.filter(col("is_new")).select("cell").distinct()
+      val t0base = base0.select("src", "dst", "c_raw")
+      val t0full = base0.join(broadcast(affected), Seq("cell"), "left_anti")
+        .unionByName(cellTopkEdges(
+          aAll.join(broadcast(affected), Seq("cell"), "left_semi")))
+        .select("src", "dst", "c_raw")
+        .localCheckpoint()
+      val eB = e.filter(!col("is_new"))
+      val nBfrozen = math.max(eB.count() / 16L, 1L)
+      val newIds = e.filter(col("is_new")).select("vec_id")
+      var curBase = t0base
+      var curFull = t0full
+      var changed = diffNodes(t0full, t0base).localCheckpoint()
+      for (i <- 1 to 3) {
+        val baseNext = descentRound(eB, curBase, s"d$i", nBfrozen)
+        val (nf, ch) = descentRoundIncremental(e, newIds, s"d$i", nBfrozen,
+          curFull, curBase, baseNext, changed)
+        curBase = baseNext; curFull = nf; changed = ch
+      }
+      curFull.select(col("src"), col("dst"),
+        round(col("c_raw"), 6).as("cosine"))
     })
   )
 
@@ -1395,38 +1475,254 @@ object VectorOps {
                         rounds: Int): DataFrame = {
     val nB = math.max(e.count() / 16L, 1L)
     var cur = base
-    for (i <- 1 to rounds) {
-      val rev = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
-        cur.select(col("dst").as("src"), col("src").as("dst"), col("c_raw")),
-        Seq("src"), Seq("c_raw" -> false, "dst" -> true), 3)
-      val sym = cur.select("src", "dst").union(rev.select("src", "dst"))
-        .distinct().localCheckpoint() // joined to itself below
-      val rb = e.select(col("vec_id"),
-        (conv(substring(md5(concat(col("vec_id").cast("string"),
-          lit(s"d$i"))), 1, 12), 16, 10).cast("long") % nB).as("bk"))
-      val rp = rb.as("ra").join(rb.as("rb"), col("ra.bk") === col("rb.bk"))
-        .filter(col("ra.vec_id") =!= col("rb.vec_id"))
-        .select(col("ra.vec_id").as("src"), col("rb.vec_id").as("dst"))
-      val cand = sym.as("x").join(sym.as("y"), col("x.dst") === col("y.src"))
-        .select(col("x.src").as("src"), col("y.dst").as("dst"))
-        .union(cur.select("src", "dst"))
-        .union(rp)
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val scored = cand
-        .join(e.select(col("vec_id").as("src"),
-          col("embedding").as("ea"), col("n2").as("na")), "src")
-        .join(e.select(col("vec_id").as("dst"),
-          col("embedding").as("eb"), col("n2").as("nb")), "dst")
-        .select(col("src"), col("dst"),
-          Similarity.cosineFromParts(
-            Similarity.decDot(col("ea"), col("eb")),
-            col("na"), col("nb")).as("c_raw"))
-      cur = org.apache.spark.sql.GraftPlanBridge.topKPerKey(scored,
-          Seq("src"), Seq("c_raw" -> false, "dst" -> true), 3)
-        .localCheckpoint()
-    }
+    for (i <- 1 to rounds) cur = descentRound(e, cur, s"d$i", nB)
     cur
+  }
+
+  /** Per-round random-probe bucket assignment: round-salted md5 over the
+    * corpus, modulo nB buckets — deterministic and oracle-replayable.
+    * nB is a PARAMETER (not derived from e inside) so incremental
+    * maintenance can freeze it at offline-build time: with a frozen
+    * modulus an appended batch only perturbs the buckets it lands in,
+    * whereas an N-derived modulus reshuffles every bucket on any append. */
+  private def descentBuckets(e: DataFrame, salt: String, nB: Long): DataFrame =
+    e.select(col("vec_id"),
+      (conv(substring(md5(concat(col("vec_id").cast("string"),
+        lit(salt))), 1, 12), 16, 10).cast("long") % nB).as("bk"))
+
+  /** One NN-Descent round: reverse-capped symmetrization, two-hop
+    * candidate join, round-salted random probes, fresh decimal cosine,
+    * re-heap. Candidate dedup is folded INTO the scoring re-heap
+    * (topKPerKeyDistinct — the q_kmv_reagg move): the former
+    * `cand.distinct()` was a full exchange of the O(N·k²) candidate
+    * stream before any row was scored; now duplicate candidates score
+    * redundantly map-side (bounded: the dup factor is ≤ the two-hop
+    * multiplicity, ~k) and the ONLY exchange is the heaps' O(keys·k)
+    * state. Semantics identical: equal (src,dst) pairs always score the
+    * same c_raw (the decimal dot is deterministic), so in-heap dedup on
+    * (key, order) = (src, (c_raw, dst)) drops exactly the duplicate rows
+    * the old distinct dropped. Output localCheckpoints (O(1) lineage in
+    * rounds; consumed by the next round's rev + sym + cand legs). */
+  /** Reverse-capped symmetrization of a (src, dst, c_raw) graph: reverse
+    * edges re-heaped to the top-3 per (new) src — the paper's ρ cap —
+    * then unioned with the forward edges, distinct. Shared by the batch
+    * round, the convergence round, and the incremental round's
+    * base-vs-full sym diff. */
+  private def symEdges(cur: DataFrame): DataFrame = {
+    val rev = org.apache.spark.sql.GraftPlanBridge.topKPerKey(
+      cur.select(col("dst").as("src"), col("src").as("dst"), col("c_raw")),
+      Seq("src"), Seq("c_raw" -> false, "dst" -> true), 3)
+    cur.select("src", "dst").union(rev.select("src", "dst")).distinct()
+  }
+
+  private def descentRound(e: DataFrame, cur: DataFrame, salt: String,
+                           nB: Long): DataFrame = {
+    val sym = symEdges(cur).localCheckpoint() // joined to itself below
+    val rb = descentBuckets(e, salt, nB)
+    val rp = rb.as("ra").join(rb.as("rb"), col("ra.bk") === col("rb.bk"))
+      .filter(col("ra.vec_id") =!= col("rb.vec_id"))
+      .select(col("ra.vec_id").as("src"), col("rb.vec_id").as("dst"))
+    val cand = sym.as("x").join(sym.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      .union(cur.select("src", "dst"))
+      .union(rp)
+      .filter(col("src") =!= col("dst"))
+    org.apache.spark.sql.GraftPlanBridge.topKPerKeyDistinct(
+        scoreCandidates(e, cand),
+        Seq("src"), Seq("c_raw" -> false, "dst" -> true), 3)
+      .localCheckpoint()
+  }
+
+  /** Fresh decimal-exact cosine for a (src, dst) candidate stream:
+    * embeddings ride in on two key-equality joins against hoisted norms. */
+  private def scoreCandidates(e: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("src"),
+        col("embedding").as("ea"), col("n2").as("na")), "src")
+      .join(e.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("n2").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        Similarity.cosineFromParts(
+          Similarity.decDot(col("ea"), col("eb")),
+          col("na"), col("nb")).as("c_raw"))
+
+  /** Convergence-terminated NN-Descent (the paper's own stopping rule:
+    * stop when a round's update count falls below δ·N·k — Dong et al.
+    * WWW'11 §2.3): after each round, the CHANGED-EDGE count (new edges
+    * not present in the previous round's graph) is a pure-integer test,
+    * the kcorePeelConv idiom on the fifth iterative family. Returns the
+    * graph of the stopping round and the 1-based round index at which the
+    * threshold first held (= maxRounds when it never did). */
+  /** Dev probe (graft.ProbeDescent): per-round changed-edge counts over
+    * the real corpus, the measurement behind the δ in v_knn_descent_conv.
+    * Lives here for access to the private descent substrate. */
+  def probeDescentChanges(s: SparkSession, dir: String,
+                          maxRounds: Int): Seq[(Int, Long, Long)] = {
+    val e = emb(s, dir)
+      .withColumn("n2", Similarity.decNorm2(col("embedding")))
+      .localCheckpoint()
+    val n = e.count()
+    val nB = math.max(n / 16L, 1L)
+    var cur = knnGraphEdges(s, dir).localCheckpoint()
+    (1 to maxRounds).map { i =>
+      val next = descentRound(e, cur, s"d$i", nB)
+      val changed = next.join(cur, Seq("src", "dst"), "left_anti").count()
+      cur = next
+      (i, changed, n)
+    }
+  }
+
+  /** Dev probe (graft.ProbeDescent): per-round affected-set sizes of the
+    * incremental descent — the measurement behind the batch-cost claim in
+    * v_knn_descent_append's scaladoc and DESIGN.md. */
+  def probeDescentAppend(s: SparkSession, dir: String,
+                         mod: Int = 16): Seq[(Int, Long, Long, Long)] = {
+    val isNew = col("vec_id") >= 256 && pmod(col("vec_id"), lit(mod)) === 7
+    val e = emb(s, dir)
+      .withColumn("n2", Similarity.decNorm2(col("embedding")))
+      .withColumn("is_new", isNew)
+      .localCheckpoint()
+    val n = e.count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    val aAll = IvfIndex.assignSampled(e, "vec_id", "embedding", nCells)
+      .withColumn("n2", Similarity.decNorm2(col("embedding")))
+      .withColumn("is_new", isNew)
+      .localCheckpoint()
+    val base0 = cellTopkEdges(aAll.filter(!col("is_new"))).localCheckpoint()
+    val affected = aAll.filter(col("is_new")).select("cell").distinct()
+    val t0base = base0.select("src", "dst", "c_raw")
+    val t0full = base0.join(broadcast(affected), Seq("cell"), "left_anti")
+      .unionByName(cellTopkEdges(
+        aAll.join(broadcast(affected), Seq("cell"), "left_semi")))
+      .select("src", "dst", "c_raw")
+      .localCheckpoint()
+    val eB = e.filter(!col("is_new"))
+    val nBfrozen = math.max(eB.count() / 16L, 1L)
+    val newIds = e.filter(col("is_new")).select("vec_id")
+    val nNew = newIds.count()
+    var curBase = t0base
+    var curFull = t0full
+    var changed = diffNodes(t0full, t0base).localCheckpoint()
+    (1 to 3).map { i =>
+      val baseNext = descentRound(eB, curBase, s"d$i", nBfrozen)
+      // reproduce descentRoundIncremental's affected-set arithmetic for
+      // measurement (the method itself keeps A internal)
+      val symF = symEdges(curFull).localCheckpoint()
+      val symB = symEdges(curBase)
+      val sNodes = diffNodes(symF, symB)
+      val secondLeg = symF
+        .join(sNodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src").as("node"))
+      val rb = descentBuckets(e, s"d$i", nBfrozen)
+      val newBuckets = rb.join(newIds, Seq("vec_id"), "left_semi")
+        .select("bk").distinct()
+      val probeAffected = rb
+        .join(broadcast(newBuckets), Seq("bk"), "left_semi")
+        .select(col("vec_id").as("node"))
+      val aCount = sNodes.union(secondLeg).union(probeAffected)
+        .union(changed).distinct().count()
+      val (nf, ch) = descentRoundIncremental(e, newIds, s"d$i", nBfrozen,
+        curFull, curBase, baseNext, changed)
+      curBase = baseNext; curFull = nf; changed = ch
+      (i, aCount, n, nNew)
+    }
+  }
+
+  private def nnDescentConv(e: DataFrame, base: DataFrame, maxRounds: Int,
+                            nB: Long, thr: Long): (DataFrame, Int) = {
+    var cur = base
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val next = descentRound(e, cur, s"d$round", nB)
+      val changed = next.join(cur, Seq("src", "dst"), "left_anti").count()
+      done = changed < thr
+      cur = next
+    }
+    (cur, round)
+  }
+
+  /** Nodes whose edge set differs between two (src, dst, …) graphs:
+    * symmetric difference on (src, dst), projected to a 1-column node
+    * frame. Exact — no over-approximation — so incremental propagation
+    * stays as tight as the data allows. */
+  private def diffNodes(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("src", "dst")
+      .join(b.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      .union(b.select("src", "dst")
+        .join(a.select("src", "dst"), Seq("src", "dst"), "left_anti"))
+      .select(col("src").as("node")).distinct()
+
+  /** One INCREMENTALLY-MAINTAINED NN-Descent round (the v_knn_graph_append
+    * idea one level up the lifecycle): given the full-corpus graph of the
+    * previous round (`curFull`), the OFFLINE base-corpus artifacts for the
+    * previous and current rounds (`curBase`, `baseNext` — what a
+    * deployment has persisted), and the nodes whose previous-round output
+    * differs between the two runs (`changedIn`), produce the full-corpus
+    * graph of this round by RE-SCORING ONLY THE AFFECTED NODES and copying
+    * every other node's edges verbatim from the offline artifact.
+    *
+    * The affected set is EXACT, derived from the round's dataflow: a
+    * node's output depends only on its candidate set (pair scores are
+    * fixed), and cand(u) = twoHop(sym(u), sym(·)) ∪ cur(u) ∪ probes(u).
+    * So u must be recomputed iff
+    *   (a) u's outgoing sym edges differ between runs (S — exact sym
+    *       diff; covers both cur(u) changes and reverse-edge evictions
+    *       INTO u, since rev is part of sym),
+    *   (b) some two-hop middle node m ∈ dst(symFull(u)) has m ∈ S (for
+    *       u ∉ S, symFull(u) = symBase(u), so the full-run first leg is
+    *       also the base-run first leg),
+    *   (c) u's probe bucket this round contains an appended vector (with
+    *       the FROZEN modulus, old pairs persist and the only new probe
+    *       pairs involve a new vector), or
+    *   (d) u ∈ changedIn (the cur-edges candidate leg).
+    * Returns (thisRoundFull, changedOut) where changedOut is the exact
+    * node diff of this round's two runs — next round's changedIn. */
+  private def descentRoundIncremental(
+      e: DataFrame, newIds: DataFrame, salt: String, nB: Long,
+      curFull: DataFrame, curBase: DataFrame, baseNext: DataFrame,
+      changedIn: DataFrame): (DataFrame, DataFrame) = {
+    val symF = symEdges(curFull).localCheckpoint()
+    val symB = symEdges(curBase)
+    val s = diffNodes(symF, symB) // (a): sym-changed nodes, exact
+    val secondLeg = symF
+      .join(s.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src").as("node")) // (b)
+    val rb = descentBuckets(e, salt, nB)
+    val newBuckets = rb.join(newIds, Seq("vec_id"), "left_semi")
+      .select("bk").distinct()
+    val probeAffected = rb
+      .join(broadcast(newBuckets), Seq("bk"), "left_semi")
+      .select(col("vec_id").as("node")) // (c)
+    val a = s.union(secondLeg).union(probeAffected).union(changedIn)
+      .distinct().localCheckpoint()
+    val aSrc = a.select(col("node").as("src"))
+    // recompute candidates for src ∈ A only — the O(|A|·k²) stage that
+    // replaces the offline run's O(N·k²); the linear sym/probe passes
+    // above never score an embedding
+    val twoHop = symF.join(aSrc, Seq("src"), "left_semi").as("x")
+      .join(symF.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+    val curA = curFull.join(aSrc, Seq("src"), "left_semi")
+      .select("src", "dst")
+    val rpA = rb.join(a.select(col("node").as("vec_id")), Seq("vec_id"),
+        "left_semi").as("ra")
+      .join(rb.as("rb"), col("ra.bk") === col("rb.bk"))
+      .filter(col("ra.vec_id") =!= col("rb.vec_id"))
+      .select(col("ra.vec_id").as("src"), col("rb.vec_id").as("dst"))
+    val cand = twoHop.union(curA).union(rpA)
+      .filter(col("src") =!= col("dst"))
+    val recomputed = org.apache.spark.sql.GraftPlanBridge.topKPerKeyDistinct(
+      scoreCandidates(e, cand),
+      Seq("src"), Seq("c_raw" -> false, "dst" -> true), 3)
+    val nextFull = baseNext.select("src", "dst", "c_raw")
+      .join(aSrc, Seq("src"), "left_anti")
+      .union(recomputed)
+      .localCheckpoint()
+    val changedOut = diffNodes(recomputed,
+      baseNext.join(aSrc, Seq("src"), "left_semi")).localCheckpoint()
+    (nextFull, changedOut)
   }
 
   /** Persisted kNN-graph index (the IvfIndex.loadOrBuildSampled lifecycle):
@@ -2671,7 +2967,7 @@ object VectorOps {
       // row_number top-3 off the identical (c DESC, dst) total order),
       // then the in_base flag vs the round-0 edge set
       s"""WITH $knnGraphCtes
-         ${(1 to 3).map(descentRoundSql).mkString}
+         ${(1 to 3).map(i => descentRoundSql(i)).mkString}
          SELECT f.src, f.dst, round(f.c, 6) AS cosine,
                 CAST(CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS INTEGER)
                   AS in_base
@@ -2681,7 +2977,7 @@ object VectorOps {
       // join — the eval's scale knob), hit counts vs round-0 and round-2
       // edge sets, recall@3 aggregate
       s"""WITH $knnGraphCtes
-         ${(1 to 3).map(descentRoundSql).mkString},
+         ${(1 to 3).map(i => descentRoundSql(i)).mkString},
          samp AS (SELECT vec_id AS src, embedding AS se FROM embeddings
                   WHERE vec_id % 100 = 0),
          xu AS (SELECT s.src, e.vec_id AS dst,
@@ -2719,14 +3015,53 @@ object VectorOps {
                 round(rs.refined_mass/es.exact_mass, 6) AS refined_eff,
                 round((rs.refined_mass - bs.base_mass)/es.exact_mass, 6)
                   AS eff_gain
-         FROM ns, sl, bh, rh, es, bs, rs"""
+         FROM ns, sl, bh, rh, es, bs, rs""",
+    "v_knn_descent_conv" ->
+      // convergence-terminated descent: replay ALL cap rounds, count each
+      // round's new edges (t_i \\ t_{i-1}), and select the FIRST round
+      // whose count drops below the integer threshold N*36/100 (= delta*N*k,
+      // delta=0.12, k=3) — the engine computes rounds lazily and stops
+      // there, so the hash proves the early exit picks the same graph
+      s"""WITH $knnGraphCtes
+         ${(1 to 6).map(i => descentRoundSql(i)).mkString},
+         thr AS (SELECT greatest(count(*) * 36 // 100, 1) AS t
+                 FROM embeddings),
+         ${(1 to 6).map(i =>
+           s"""chg$i AS (SELECT CAST(count(*) AS BIGINT) AS c
+               FROM t$i a LEFT JOIN t${i - 1} b
+                 ON b.src = a.src AND b.dst = a.dst
+               WHERE b.src IS NULL)""").mkString(",\n         ")},
+         stop AS (SELECT CASE
+           ${(1 to 6).map(i =>
+             s"WHEN (SELECT c FROM chg$i) < (SELECT t FROM thr) THEN $i")
+             .mkString("\n           ")}
+           ELSE 6 END AS r)
+         ${(1 to 6).map(i =>
+           s"""SELECT src, dst, round(c, 6) AS cosine,
+               CAST($i AS INTEGER) AS stop_round
+               FROM t$i WHERE (SELECT r FROM stop) = $i""")
+           .mkString("\n         UNION ALL\n         ")}""",
+    "v_knn_descent_append" ->
+      // incrementally-maintained descent ≡ full rebuild+descent: the
+      // oracle replays the FULL-corpus blocked graph + 3 descent rounds
+      // with the probe modulus FROZEN at the base-corpus count (the
+      // engine's offline-build contract) — the v_knn_graph_append
+      // shared-oracle precedent, one lifecycle level up
+      s"""WITH $knnGraphCtes
+         ${(1 to 3).map(i => descentRoundSql(i,
+           """(SELECT greatest(count(*) // 16, 1) FROM embeddings
+              WHERE NOT (vec_id >= 256 AND vec_id % 16 = 7))""")).mkString}
+         SELECT f.src, f.dst, round(f.c, 6) AS cosine FROM t3 f"""
   )
 
   /** One NN-Descent oracle round: reverse edges capped at 3 per node,
     * symmetrized distinct edge set, two-hop candidates ∪ current edges,
     * fresh decimal-exact cosine, row_number top-3 — the exact mirror of
     * [[nnDescent]]'s per-round plan. */
-  private def descentRoundSql(i: Int): String =
+  private def descentRoundSql(
+      i: Int,
+      nbSql: String = "(SELECT greatest(count(*) // 16, 1) FROM embeddings)")
+      : String =
     s""",
        rev$i AS (SELECT * FROM (
            SELECT t.dst AS src, t.src AS dst, t.c,
@@ -2738,7 +3073,7 @@ object VectorOps {
            UNION ALL SELECT src, dst FROM rev$i)),
        rb$i AS (SELECT vec_id,
                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'd$i'), 1, 12))::BIGINT
-                    % (SELECT greatest(count(*) // 16, 1) FROM embeddings) AS bk
+                    % $nbSql AS bk
                 FROM embeddings),
        rp$i AS (SELECT a.vec_id AS src, b.vec_id AS dst
                 FROM rb$i a JOIN rb$i b

@@ -21,9 +21,17 @@ object Bench {
     // run swung individual queries 0.74×–5.3×; medians of 3 are the minimum
     // that survives one bad interleaving. Override via SPARK_GRAFT_BENCH_REPS.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // shuffle partitions default to the thread count (the committed-
+    // artifact config) but are overridable for the scale-gate runs: at
+    // sf3/sf10 a fixed 32 leaves multi-GB shuffle partitions that spill —
+    // a real deployment sizes partitions to the data (~128 MB targets),
+    // which is what SPARK_GRAFT_SHUFFLE models (AQE still coalesces small
+    // ones back down, so oversizing is safe; undersizing is not)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

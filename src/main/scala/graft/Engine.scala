@@ -27,6 +27,15 @@ object Engine {
           sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
             .getOrElse(Runtime.getRuntime.availableProcessors.min(32)) /
           1024)).toString)
+    // ObjectHashAggregate (min_by/max_by/collect_*) falls back to
+    // sort-based aggregation after this many distinct keys per partition;
+    // the 128 default pre-dates memory-tracked buffers and turns every
+    // frontier-sized hash argmin (g_walks: O(walks) keys per partition)
+    // into a sort of the edge-sized join output. 1M keys ≈ 100 MB of
+    // min_by buffers per task — within the per-task share Engine sizes
+    // for TopKPerKey above.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

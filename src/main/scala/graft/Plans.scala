@@ -324,13 +324,20 @@ object Plans {
         "slots in as a pre-join filter, the TextDedup prefix-df-cap " +
         "pattern. sf1 measured: 4.5× on 10× data (wedge stream ∝ Σ dp²)."),
       "g_walks" -> ("100× plan: one walk per node, next hop = argmin of " +
-        "md5(walk_id:step:neighbor) — the hash IS the RNG, so there is " +
+        "(60-bit md5 prefix, dst) — the hash IS the RNG, so there is " +
         "no generator state to coordinate across 1000 executors and the " +
         "corpus is reproducible run-to-run. Per step ONE frontier⋈edges " +
-        "join on fixed-width longs + a map-side-combined min(struct) " +
-        "argmin; state is O(walks), never O(edges); sf1 measured 2.6× on " +
-        "10× data. Oracle-side lesson recorded: DuckDB's struct-min " +
-        "aggregate OOM'd at 130 GB where arg_min runs in 0.5 s."),
+        "join against the PERSISTED pre-partitioned+sorted edge frame " +
+        "(cached InMemoryRelation keeps partitioning/ordering visible — " +
+        "a localCheckpoint under AQE erases both) + one map-side-" +
+        "combined HashAggregate min over the packed DECIMAL(38,0) " +
+        "h1·2^63+dst (min(struct)/min_by carry struct buffers → " +
+        "SortAggregate → an edge-sized sort per step; the round-12 " +
+        "second-decade gate measured that sort spilling: sf10 607.7 → " +
+        "196.5 s after this plan, 19.4× → 7.5× on 10× data); state is " +
+        "O(walks), never O(edges). Oracle-side lesson recorded: DuckDB's " +
+        "struct-min aggregate OOM'd at 130 GB where the packed scalar " +
+        "min runs in 0.5 s."),
       "g_mis" -> ("100× plan: Luby's round = one md5 priority projection " +
         "fused into the scan, one edges⋈priorities key-equality join + " +
         "map-side min per node, two anti joins — all on the UNDECIDED " +

@@ -709,7 +709,33 @@ object GraphOps {
       // one frontier⋈edges key-equality join (fixed-width long ids, the
       // longEdges encoding) + one map-side-combined min(struct) argmin —
       // state is O(walks), never O(edges); the walk table is the output.
-      val e = longEdges(s, dir).localCheckpoint() // consumed once per step
+      // The edge frame is PERSISTED PRE-PARTITIONED AND PRE-SORTED by src
+      // (round-12 second-decade gate: an unpartitioned edge frame made
+      // every step's SortMergeJoin re-exchange AND re-sort the 118M-row
+      // edge side — 4 sort-spills of the whole graph at sf10, measured
+      // 19.4× on 10× data). persist, NOT localCheckpoint: a cached
+      // InMemoryRelation keeps the repartition+sort's outputPartitioning
+      // and outputOrdering visible to EnsureRequirements (AQE does not
+      // re-plan cached plans), whereas a localCheckpoint under AQE
+      // erases them to an unpartitioned LogicalRDD — measured plan diff
+      // in PLANS.md. With this layout each step exchanges and sorts ONLY
+      // the node-sized frontier. This is the bucketed-graph layout a
+      // deployment stores edges in — sort once at write, join co-located
+      // forever. The per-walk argmin is a single min over ONE packed
+      // DECIMAL(38,0): h1·2^63 + dst, where h1 = the first 15 hex chars
+      // of the md5 (60 bits) as a long. Ordering by (h1, dst) ≡ the full
+      // (md5-string, dst) lexicographic order unless two neighbors of one
+      // walk collide in the 60-bit prefix (p ≈ d²/2^61 per group — never
+      // at any tested SF, and even then the dst tie-break keeps both
+      // engines identical). The point: min(struct) and min_by both carry
+      // struct buffers, which are not UnsafeRow-mutable, so Spark plans a
+      // SortAggregate that SORTS the edge-sized join output by walk_id
+      // every step; a fixed-width decimal min is a HashAggregate with
+      // O(frontier) map state — no sort, no spill, map-side partials.
+      val e = longEdges(s, dir)
+        .repartition(col("src"))
+        .sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var frontier = e.select(col("src").as("node")).distinct()
         .select(col("node").as("walk_id"), col("node"))
         .localCheckpoint()
@@ -717,15 +743,19 @@ object GraphOps {
       val steps = (1 to 4).map { t =>
         frontier = e.join(frontier, e("src") === frontier("node"))
           .select(col("walk_id"),
-            md5(concat(col("walk_id").cast("string"), lit(s":$t:"),
-              col("dst").cast("string"))).as("h"),
-            col("dst"))
+            expr("cast(conv(substring(md5(concat(cast(walk_id as string)" +
+              s", ':$t:', cast(dst as string))), 1, 15), 16, 10) as " +
+              "decimal(38,0)) * 9223372036854775808 + dst").as("hd"))
           .groupBy("walk_id")
-          .agg(min(struct(col("h"), col("dst"))).as("m"))
-          .select(col("walk_id"), col("m.dst").as("node"))
+          .agg(min(col("hd")).as("hd"))
+          .select(col("walk_id"),
+            expr("cast(hd % 9223372036854775808 as bigint)").as("node"))
           .localCheckpoint()
         frontier.select(col("walk_id"), lit(t).as("step"), col("node"))
       }
+      // every step is already materialized (eager localCheckpoint), so the
+      // edge cache can be released before the result frame is consumed
+      e.unpersist(false)
       steps.foldLeft(out0)(_ union _)
     }),
     "g_mis" -> ((s, dir) => {
@@ -1396,27 +1426,31 @@ object GraphOps {
          FROM w, c""",
     "g_walks" ->
       // four unrolled argmin-hash steps: each w_t picks, per walk, the
-      // out-neighbor minimizing md5(walk_id:t:neighbor) via arg_min —
-      // NOT the min(struct_pack) idiom: DuckDB's struct-min aggregate
-      // balloons to >130 GB and OOMs on the 11.8M-row sf1 edge join
-      // where arg_min finishes in 0.5 s. The hash inputs are distinct
-      // within a group (one frontier node per walk, distinct neighbors)
-      // so the argmin is unique in practice, but the ordering key still
-      // carries the zero-padded dst as an explicit secondary tie-break —
-      // the md5 is 32 fixed chars, so lexicographic compare on the
-      // concat ≡ compare (h, dst) exactly like the engine's
-      // min(struct(h, dst)), even under a hash collision. MATERIALIZED
-      // per the g_bfs inlining lesson — every w_t is consumed twice
-      // (next step + final union).
+      // out-neighbor minimizing (h1, dst) where h1 = the first 15 hex
+      // chars of md5(walk_id:t:neighbor) as a 60-bit integer — the SAME
+      // packed ordering the engine aggregates (engine packs h1·2^63+dst
+      // into one DECIMAL(38,0) so the argmin is a HashAggregate; the
+      // oracle replicates the IDENTICAL packing in HUGEINT and decodes
+      // dst back out of the min — DuckDB's arg_min has no composite-key
+      // overload and its struct-MIN aggregate ballooned to >130 GB on
+      // the 11.8M-row sf1 edge join where the scalar min finishes in
+      // 0.5 s). ('0x' || hex)::UBIGINT is DuckDB's
+      // hex parse; conv(hex, 16, 10) is Spark's — both yield the same
+      // 60-bit value, and the dst tie-break keeps the two engines
+      // identical even under a prefix collision. MATERIALIZED per the
+      // g_bfs inlining lesson — every w_t is consumed twice (next step +
+      // final union).
       s"""WITH $edgesSqlLong,
          w0 AS MATERIALIZED (
            SELECT DISTINCT src AS walk_id, src AS node FROM edges),
          ${(1 to 4).map { t =>
            s"""w$t AS MATERIALIZED (
            SELECT f.walk_id,
-                  arg_min(e.dst, md5(CAST(f.walk_id AS VARCHAR)
-                       || ':$t:' || CAST(e.dst AS VARCHAR))
-                       || lpad(CAST(e.dst AS VARCHAR), 20, '0')) AS node
+                  CAST(min(('0x' || substr(md5(
+                       CAST(f.walk_id AS VARCHAR) || ':$t:'
+                       || CAST(e.dst AS VARCHAR)), 1, 15))
+                       ::UBIGINT::HUGEINT * 9223372036854775808 + e.dst)
+                       % 9223372036854775808 AS BIGINT) AS node
            FROM w${t - 1} f JOIN edges e ON f.node = e.src
            GROUP BY 1)"""
          }.mkString(",\n         ")}

@@ -20,15 +20,58 @@ import org.apache.spark.sql.types.DecimalType
   *  - each iteration is ONE shuffle join (static out-degree-annotated edges
   *    x current ranks on src) + ONE aggregation on dst — cost is
   *    O(|E|/cluster) per round, never all-pairs, no driver-side state;
-  *  - the static edge+degree frame is localCheckpoint'd once, and ranks are
-  *    lineage-truncated every `checkpointEvery` rounds so the iterative plan
-  *    stays O(1) instead of doubling per round;
+  *  - the static edge+degree frame's layout and the per-round join
+  *    strategy are picked ONCE per corpus from the node count (broadcast
+  *    regime vs staged-merge regime — see [[stageOut]]), and ranks are
+  *    lineage-truncated every `checkpointEvery` rounds so the iterative
+  *    plan stays O(1) instead of doubling per round;
   *  - per-node contribution sums accumulate in DECIMAL(28,18) — exact and
   *    order-independent, so the result is bit-identical regardless of
   *    partitioning (each term is one IEEE double division of identical
   *    operands in any engine; the decimal sum of those terms is exact).
   */
 object PageRank {
+
+  /** Regime pick for the per-round adjacency⋈ranks join, made ONCE per
+    * corpus from the actual node count — the operator's own CBO choice.
+    * Why the operator decides: with a cached/checkpointed build side and
+    * a checkpointed probe side there is no shuffle stage under the join,
+    * so AQE never gets to re-plan it, and the static planner — seeing
+    * exact stats only for the cached side — can pick the pathological
+    * build side (broadcast the EDGE frame; measured 17 s/step on the
+    * g_walks probe before the fix).
+    *
+    * BROADCAST regime (node frame fits an executor; 4M rows ≈ 200 MB
+    * hashed — the knob is executor memory): the edge frame is only
+    * lineage-truncated (localCheckpoint), because a broadcast join
+    * streams it with no exchange regardless of layout — paying the
+    * staged layout's shuffle+sort+cache build (~7 s at sf1, measured)
+    * buys nothing at 3 rounds.
+    *
+    * MERGE regime (|V| too big to broadcast — the 100 TB shape): the
+    * edge frame is STAGED (EdgeLayout: partitioned+sorted by src,
+    * persisted) and every round merge-joins against it co-located, so
+    * only the node-sized rank frame moves per round. */
+  private case class RanksJoin(out: DataFrame, broadcastRegime: Boolean) {
+    def apply(ranksAsSrc: DataFrame): DataFrame =
+      if (broadcastRegime) out.join(broadcast(ranksAsSrc), "src")
+      else out.hint("merge").join(ranksAsSrc, "src")
+    /** Broadcast regime: the adjacency is a plain checkpoint — return the
+      * rank frame LAZY, exactly the pre-staging contract. Merge regime:
+      * materialize the node-sized result so the persisted cache can be
+      * released before the caller consumes it. */
+    def finish(ranks: DataFrame): DataFrame =
+      if (broadcastRegime) ranks
+      else { val r = ranks.localCheckpoint(); out.unpersist(false); r }
+  }
+  /** `annotated` must already be checkpointed (the broadcast-regime
+    * frame); the merge regime restages FROM that checkpoint, so the
+    * extra pass reads memory, not the source scan. */
+  private def stageOut(annotated: DataFrame, nodeCount: Long): RanksJoin = {
+    val broadcastRegime = nodeCount <= 4000000L
+    if (broadcastRegime) RanksJoin(annotated, true)
+    else RanksJoin(EdgeLayout.stageByKey(annotated, "src"), false)
+  }
 
   /** Ranks after `iters` rounds: (node, rank). `edges` is directed
     * (srcCol -> dstCol); duplicate edges count once per occurrence, so pass
@@ -39,14 +82,15 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // static across iterations: every edge annotated with its source degree
-    val out = e.join(deg, "src").localCheckpoint()
-    val nodes = out.select(col("src").as("node"))
-      .union(out.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // static across iterations: every edge annotated with its source
+    // degree, lineage-truncated once; the merge regime restages it
+    val out0 = e.join(deg, "src").localCheckpoint()
+    val nodes = out0.select(col("src").as("node"))
+      .union(out0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val jr = stageOut(out0, nodes.count())
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (i <- 1 to iters) {
-      val contrib = out
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+      val contrib = jr(ranks.select(col("node").as("src"), col("rank")))
         .groupBy(col("dst").as("node"))
         .agg(sum((col("rank") / col("deg"))
           .cast(DecimalType(28, 18))).as("in_sum"))
@@ -57,7 +101,7 @@ object PageRank {
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    jr.finish(ranks)
   }
 
   /** CONVERGENCE-terminated PageRank — iterate until the max RELATIVE
@@ -92,16 +136,16 @@ object PageRank {
     require(maxIters >= 1, "maxIters must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val out = e.join(deg, "src").localCheckpoint()
-    val nodes = out.select(col("src").as("node"))
-      .union(out.select(col("dst").as("node"))).distinct()
+    val out0 = e.join(deg, "src").localCheckpoint()
+    val nodes = out0.select(col("src").as("node"))
+      .union(out0.select(col("dst").as("node"))).distinct()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank")).localCheckpoint()
+    val jr = stageOut(out0, ranks.count())
     var r = 0
     var stopped = false
     while (r < maxIters && !stopped) {
       r += 1
-      val contrib = out
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+      val contrib = jr(ranks.select(col("node").as("src"), col("rank")))
         .groupBy(col("dst").as("node"))
         .agg(sum((col("rank") / col("deg"))
           .cast(DecimalType(28, 18))).as("in_sum"))
@@ -122,7 +166,9 @@ object PageRank {
       if (move < relEps) stopped = true
       ranks = next.select("node", "rank")
     }
-    (ranks, r)
+    // every round's ranks frame is checkpointed, so nothing recomputes
+    // through the cache after release
+    (jr.finish(ranks), r)
   }
 
   /** PERSONALIZED PageRank (Haveliwala, WWW'02; the random-walk-with-restart
@@ -145,17 +191,17 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val out = e.join(deg, "src").localCheckpoint()
     val sd = seeds.toDF("node").withColumn("e", lit(1.0))
-    val nodes = out.select(col("src").as("node"))
-      .union(out.select(col("dst").as("node"))).distinct()
+    val out0 = e.join(deg, "src").localCheckpoint()
+    val nodes = out0.select(col("src").as("node"))
+      .union(out0.select(col("dst").as("node"))).distinct()
       .join(sd, Seq("node"), "left")
       .select(col("node"), coalesce(col("e"), lit(0.0)).as("e"))
       .localCheckpoint()
+    val jr = stageOut(out0, nodes.count())
     var ranks = nodes.select(col("node"), col("e").as("rank"))
     for (i <- 1 to iters) {
-      val contrib = out
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+      val contrib = jr(ranks.select(col("node").as("src"), col("rank")))
         .groupBy(col("dst").as("node"))
         .agg(sum((col("rank") / col("deg"))
           .cast(DecimalType(28, 18))).as("in_sum"))
@@ -165,6 +211,6 @@ object PageRank {
             coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank"))
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    jr.finish(ranks)
   }
 }

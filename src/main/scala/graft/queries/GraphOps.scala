@@ -49,7 +49,7 @@ object GraphOps {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
-      labels = e.join(labels, e("src") === labels("node"))
+      labels = e.hint("merge").join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
@@ -228,23 +228,31 @@ object GraphOps {
       // never edge-sized, no driver scalar). Per half-round: one
       // edge-sized key-equality join + one map-side-combined aggregation —
       // the PageRank communication bound.
-      val e = Tables.load(s, dir, "lineitem")
-        .select((col("l_suppkey") * 2).as("src"),
-                (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct().localCheckpoint()
+      // staged edge layout, BOTH orientations (the g_walks round-12
+      // lesson): the auth half-round joins on src, the hub half-round on
+      // dst — a deployment stores out- and in-adjacency separately, so
+      // each half-round exchanges only the node-sized score frame. eDst
+      // stages FROM the eSrc cache (one extra in-memory repartition, not
+      // a second lineitem scan+distinct).
+      val eSrc = graft.operators.EdgeLayout.stageByKey(
+        Tables.load(s, dir, "lineitem")
+          .select((col("l_suppkey") * 2).as("src"),
+                  (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct(), "src")
+      val eDst = graft.operators.EdgeLayout.stageByKey(eSrc, "dst")
       val wAll = Window.partitionBy()
-      var hub = e.select(col("src").as("node")).distinct()
+      var hub = eSrc.select(col("src").as("node")).distinct()
         .withColumn("h", lit(1.0))
       var auth: DataFrame = hub // placeholder; set in round 1
       for (_ <- 1 to 2) {
-        val ad = e.join(hub.withColumnRenamed("node", "src"), "src")
+        val ad = eSrc.hint("merge").join(hub.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("h").cast(DecimalType(28, 18))).as("adec"))
         auth = ad.select(col("node"),
             (col("adec").cast("double") /
               max(col("adec")).over(wAll).cast("double")).as("a"))
           .localCheckpoint()
-        val hd = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        val hd = eDst.hint("merge").join(auth.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("a").cast(DecimalType(28, 18))).as("hdec"))
         hub = hd.select(col("node"),
@@ -252,6 +260,7 @@ object GraphOps {
               max(col("hdec")).over(wAll).cast("double")).as("h"))
           .localCheckpoint()
       }
+      eDst.unpersist(false); eSrc.unpersist(false) // hub/auth checkpointed
       hub.select(col("node"), lit("hub").as("kind"),
           round(col("h"), 6).as("score"))
         .union(auth.select(col("node"), lit("authority").as("kind"),
@@ -274,7 +283,11 @@ object GraphOps {
       // two key spaces cannot collide) so the per-round argmax is the
       // max(struct(cnt, -label)) two-stage HASH aggregate (map-side
       // combined, no per-node sort) instead of a row_number window.
-      lpaLabels(longEdges(s, dir).localCheckpoint(), rounds = 3)
+      // staged edge layout: every LPA round joins e on src
+      val e = graft.operators.EdgeLayout.stageByKey(longEdges(s, dir), "src")
+      val labels = lpaLabels(e, rounds = 3)
+      e.unpersist(false) // every round's label frame is checkpointed
+      labels
     }),
     "g_modularity" -> ((s, dir) => {
       // modularity (Newman 2004) of the g_lpa partition — the
@@ -290,7 +303,9 @@ object GraphOps {
       // no 1-row broadcast appears. At 100 TB: LPA's edge-bound rounds +
       // two edge-sized label joins + community-sized arithmetic.
       import org.apache.spark.sql.expressions.Window
-      val e = longEdges(s, dir).localCheckpoint()
+      // staged edge layout: 3 LPA rounds + the withSrc label join are all
+      // src-keyed; the one dst join re-exchanges once (one-shot)
+      val e = graft.operators.EdgeLayout.stageByKey(longEdges(s, dir), "src")
       val labels = lpaLabels(e, rounds = 3)
       val withSrc = e.join(labels.withColumnRenamed("node", "src")
         .withColumnRenamed("label", "lsrc"), "src")
@@ -300,7 +315,7 @@ object GraphOps {
         .filter(col("lsrc") === col("ldst"))
         .groupBy("lsrc").agg(count(lit(1)).as("w_c"))
       val wtot = Window.partitionBy()
-      dC.join(wC, Seq("lsrc"), "left")
+      val res = dC.join(wC, Seq("lsrc"), "left")
         .withColumn("w_c", coalesce(col("w_c"), lit(0L)))
         .withColumn("m2", sum(col("d_c")).over(wtot))
         .withColumn("term",
@@ -311,6 +326,10 @@ object GraphOps {
         .agg(count(lit(1)).as("n_communities"),
           max(col("m2")).as("m2"),
           round(sum(col("term")).cast("double"), 6).as("modularity"))
+        // 1-row result checkpointed so the edge cache can be released
+        .localCheckpoint()
+      e.unpersist(false)
+      res
     }),
     "g_degree_dist" -> ((s, dir) =>
       // degree distribution per bipartite side — the 1-pass profile that
@@ -515,11 +534,14 @@ object GraphOps {
       // localCheckpoint. est_reach = (k−1)/frac(kth hash), counts < k
       // reported exactly — both engines derive the identical doubles.
       val K = 16
-      val e = longEdges(s, dir).localCheckpoint()
+      // staged edge layout (the g_walks round-12 lesson): both sketch
+      // rounds join e on src — persist it partitioned+sorted by src so
+      // each round exchanges only the ≤ |V|·K sketch side
+      val e = graft.operators.EdgeLayout.stageByKey(longEdges(s, dir), "src")
       var sk = e.select(col("src").as("node")).distinct()
         .select(col("node"), md5(col("node").cast("string")).as("h"))
       for (_ <- 1 to 2) {
-        val prop = e.join(sk, e("src") === sk("node"))
+        val prop = e.hint("merge").join(sk, e("src") === sk("node"))
           .select(e("dst").as("node"), col("h"))
         // distinct-mode top-k: dedup happens INSIDE the bounded per-key
         // heaps of the map-side partial pass (round 10) — the previous
@@ -530,6 +552,7 @@ object GraphOps {
             sk.union(prop), Seq("node"), Seq("h" -> true), K)
           .localCheckpoint()
       }
+      e.unpersist(false) // every round's sketch frame is checkpointed
       val w = Window.partitionBy("node").orderBy("h")
       sk.withColumn("rn", row_number().over(w))
         .groupBy("node")
@@ -556,7 +579,8 @@ object GraphOps {
       // bounded-heap min-k) and both ball estimates ride one sketch
       // chain — radius 2 costs zero extra rounds over g_anf.
       val K = 16
-      val e = longEdges(s, dir).localCheckpoint()
+      // staged edge layout — the g_anf rationale, one radius deeper
+      val e = graft.operators.EdgeLayout.stageByKey(longEdges(s, dir), "src")
       var sk = e.select(col("src").as("node")).distinct()
         .select(col("node"), md5(col("node").cast("string")).as("h"))
       def ballEst(skDf: DataFrame, out: String): DataFrame = {
@@ -572,7 +596,7 @@ object GraphOps {
                 * 281474976710656.0, 4)).as(out))
       }
       val balls = (1 to 2).map { r =>
-        val prop = e.join(sk, e("src") === sk("node"))
+        val prop = e.hint("merge").join(sk, e("src") === sk("node"))
           .select(e("dst").as("node"), col("h"))
         // distinct-mode top-k: dedup happens INSIDE the bounded per-key
         // heaps of the map-side partial pass (round 10) — the previous
@@ -584,6 +608,7 @@ object GraphOps {
           .localCheckpoint()
         ballEst(sk, s"b$r")
       }
+      e.unpersist(false) // ball frames derive from checkpointed sketches
       // the combination ships UNROUNDED: b1/b2 are already identical
       // 4-dp doubles in both engines, and subtract / divide-by-2 / add
       // are bit-deterministic IEEE ops — a final round(·,4) would land
@@ -610,15 +635,18 @@ object GraphOps {
       // sketch rounds — the exact computation (all-pairs BFS) is |V|
       // traversals and does not exist as a plan at 100 TB.
       val K = 16
-      val e = longEdges(s, dir).localCheckpoint()
+      // staged edge layout — the g_anf rationale, three rounds
+      val e = graft.operators.EdgeLayout.stageByKey(longEdges(s, dir), "src")
+      // checkpointed: r0 reads it AFTER the unpersist below
       var sk = e.select(col("src").as("node")).distinct()
         .select(col("node"), md5(col("node").cast("string")).as("h"))
+        .localCheckpoint()
       // radius 0: every ball is exactly {v} — N(0) = |V|, no estimator
       val r0 = sk.groupBy()
         .agg(count(lit(1)).cast("double").as("total_reach"))
         .select(lit(0).as("radius"), col("total_reach"))
       val perRadius = (1 to 3).map { r =>
-        val prop = e.join(sk, e("src") === sk("node"))
+        val prop = e.hint("merge").join(sk, e("src") === sk("node"))
           .select(e("dst").as("node"), col("h"))
         // distinct-mode top-k: dedup happens INSIDE the bounded per-key
         // heaps of the map-side partial pass (round 10) — the previous
@@ -642,6 +670,7 @@ object GraphOps {
             .cast("double").as("total_reach"))
           .select(lit(r).as("radius"), col("total_reach"))
       }
+      e.unpersist(false) // radius frames derive from checkpointed sketches
       // per-node KMV estimates are monotone non-decreasing in r (the
       // sketch hash set only grows), so max over radii = N(3) = N(rmax)
       val all = Window.rowsBetween(
@@ -732,16 +761,13 @@ object GraphOps {
       // SortAggregate that SORTS the edge-sized join output by walk_id
       // every step; a fixed-width decimal min is a HashAggregate with
       // O(frontier) map state — no sort, no spill, map-side partials.
-      val e = longEdges(s, dir)
-        .repartition(col("src"))
-        .sortWithinPartitions("src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = graft.operators.EdgeLayout.stageByKey(longEdges(s, dir), "src")
       var frontier = e.select(col("src").as("node")).distinct()
         .select(col("node").as("walk_id"), col("node"))
         .localCheckpoint()
       val out0 = frontier.select(col("walk_id"), lit(0).as("step"), col("node"))
       val steps = (1 to 4).map { t =>
-        frontier = e.join(frontier, e("src") === frontier("node"))
+        frontier = e.hint("merge").join(frontier, e("src") === frontier("node"))
           .select(col("walk_id"),
             expr("cast(conv(substring(md5(concat(cast(walk_id as string)" +
               s", ':$t:', cast(dst as string))), 1, 15), 16, 10) as " +
@@ -776,7 +802,9 @@ object GraphOps {
       // lineage via localCheckpoint. Output: every node with its decision
       // and the round that decided it (-1 = still undecided after 4
       // rounds) — the full assignment hash-gates, not just the MIS size.
-      val e = longEdges(s, dir).localCheckpoint()
+      // staged edge layout (g_walks round-12 lesson): both per-round edge
+      // joins (neighbor-min and exclusion) are on src
+      val e = graft.operators.EdgeLayout.stageByKey(longEdges(s, dir), "src")
       var undecided = e.select(col("src").as("node")).distinct()
         .localCheckpoint()
       var decided: Seq[DataFrame] = Nil
@@ -791,14 +819,14 @@ object GraphOps {
             lpad(col("node").cast("string"), 20, "0")).as("p"))
         // min undecided-neighbor priority per undecided node: restrict
         // both endpoints to the frontier (src via pri, dst via undecided)
-        val nbrMin = e.join(pri, e("src") === pri("node"))
+        val nbrMin = e.hint("merge").join(pri, e("src") === pri("node"))
           .select(e("dst").as("node"), col("p").as("np"))
           .join(undecided, Seq("node"), "left_semi")
           .groupBy("node").agg(min(col("np")).as("np"))
         val mis = pri.join(nbrMin, Seq("node"), "left")
           .filter(col("np").isNull || col("p") < col("np"))
           .select(col("node")).localCheckpoint()
-        val excluded = e.join(mis, e("src") === mis("node"))
+        val excluded = e.hint("merge").join(mis, e("src") === mis("node"))
           .select(e("dst").as("node")).distinct()
           .join(undecided, Seq("node"), "left_semi")
           .localCheckpoint()
@@ -811,6 +839,7 @@ object GraphOps {
           .join(excluded, Seq("node"), "left_anti")
           .localCheckpoint()
       }
+      e.unpersist(false) // mis/excluded/undecided are all checkpointed
       val rest = undecided.select(col("node"), lit(false).as("in_mis"),
         lit(-1).as("decided_round"))
       decided.foldLeft(rest)(_ union _)
@@ -837,13 +866,21 @@ object GraphOps {
       // aggregates (the LPA shape) + one community-sized Σtot aggregate
       // broadcast back; m2 is a 1-row driver scalar (BOUNDED — the
       // v_semdedup_scaled count idiom); O(1) lineage via localCheckpoint.
-      val e = longEdges(s, dir)
+      // regime-picked layout (the PageRank.stageOut rationale): below
+      // the broadcast threshold the planner broadcasts the label frame
+      // and the staged layout buys nothing; above it the sweeps
+      // merge-join the dst-staged cache
+      val e0 = longEdges(s, dir)
         .select(col("src"), col("dst"), lit(1L).as("w")).localCheckpoint()
-      val m2 = e.count() // BOUNDED: one scalar — 2·|E|, the ΔQ scale
-      val deg = e.groupBy(col("src").as("node")).agg(sum("w").as("k"))
+      val m2 = e0.count() // BOUNDED: one scalar — 2·|E|, the ΔQ scale
+      val deg = e0.groupBy(col("src").as("node")).agg(sum("w").as("k"))
         .localCheckpoint()
+      val merge = deg.count() > 4000000L
+      val e = if (merge) graft.operators.EdgeLayout.stageByKey(e0, "dst")
+              else e0
       var lbl = deg.select(col("node"), col("node").as("c"))
-      for (_ <- 1 to 2) lbl = louvainSweep(e, deg, m2, lbl)
+      for (_ <- 1 to 2) lbl = louvainSweep(e, deg, m2, lbl, merge)
+      if (merge) e.unpersist(false) // sweep outputs are checkpointed
       lbl.select(col("node"), col("c").as("community"))
     }),
     "g_louvain2" -> ((s, dir) => {
@@ -867,18 +904,24 @@ object GraphOps {
       // full two-level trajectory (node, level-1 community, final
       // community), all hash-gated. At 100 TB the coarse sweep is the
       // cheap one; level 1's LPA-shaped rounds dominate, unchanged.
-      val e = longEdges(s, dir)
+      // regime-picked layout (the g_louvain rationale); the coarsening
+      // join pair consumes the same frame once more
+      val e0 = longEdges(s, dir)
         .select(col("src"), col("dst"), lit(1L).as("w")).localCheckpoint()
-      val m2 = e.count() // BOUNDED: one scalar (the g_louvain idiom)
-      val deg = e.groupBy(col("src").as("node")).agg(sum("w").as("k"))
+      val m2 = e0.count() // BOUNDED: one scalar (the g_louvain idiom)
+      val deg = e0.groupBy(col("src").as("node")).agg(sum("w").as("k"))
         .localCheckpoint()
+      val merge = deg.count() > 4000000L
+      val e = if (merge) graft.operators.EdgeLayout.stageByKey(e0, "dst")
+              else e0
       var lbl = deg.select(col("node"), col("node").as("c"))
-      for (_ <- 1 to 2) lbl = louvainSweep(e, deg, m2, lbl)
+      for (_ <- 1 to 2) lbl = louvainSweep(e, deg, m2, lbl, merge)
       val ce = e
         .join(lbl.select(col("node").as("src"), col("c").as("cs")), "src")
         .join(lbl.select(col("node").as("dst"), col("c").as("cd")), "dst")
         .groupBy("cs", "cd").agg(sum("w").as("w"))
         .localCheckpoint()
+      if (merge) e.unpersist(false) // coarse graph checkpointed
       val cdeg = ce.groupBy(col("cs").as("node")).agg(sum("w").as("k"))
         .localCheckpoint()
       val cedges = ce.filter(col("cs") =!= col("cd"))
@@ -901,11 +944,12 @@ object GraphOps {
     * Plan: one edge⋈label join + two hash aggregates + one
     * community-sized Σtot aggregate; O(1) lineage via localCheckpoint. */
   private def louvainSweep(e: DataFrame, deg: DataFrame, m2: Long,
-                           lbl: DataFrame): DataFrame = {
+                           lbl: DataFrame,
+                           merge: Boolean = false): DataFrame = {
     val sigma = lbl.join(deg, "node")
       .groupBy(col("c").as("cand")).agg(sum("k").as("sigma"))
-    val nb = e.join(lbl.select(col("node").as("dst"), col("c").as("cd")),
-        "dst")
+    val nb = (if (merge) e.hint("merge") else e).join(
+        lbl.select(col("node").as("dst"), col("c").as("cd")), "dst")
       .groupBy(col("src").as("node"), col("cd").as("cand"))
       .agg(sum("w").as("k_in"))
     val cand = nb.unionByName(

@@ -57,6 +57,7 @@ object Bench {
     val selected = if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     var retried = 0
+    var coldTotal = 0.0
     val samples: Map[String, Seq[Double]] = selected.map { case (name, fn) =>
       def run1(): Double = {
         val t0 = System.nanoTime()
@@ -69,6 +70,19 @@ object Bench {
         // the total, so a broken query cannot masquerade as a fast one
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // ONE UNTIMED WARM-UP EXECUTION per query (round-12): each query's
+      // first execution pays its own plan's codegen + JIT compile, which
+      // is a per-PLAN cost a deployment pays once per executor lifetime,
+      // not per run. With rep 1 carrying it, the per-query max/min spread
+      // floored at ~1.35 even on a verifiably idle host (two independent
+      // full-inventory runs, contention 1.350/1.375) — the metric was
+      // measuring compiler warm-up, not host contention. The warm-up
+      // cost is not hidden: it is summed and published as "cold_total"
+      // in the artifact. Skippable (SPARK_GRAFT_BENCH_NOWARMUP=1) for
+      // cold-start studies.
+      val cold = if (sys.env.contains("SPARK_GRAFT_BENCH_NOWARMUP")) 0.0
+        else run1()
+      if (cold > 0) coldTotal += cold
       var ts = (1 to reps).map(_ => run1())
       // CONTENTION-AWARE retry (round-8 verdict: three rounds running the
       // driver's closing artifact overstated cost ~33% because one loaded
@@ -200,9 +214,9 @@ object Bench {
     // verdict ask #2: a "quiet" claim must be self-verifying — spread_max
     // near 1.0 proves quiet; a drifted median with spread >> 1 is noise)
     val full =
-      s"""{"metric":"per_query_min_med_max","value":${fmt(total)},"unit":"sec","reps":$reps,"retries":$retried,"contended":${spreadMed > 1.5},"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"corpus":$corpusJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query_min_med_max","value":${fmt(total)},"unit":"sec","reps":$reps,"retries":$retried,"cold_total":${fmt(coldTotal)},"contended":${spreadMed > 1.5},"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"corpus":$corpusJson,"queries":$qs,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${results.size - ok.size},"reps":$reps,"retries":$retried,"contended":${spreadMed > 1.5},"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"spread_top":$spreadTop,"ann_split":$annJson,"slowest":$slowest,"corpus":$corpusJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${results.size - ok.size},"reps":$reps,"retries":$retried,"cold_total":${fmt(coldTotal)},"contended":${spreadMed > 1.5},"total_min":${fmt(totalMin)},"contention":${fmt(spreadMed)},"spread_max":${fmt(spreadMax)},"spread_top":$spreadTop,"ann_split":$annJson,"slowest":$slowest,"corpus":$corpusJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL ~2000 chars of bench output, which
     // truncated the 197-triplet full line to ~38 queries in BENCH_r07 —
     // defeating the per-query contention self-adjudication it exists for.

@@ -49,12 +49,23 @@ object GraphOps {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
+      // the per-node argmax rides ONE packed DECIMAL(38,0) —
+      // cnt·2^63 + (2^63-1 − label) — numerically ≡ the lexicographic
+      // (cnt, −label) order for the non-negative long labels this family
+      // uses (the g_walks packed-argmin lesson): max(struct) carries a
+      // struct buffer, which is not UnsafeRow-mutable, so it planned as
+      // a SortAggregate that SORTED the (node,label)-pair frame every
+      // round; the decimal max is a plain HashAggregate. The ordering is
+      // identical, so hashes (and the join-based oracle) are unchanged.
       labels = e.hint("merge").join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+        .agg(max(expr("cast(cnt as decimal(38,0)) * 9223372036854775808 " +
+          "+ (9223372036854775807 - label)")).as("m"))
+        .select(col("dst").as("node"),
+          expr("9223372036854775807 - " +
+            "cast(m % 9223372036854775808 as bigint)").as("label"))
         .localCheckpoint()
     }
     labels
@@ -809,14 +820,20 @@ object GraphOps {
         .localCheckpoint()
       var decided: Seq[DataFrame] = Nil
       for (t <- 1 to 4) {
-        // the zero-padded node id rides as an explicit suffix so
-        // priorities are collision-free by construction (distinct nodes
-        // ⇒ distinct p even if their md5s collide) — the strict p < np
+        // the node id rides in the low bits so priorities are
+        // collision-free by construction (distinct nodes ⇒ distinct p
+        // even if their 60-bit md5 prefixes collide) — the strict p < np
         // comparison then never ties across distinct nodes in either
-        // engine; md5 is 32 fixed chars so the suffix only breaks ties
+        // engine. Packed DECIMAL(38,0) (h1·2^63 + node, the g_walks
+        // argmin packing) instead of the former md5-string ∥ padded-node
+        // concat: min over a fixed-width decimal is a HashAggregate
+        // (min(string) planned as a SortAggregate sorting the edge-sized
+        // priority propagation every round) and the shuffled priority is
+        // 16 bytes, not 52 chars
         val pri = undecided.select(col("node"),
-          concat(md5(concat(lit(s"$t:"), col("node").cast("string"))),
-            lpad(col("node").cast("string"), 20, "0")).as("p"))
+          expr(s"cast(conv(substring(md5(concat('$t:', " +
+            "cast(node as string))), 1, 15), 16, 10) as decimal(38,0)) " +
+            "* 9223372036854775808 + node").as("p"))
         // min undecided-neighbor priority per undecided node: restrict
         // both endpoints to the frontier (src via pri, dst via undecided)
         val nbrMin = e.hint("merge").join(pri, e("src") === pri("node"))
@@ -1511,8 +1528,9 @@ object GraphOps {
          u0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
          ${(1 to 4).map { t =>
            s"""p$t AS MATERIALIZED (
-           SELECT node, md5('$t:' || CAST(node AS VARCHAR))
-                        || lpad(CAST(node AS VARCHAR), 20, '0') AS p
+           SELECT node, ('0x' || substr(md5('$t:' || CAST(node AS VARCHAR)),
+                        1, 15))::UBIGINT::HUGEINT
+                        * 9223372036854775808 + node AS p
            FROM u${t - 1}),
          nm$t AS (
            SELECT e.dst AS node, min(pp.p) AS np

@@ -209,8 +209,11 @@ object Plans {
       "g_hits" -> ("100× plan: each half-round is one edge-sized join + " +
         "one map-side-combined decimal aggregation (the PageRank bound); " +
         "the max-normalizer is a window over the ALREADY-AGGREGATED " +
-        "node-sized frame — no driver scalar, no edge-sized window; the " +
-        "edge frame is checkpointed once and re-read by all 4 half-rounds."),
+        "node-sized frame — no driver scalar, no edge-sized window. " +
+        "Round 12: BOTH orientations are staged (EdgeLayout — out- and " +
+        "in-adjacency persisted partitioned+sorted, merge-hinted), so " +
+        "each half-round exchanges only the node-sized score frame: " +
+        "sf1 measured 34.4 → 9.1 s (0.26×)."),
       "v_pca" -> ("100× plan: the centered Gram matrix accumulates in ONE " +
         "generator pass — the nested-lambda outer product explodes d² " +
         "decimal terms per row INSIDE the scan stage and partial hash " +
@@ -273,7 +276,9 @@ object Plans {
         "100 TB a trainer runs this loop over a sampled subcorpus with " +
         "the identical plan."),
       "g_anf" -> ("100× plan: per round, the sketch frame (≤ k rows per " +
-        "node, fixed-width long keys) joins the checkpointed edge table, " +
+        "node, fixed-width long keys) merge-joins the STAGED edge table " +
+        "(EdgeLayout, round 12 — partitioned+sorted by src, persisted, " +
+        "so rounds exchange only the sketch side; sf1 27.2 → 17.7 s), " +
         "the union dedups with map-side partial DISTINCT, and the " +
         "per-node min-k runs through the bounded-heap TopKPerKey " +
         "operator — the exchange carries at most partitions·nodes·k " +
@@ -338,12 +343,15 @@ object Plans {
         "O(walks), never O(edges). Oracle-side lesson recorded: DuckDB's " +
         "struct-min aggregate OOM'd at 130 GB where the packed scalar " +
         "min runs in 0.5 s."),
-      "g_mis" -> ("100× plan: Luby's round = one md5 priority projection " +
-        "fused into the scan, one edges⋈priorities key-equality join + " +
-        "map-side min per node, two anti joins — all on the UNDECIDED " +
+      "g_mis" -> ("100× plan: Luby's round = one packed-decimal priority " +
+        "projection fused into the scan (h1·2^63+node — 16 bytes on the " +
+        "wire, hash-aggregable min), one edges⋈priorities merge join " +
+        "against the staged edge cache + map-side min per node, two anti " +
+        "joins — all on the UNDECIDED frontier, which shrinks by an " +
         "frontier, which shrinks by an expected constant factor per " +
-        "round (measured: 1.2× cost on 10× data because the frontier " +
-        "collapses after round 1). Independence holds by construction " +
+        "expected constant factor per round (measured: 1.2× cost on 10× " +
+        "data because the frontier collapses after round 1). " +
+        "Independence holds by construction " +
         "every round (adjacent local minima are impossible), so a " +
         "truncated run is still a valid independent set."),
       "t_kn_lm" -> ("100× plan: all four Kneser–Ney statistics (c12, " +
@@ -524,16 +532,17 @@ object Plans {
         "fan-out is bounded by sources², never corpus-shaped, and the " +
         "join key buckets at scale; per-source totals join back onto " +
         "the sources²-row matrix, the only frame that leaves the agg."),
-      "g_lpa" -> ("100× plan: per round one edge-sized join + two " +
-        "map-side-combined hash aggregates; the edge frame is " +
-        "checkpointed ONCE per query (round 10 — previously each round " +
-        "re-ran the scan+distinct; 5.2 → 3.7 s min at sf0.1) and labels " +
-        "checkpoint per round for O(1) lineage."),
+      "g_lpa" -> ("100× plan: per round one merge join against the " +
+        "STAGED edge cache (EdgeLayout, round 12) + two map-side-" +
+        "combined hash aggregates — the argmax rides one packed " +
+        "DECIMAL(38,0) (cnt·2^63 + (2^63-1−label); max(struct) planned " +
+        "as a SortAggregate that sorted the pair frame every round); " +
+        "labels checkpoint per round for O(1) lineage. sf1 10.7 → 6.6 s."),
       "g_modularity" -> ("100× plan: LPA's edge-bound rounds + two " +
-        "edge-sized label joins + community-sized arithmetic; the edge " +
-        "frame checkpoint is shared by the rounds AND both label joins " +
-        "(7.4 → 4.0 s min at sf0.1); M2 rides a window over the " +
-        "aggregated per-community frame."),
+        "edge-sized label joins + community-sized arithmetic; the STAGED " +
+        "edge cache (round 12) is shared by the rounds AND both label " +
+        "joins; M2 rides a window over the aggregated per-community " +
+        "frame. sf1 17.7 → 7.9 s with the staged layout + packed argmax."),
       "d_incremental" -> ("100× plan: the arriving batch joins a " +
         "PERSISTENT band-key index — a key-equality join sized by the " +
         "batch, never batch×corpus; the corpus-side index is loaded, not " +
@@ -564,8 +573,13 @@ object Plans {
         "in round count."),
       "g_pagerank" -> ("100× plan: one iteration = contributions join " +
         "(key-equality on src) + decimal-exact sum by dst + broadcast " +
-        "teleport scalar; ranks are localCheckpointed per round (lineage " +
-        "O(1)); the plan below is the final iteration's shape."),
+        "teleport scalar. Round 12: the adjacency layout AND join " +
+        "strategy are picked ONCE per corpus from the node count " +
+        "(PageRank.stageOut) — broadcast regime below ~4M nodes (pinned " +
+        "build side = ranks), staged-merge regime above it (EdgeLayout " +
+        "cache, only the rank frame moves per round) — because with no " +
+        "shuffle stage under the join AQE cannot re-plan it; the plan " +
+        "below is the final iteration's shape."),
       "t_curate" -> ("100× plan: exact-dedup survivors (hash groupBy " +
         "argmin), language vote, and the token-window filter compose into " +
         "ONE declarative plan — every stage shuffles on the same doc key " +

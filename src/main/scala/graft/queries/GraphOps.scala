@@ -429,20 +429,22 @@ object GraphOps {
       // shuffles, never node×node. Projection fan-out-capped at 32
       // (non-binding here; the 100 TB skew guard — see coOrderPairs).
       val e = coOrderPairs(s, dir, cap = 32)
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
+      // staged edge layout (round 12): all 3 relaxation rounds join on u
+      val sym = graft.operators.EdgeLayout.stageByKey(
+        e.union(e.select(col("v").as("u"), col("u").as("v"))), "u")
       var dist = sym.select(col("u")).distinct()
         .filter(col("u") % 100 === 0)
         .select(col("u").as("node"), lit(0).as("dist"))
         .localCheckpoint()
       for (_ <- 1 to 3) {
-        val relaxed = sym
+        val relaxed = sym.hint("merge")
           .join(dist.withColumnRenamed("node", "u"), "u")
           .select(col("v").as("node"), (col("dist") + lit(1)).as("dist"))
         dist = dist.union(relaxed)
           .groupBy("node").agg(min("dist").as("dist"))
           .localCheckpoint()
       }
+      sym.unpersist(false) // every round's dist frame is checkpointed
       dist
     }),
     "g_bfs_conv" -> ((s, dir) => {
@@ -460,8 +462,8 @@ object GraphOps {
       // the same round the oracle's static unroll does. Projection
       // fan-out-capped at 32 (non-binding; see coOrderPairs).
       val e = coOrderPairs(s, dir, cap = 32)
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
+      val sym = graft.operators.EdgeLayout.stageByKey(
+        e.union(e.select(col("v").as("u"), col("u").as("v"))), "u")
       var dist = sym.select(col("u")).distinct()
         .filter(col("u") % 100 === 0)
         .select(col("u").as("node"), lit(0).as("dist"))
@@ -470,7 +472,7 @@ object GraphOps {
       var stopped = false
       while (r < 5 && !stopped) {
         r += 1
-        val relaxed = sym
+        val relaxed = sym.hint("merge")
           .join(dist.withColumnRenamed("node", "u"), "u")
           .select(col("v").as("node"), (col("dist") + lit(1)).as("dist"))
         val next = dist.union(relaxed)
@@ -484,6 +486,7 @@ object GraphOps {
         if (changed == 0L) stopped = true
         dist = next
       }
+      sym.unpersist(false) // every round's dist frame is checkpointed
       dist.withColumn("stop_round", lit(r))
     }),
     "g_linkpred" -> ((s, dir) => {

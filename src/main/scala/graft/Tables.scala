@@ -17,7 +17,8 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name),
       s"unknown table '$name'; expected one of ${names.mkString(", ")}")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = parallelize(spark.read.parquet(s"$dir/$name.parquet"),
+      s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanosecond
     // Long (spark.sql.legacy.parquet.nanosAsLong, set in Engine.configure)
     // and we FLOOR it to microsecond TimestampType — `div` truncates toward
@@ -26,6 +27,34 @@ object Tables {
     // timestamp-fidelity risk).
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(nsFloorToMicros))
+    else df
+  }
+
+  /** Unsplittable-input guard (optimization guide §2.5): the driver
+    * fixtures ship each table as ONE parquet file with one row group, so
+    * every scan is a single partition and any per-row work fused into the
+    * scan stage (HOF folds, decimal dots, codec walks) runs on 1 of N
+    * cores — measured 368 → 249 s across the full sf0.1 inventory (v_pca's
+    * Gram pass alone 11.5 s single-task). When the file layout supplies
+    * fewer partitions than the session's parallelism, repartition
+    * round-robin right after the read; rows are payload-light at this
+    * size (the exchange is micro-seconds against multi-second scan-stage
+    * compute). SCALE-ADAPTIVE, not a local[32] constant: a multi-file
+    * corpus (gen_scale sf1+, any real deployment) already scans at ≥
+    * defaultParallelism partitions and the condition no-ops; tables under
+    * 64 KB (dimension tables — region/nation/supplier) skip it, since
+    * their scans feed broadcasts where an exchange is pure overhead.
+    * Hash-safety: every declared aggregate is order-independent by the
+    * determinism contract (decimal sums, exact arithmetic, total-order
+    * sorts before every limit), and the round-robin placement itself is
+    * deterministic (sortBeforeRepartition, on by default). */
+  private def parallelize(df: DataFrame, path: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(bytes).sum else f.length()
+    if (bytes(new java.io.File(path)) >= 64L * 1024 &&
+        df.rdd.getNumPartitions < target)
+      df.repartition(target)
     else df
   }
 

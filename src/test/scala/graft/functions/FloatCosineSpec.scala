@@ -29,7 +29,11 @@ class FloatCosineSpec extends AnyFunSuite {
     // self-cosine is exactly 1.0 up to fp rounding
     assert(df.filter(abs(col("self") - 1.0) > 1e-9).count() == 0)
     // the plan stays inside whole-stage codegen: the projection carrying
-    // floatcosine renders with the codegen-stage marker `*(N)`
+    // floatcosine renders with the codegen-stage marker `*(N)`. With AQE
+    // in the plan (the Tables.load parallelize exchange makes it
+    // adaptive), codegen stages only exist in the FINAL plan — execute
+    // THIS df first so toString renders isFinalPlan=true.
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project .*floatcosine".r.findFirstIn(plan).isDefined, plan)
   }

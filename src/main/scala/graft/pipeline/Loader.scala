@@ -166,7 +166,9 @@ object Loader {
           val conf = spark.conf
           val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
           conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try staged.write.mode("overwrite").insertInto(table)
+          // one file per rewritten partition, not one per task (guide §6)
+          try staged.repartition(partCols.map(col): _*)
+            .write.mode("overwrite").insertInto(table)
           finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
           emptied.foreach { r =>
             // a null partition value is addressed by Hive's default-partition
@@ -266,7 +268,10 @@ object Loader {
       .select(tableCols.map(col): _*)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.write.mode("overwrite").insertInto(table)
+    // hash-distribute by the partition column so each rewritten partition
+    // receives one file instead of one per upstream task (guide §6)
+    try survivors.repartition(col(partCol)).write.mode("overwrite")
+      .insertInto(table)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -99,7 +99,12 @@ object PipelineOps {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
           org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
-      ev.write.partitionBy("day").format("parquet").saveAsTable(table)
+      // hash-distribute by the partition column before the partitioned
+      // write (guide §6): without it every one of the 32 scan tasks
+      // writes a file into every day partition (~days x tasks small
+      // files); with it each partition receives exactly one file
+      ev.repartition(col("day"))
+        .write.partitionBy("day").format("parquet").saveAsTable(table)
       val isTarget = coal(pmod(col("user_id"), l(97L)) === 0L, l(false))
       // eraseTargeted also drops any day whose rows were ALL targeted
       // (dynamic overwrite cannot delete an emptied partition — the
@@ -130,7 +135,12 @@ object PipelineOps {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("value"),
           org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
-      ev.write.partitionBy("day").format("parquet").saveAsTable(table)
+      // hash-distribute by the partition column before the partitioned
+      // write (guide §6): without it every one of the 32 scan tasks
+      // writes a file into every day partition (~days x tasks small
+      // files); with it each partition receives exactly one file
+      ev.repartition(col("day"))
+        .write.partitionBy("day").format("parquet").saveAsTable(table)
       val minDay = ev.agg(org.apache.spark.sql.functions.min(col("day")))
         .first().getDate(0).toLocalDate
       val cutoff = minDay.plusDays(10)
@@ -189,12 +199,20 @@ object PipelineOps {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("value"),
           org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("day"))
-      ev.write.partitionBy("day").format("parquet").saveAsTable(table)
+      // hash-distribute by the partition column before the partitioned
+      // write (guide §6): without it every one of the 32 scan tasks
+      // writes a file into every day partition (~days x tasks small
+      // files); with it each partition receives exactly one file
+      ev.repartition(col("day"))
+        .write.partitionBy("day").format("parquet").saveAsTable(table)
       // the corrected derivation for the earliest day (a 1-row driver
       // scalar, the watermark idiom)
       val day0 = ev.agg(mn(col("day"))).first().getTimestamp(0)
+      // single-day patch: collapse to one writer task so the dynamic
+      // overwrite lands one file in the rewritten partition (guide §6)
       val patch = ev.filter(col("day") === l(day0))
         .withColumn("value", col("value") * 2)
+        .repartition(col("day"))
       val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
@@ -234,6 +252,8 @@ object PipelineOps {
       loaded
         .filter(!(col("day") === l(staleDay) &&
           pmod(col("event_id"), l(2)) === 1))
+        // one file per day partition, not days x tasks (guide §6)
+        .repartition(col("day"))
         .write.partitionBy("day").format("parquet").saveAsTable(table)
       val src = ev.groupBy("day").agg(cnt(l(1)).as("src_rows"))
       val snk = s.table(table).groupBy("day").agg(cnt(l(1)).as("sink_rows"))

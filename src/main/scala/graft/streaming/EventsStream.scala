@@ -264,13 +264,39 @@ object EventsStream {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(mtime0 + i * 60000L)
     }
-    // equal event-time slices; an empty slice is just an empty micro-batch
+    // equal event-time slices; an empty slice is just an empty micro-batch.
+    // All real chunks are cut in ONE pass (guide §2.4): a chunk-id column
+    // with exactly the same [lo, hi) boundaries, hash-distributed by it,
+    // written partitionBy(chunk) — one scan+shuffle+write job instead of
+    // nChunks full scans of the events table, and still one file per chunk.
     val span = math.max(1L, maxUs - minUs + 1)
+    val cutoffs = (1 to nChunks).map(i => minUs + (span * i) / nChunks)
+    val us = unix_micros(col("ts"))
+    val chunkId = cutoffs.init.zipWithIndex.foldRight(
+      lit(nChunks - 1): org.apache.spark.sql.Column) {
+      case ((hi, i), rest) => when(us < hi, i).otherwise(rest)
+    }
+    val chunkDir = root.resolve("chunks").toString
+    batch.withColumn("__chunk", chunkId)
+      .repartition(col("__chunk"))
+      .write.partitionBy("__chunk").mode("overwrite").parquet(chunkDir)
     (0 until nChunks).foreach { i =>
-      val lo = minUs + (span * i) / nChunks
-      val hi = minUs + (span * (i + 1)) / nChunks
-      stage(batch.filter(unix_micros(col("ts")) >= lo &&
-        unix_micros(col("ts")) < hi), i)
+      val files = Option(new java.io.File(s"$chunkDir/__chunk=$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      files match {
+        case Array(one) =>
+          val dst = streamDir.resolve(f"chunk_$i%02d.parquet").toFile
+          java.nio.file.Files.move(one.toPath, dst.toPath)
+          dst.setLastModified(mtime0 + i * 60000L)
+        case _ =>
+          // empty slice (partitionBy writes no dir) or a multi-file task
+          // split: restage that slice alone the slow way — rare, and the
+          // staged bytes are identical either way
+          val lo = minUs + (span * i) / nChunks
+          val hi = cutoffs(i)
+          stage(batch.filter(us >= lo && us < hi), i)
+      }
     }
     // two sentinels, each its own batch: the FIRST lifts the watermark past
     // every real deadline at its batch's end; the SECOND's (data) batch then

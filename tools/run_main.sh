@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Run a graft main class directly against the compiled classes + the
+# image's Spark jars — same JVM flags as build.sbt's forked run, minus
+# sbt's startup latency. Usage: tools/run_main.sh graft.Bench [args...]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CLASSES=target/scala-2.13/classes
+ADD_OPENS=(
+  java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect
+  java.base/java.io java.base/java.net java.base/java.nio java.base/java.util
+  java.base/java.util.concurrent java.base/java.util.concurrent.atomic
+  java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action
+  java.base/sun.util.calendar
+)
+OPENS_FLAGS=()
+for p in "${ADD_OPENS[@]}"; do OPENS_FLAGS+=(--add-opens "$p=ALL-UNNAMED"); done
+exec java "${OPENS_FLAGS[@]}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CLASSES:/opt/spark/jars/*" "$@"
